@@ -1,0 +1,24 @@
+"""Test configuration.
+
+Force JAX onto a virtual 8-device CPU mesh *before* jax initializes, so
+multi-chip sharding tests run anywhere (the driver separately dry-runs the
+multi-chip path; real-TPU benchmarking happens in bench.py, not tests).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return (REFERENCE_ROOT / "SIMULATOR" / "simulation_v3.py").exists()
