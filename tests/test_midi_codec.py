@@ -1,0 +1,122 @@
+"""MIDI codec tests: roundtrip, reference-artifact parsing, tempo map."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from gandes_tpu.music.midi import (
+    DEFAULT_TEMPO,
+    Message,
+    MetaMessage,
+    MidiFile,
+    MidiTrack,
+    _decode_varlen,
+    _encode_varlen,
+)
+
+from conftest import reference_available
+
+
+def test_varlen_roundtrip():
+    for v in [0, 1, 127, 128, 500, 16383, 16384, 2097151, 2097152, 0x0FFFFFFF]:
+        data = _encode_varlen(v)
+        out, pos = _decode_varlen(data, 0)
+        assert out == v and pos == len(data)
+
+
+def test_save_load_roundtrip(tmp_path):
+    mid = MidiFile()
+    track = MidiTrack()
+    mid.tracks.append(track)
+    track.append(MetaMessage("set_tempo", tempo=750000, time=0))
+    track.append(MetaMessage("time_signature", numerator=3, denominator=8, time=0))
+    track.append(MetaMessage("key_signature", key="G#m", time=0))
+    track.append(Message("program_change", program=42, time=0))
+    track.append(Message("note_on", channel=0, note=60, velocity=100, time=5))
+    track.append(Message("note_off", channel=0, note=60, velocity=100, time=17))
+    track.append(Message("control_change", control=64, value=127, time=3))
+    track.append(Message("pitchwheel", pitch=-1024, time=2))
+    track.append(MetaMessage("end_of_track", time=0))
+    path = str(tmp_path / "rt.mid")
+    mid.save(path)
+
+    loaded = MidiFile(path)
+    assert loaded.ticks_per_beat == 480
+    assert len(loaded.tracks) == 1
+    assert list(loaded.tracks[0]) == list(track)
+
+
+@pytest.mark.parametrize("key", ["C", "C#", "D", "E", "F", "F#", "G", "G#m", "A", "A#m", "B"])
+def test_key_signatures_roundtrip(tmp_path, key):
+    # all 11 keys the MM-GAN generator can emit (sim_log_to_midi.py:46)
+    mid = MidiFile()
+    t = MidiTrack()
+    mid.tracks.append(t)
+    t.append(MetaMessage("key_signature", key=key, time=0))
+    t.append(MetaMessage("end_of_track", time=0))
+    p = str(tmp_path / "k.mid")
+    mid.save(p)
+    assert MidiFile(p).tracks[0][0].key == key
+
+
+def test_iteration_seconds_with_tempo_change(tmp_path):
+    mid = MidiFile()
+    t = MidiTrack()
+    mid.tracks.append(t)
+    # default tempo 500000 until the set_tempo is *yielded*
+    t.append(Message("note_on", note=60, velocity=64, time=480))   # 0.5 s at default
+    t.append(MetaMessage("set_tempo", tempo=1000000, time=480))    # still 0.5 s
+    t.append(Message("note_off", note=60, velocity=64, time=480))  # 1.0 s at new tempo
+    t.append(MetaMessage("end_of_track", time=0))
+    deltas = [msg.time for msg in mid]
+    assert deltas == pytest.approx([0.5, 0.5, 1.0, 0.0])
+    assert mid.length == pytest.approx(2.0)
+
+
+def test_merge_tracks_two_tracks():
+    a, b = MidiTrack(), MidiTrack()
+    a.append(Message("note_on", note=60, time=10))
+    a.append(MetaMessage("end_of_track", time=5))
+    b.append(Message("note_on", note=64, time=4))
+    b.append(Message("note_off", note=64, time=20))
+    mid = MidiFile()
+    mid.tracks = [a, b]
+    merged = [(m.type, getattr(m, "note", None)) for m in mid]
+    assert merged == [
+        ("note_on", 64),
+        ("note_on", 60),
+        ("note_off", 64),
+        ("end_of_track", None),
+    ]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_parse_reference_artifacts():
+    """The reference's committed mido-written .mid files must parse."""
+    paths = sorted(glob.glob("/root/reference/MMGAN_MIDI_DES/adj_sim_outputs/midi/*.mid"))
+    assert paths
+    total_notes = 0
+    for p in paths:
+        mid = MidiFile(p)
+        assert mid.tracks, p
+        notes = [m for t in mid.tracks for m in t if getattr(m, "type", "") == "note_on"]
+        total_notes += len(notes)
+        for m in notes:
+            assert 0 <= m.note < 128 and 0 <= m.velocity < 128
+        # seconds-domain iteration terminates and is non-negative
+        assert all(m.time >= 0 for m in mid)
+    assert total_notes > 50
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_reference_artifact_reencode_stable():
+    """decode -> encode -> decode is a fixed point (message-level)."""
+    p = sorted(glob.glob("/root/reference/MMGAN_MIDI_DES/adj_sim_outputs/midi/interesting*.mid"))[0]
+    mid = MidiFile(p)
+    import io, os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        q = os.path.join(d, "re.mid")
+        mid.save(q)
+        again = MidiFile(q)
+    assert [list(t) for t in again.tracks] == [list(t) for t in mid.tracks]
