@@ -1,0 +1,224 @@
+"""Fused, jittable GAN train steps.
+
+The reference runs D-update then G-update as separate eager torch graphs
+with a host DES round-trip inside each (`network_tests.py:276-348`,
+`SIMNN.py:275-331`). Here the device math is two fused jitted functions:
+
+* ``gen_forward`` — G1+G2 forward (mutating BN batch stats), returning the
+  adjacency matrices / parameter vectors the host DES decodes;
+* ``train_step`` — discriminator update on (real, fake) + generator loss
+  readout in ONE compiled program: both BCE terms, grads, Adam updates and
+  the post-update generator loss, so per step there is exactly one
+  host->device transfer of the fake batch and one compiled launch.
+
+Faithful-semantics note: both reference loops detach the generator output
+before the DES (`SIMNN.py:299`, `network_tests.py:189`), so generator
+parameters receive **zero gradient** — "training" is D-only while G drifts
+via BN statistics. ``g_update='none'`` (default) reproduces that exactly
+(including stepping G's Adam state on zero gradients, which is a no-op for
+the params). ``g_update='direct'`` is the opt-in improved mode: G1/G2 train
+against D on a device-side differentiable proxy (provided by the caller as
+``fake_proxy``), the straight-through shortcut around the DES.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import freeze, unfreeze
+
+from gandes_tpu.train.losses import GAN_DES_FAKE_LABEL, GAN_DES_REAL_LABEL, bce_with_logits
+
+
+def make_steplr(lr: float, step_size_epochs: int, gamma: float, steps_per_epoch: int):
+    """torch ``StepLR(step_size, gamma)`` as an optax schedule over steps."""
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        return lr * (gamma ** (epoch // step_size_epochs))
+
+    return schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GANState:
+    """All mutable training state for one GAN (a pytree)."""
+
+    g_params: Any
+    g_stats: Any          # BN batch_stats for the generator(s)
+    d_params: Any
+    d_stats: Any
+    g_opt: Any
+    d_opt: Any
+    step: jax.Array
+
+
+# ----------------------------------------------------------------- MM-GAN
+
+
+def make_mmgan_gen_forward(g1, g2):
+    """Jittable G1+G2 forward; returns (adj_matrices, gen2_params, new_stats).
+
+    ``state.g_params`` / ``state.g_stats`` are dicts {'g1':..., 'g2':...}.
+    """
+
+    def forward(state: GANState, noise1, noise2, beats, aux_key=None):
+        # G1 draws a fresh normal aux input per forward (reference
+        # network_tests.py:82-84 calls generator1(noise) with no aux).
+        if aux_key is None:
+            aux_key = jax.random.key(0)
+        out1, vars1 = g1.apply(
+            {"params": state.g_params["g1"], "batch_stats": state.g_stats["g1"]},
+            noise1, None, True, mutable=["batch_stats"], rngs={"aux": aux_key},
+        )
+        out2, vars2 = g2.apply(
+            {"params": state.g_params["g2"], "batch_stats": state.g_stats["g2"]},
+            noise2, beats, True, mutable=["batch_stats"],
+        )
+        new_stats = {"g1": vars1["batch_stats"], "g2": vars2["batch_stats"]}
+        return out1, out2, new_stats
+
+    return forward
+
+
+def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
+                          fake_proxy_fn: Callable | None = None):
+    """Returns ``train_step(state, real_roll, fake_roll) -> (state, metrics)``
+    with the D update and G loss fused into one jit.
+
+    ``g_update='direct'`` requires ``fake_proxy_fn(g_params, fake_roll) ->
+    differentiable roll`` (the straight-through shortcut around the DES).
+    """
+    if g_update not in ("none", "direct"):
+        raise ValueError(f"unknown g_update mode {g_update!r}")
+    if g_update == "direct" and fake_proxy_fn is None:
+        raise ValueError("g_update='direct' needs fake_proxy_fn")
+
+    def d_loss_fn(d_params, real, fake):
+        logits_fake = d.apply({"params": d_params}, fake)
+        logits_real = d.apply({"params": d_params}, real)
+        loss = bce_with_logits(logits_fake.squeeze(), 0.0) + bce_with_logits(
+            logits_real.squeeze(), 1.0
+        )
+        return loss
+
+    def train_step(state: GANState, real_roll, fake_roll):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_roll, fake_roll)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        if g_update == "direct":
+            def g_loss_fn(g_params):
+                roll = fake_proxy_fn(g_params, fake_roll)
+                return bce_with_logits(d.apply({"params": d_params}, roll).squeeze(), 1.0)
+
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        else:
+            # faithful: the DES round-trip severed the graph; G sees zero grad
+            g_loss = bce_with_logits(d.apply({"params": d_params}, fake_roll).squeeze(), 1.0)
+            g_grads = jax.tree.map(jnp.zeros_like, state.g_params)
+
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GANState(
+            g_params=g_params, g_stats=state.g_stats,
+            d_params=d_params, d_stats=state.d_stats,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
+        )
+        return new_state, {"d_loss": d_loss, "g_loss": g_loss}
+
+    return train_step
+
+
+def init_mmgan_state(g1, g2, d, key, *, batch_size, z_dim, beat_dim, roll_size,
+                     g_tx, d_tx) -> GANState:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    noise = jnp.zeros((batch_size, z_dim))
+    beats = jnp.zeros((batch_size, beat_dim))
+    roll = jnp.zeros((batch_size, *roll_size))
+    v1 = g1.init({"params": k1, "aux": k4}, noise, beats, True)
+    v2 = g2.init({"params": k2, "aux": k4}, noise, beats, True)
+    vd = d.init(k3, roll)
+    g_params = {"g1": v1["params"], "g2": v2["params"]}
+    g_stats = {"g1": v1["batch_stats"], "g2": v2["batch_stats"]}
+    return GANState(
+        g_params=g_params,
+        g_stats=g_stats,
+        d_params=vd["params"],
+        d_stats={},
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(vd["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------- GAN-DES
+
+
+def make_gandes_gen_forward(gen):
+    def forward(state: GANState, noise):
+        out, vars_ = gen.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            noise, True, mutable=["batch_stats"],
+        )
+        return out, vars_["batch_stats"]
+
+    return forward
+
+
+def make_gandes_train_step(gen, disc, g_tx, d_tx):
+    """GAN-DES fused step: D update with label smoothing 0.9/0.1 on the
+    *sigmoided* D outputs through BCE-with-logits (reference double-squash,
+    `SIMNN.py:283-316`), then post-update generator loss (zero G grads —
+    faithful to the detach at :299)."""
+
+    def d_loss_fn(d_params, real, fake):
+        pred_real = disc.apply({"params": d_params}, real).reshape(-1)
+        pred_fake = disc.apply({"params": d_params}, fake).reshape(-1)
+        return bce_with_logits(pred_real, GAN_DES_REAL_LABEL) + bce_with_logits(
+            pred_fake, GAN_DES_FAKE_LABEL
+        )
+
+    def train_step(state: GANState, real_mel, fake_mel):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_mel, fake_mel)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        g_loss = bce_with_logits(
+            disc.apply({"params": d_params}, fake_mel).squeeze(), 1.0
+        )
+        g_grads = jax.tree.map(jnp.zeros_like, state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GANState(
+            g_params=g_params, g_stats=state.g_stats,
+            d_params=d_params, d_stats=state.d_stats,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
+        )
+        return new_state, {"d_loss": d_loss, "g_loss": g_loss}
+
+    return train_step
+
+
+def init_gandes_state(gen, disc, key, *, batch_size, z_dim=100, mel_shape=(128, 216),
+                      g_tx=None, d_tx=None) -> GANState:
+    k1, k2 = jax.random.split(key)
+    v_g = gen.init(k1, jnp.zeros((batch_size, z_dim)), True)
+    v_d = disc.init(k2, jnp.zeros((batch_size, *mel_shape)))
+    return GANState(
+        g_params=v_g["params"],
+        g_stats=v_g["batch_stats"],
+        d_params=v_d["params"],
+        d_stats={},
+        g_opt=g_tx.init(v_g["params"]),
+        d_opt=d_tx.init(v_d["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
