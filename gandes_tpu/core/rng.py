@@ -54,7 +54,13 @@ class Sampler:
         if kind not in _SUPPORTED:
             raise ValueError("Distribution not supported")
         self.kind = kind
-        self.params = tuple(spec[1:])
+        # float64 params: scipy's rvs promotes loc/scale to float64, and a
+        # float32 param would keep the whole draw in float32 under NumPy 2's
+        # weak scalar promotion (observed: low-bit divergence vs reference).
+        if kind == "discrete":
+            self.params = tuple(spec[1:])
+        else:
+            self.params = tuple(float(p) for p in spec[1:])
         self._xk = None
         self._cum = None
 

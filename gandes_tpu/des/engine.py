@@ -88,7 +88,11 @@ class FlowBranchOperator:
             children = []
         keep = [i for i in range(len(probs)) if probs[i] > 0]
         self.children = [children[i] for i in keep]
-        kept = [float(probs[i]) for i in keep]
+        # keep np.float64 elements: CPython's sum() applies Neumaier
+        # compensation to *python* floats (3.12+) but plain left-to-right
+        # accumulation to np.float64 objects — the reference's exact
+        # ``sum(probabilities) != 1`` branch depends on the latter.
+        kept = [probs[i] for i in keep]
         total = sum(kept)
         self.probabilities = [p / total for p in kept] if kept else []
 
@@ -409,6 +413,16 @@ class Sim:
         self.source_seeds = [[] for _ in range(n)]
         self.number_of_customers = number_of_customers
         self.use_next_available_server = use_next_available_server
+        try:
+            self._run_replications(number_of_customers)
+        finally:
+            # the reference's incremental root-logger writes leave a partial
+            # log behind even when a replication dies; flushing in a finally
+            # preserves that observable behavior with buffered logging.
+            if self.log is not None:
+                self.log.flush()
+
+    def _run_replications(self, number_of_customers):
 
         log = self.log
         music = self.logging_mode == "Music"
@@ -443,6 +457,10 @@ class Sim:
             deadline = start_time + self.max_sim_time
             if self.deadline is not None:
                 deadline = min(deadline, self.deadline)
+            # let the service-time redraw loop see the wall budget too: a
+            # near-degenerate normal (loc~0, scale~0) costs ~N(loc/scale)
+            # redraws per draw, which the reference lets spin unboundedly
+            self._run_deadline = deadline
 
             events = self.FutureEventList.events
             servers = self.servers
@@ -503,9 +521,6 @@ class Sim:
 
             if interrupted:
                 break
-
-        if log is not None:
-            log.flush()
 
     # ---------------------------------------------------------------- steps
 
@@ -598,6 +613,7 @@ class Sim:
         service_time = 0
         if not server.sampler.is_queue and not server.sampler.is_branch:
             redraws = 0
+            deadline = getattr(self, "_run_deadline", None)
             while service_time <= 0:
                 service_time = server.sampler.draw(server.rng)
                 redraws += 1
@@ -606,7 +622,7 @@ class Sim:
                     # distributions (:598-600); cap and clamp instead.
                     service_time = _REDRAW_FALLBACK
                     break
-                if redraws % 1024 == 0 and self.deadline is not None and _time.time() > self.deadline:
+                if redraws % 1024 == 0 and deadline is not None and _time.time() > deadline:
                     raise SimBudgetExceeded
 
         if log is not None and music:
