@@ -1,0 +1,148 @@
+"""Command-line interface.
+
+The reference's entry points are a script ``__main__`` (`GAN_DES/SIMNN.py`),
+a unittest-as-trainer (`MMGAN_MIDI_DES/network_tests.py:352`), notebooks,
+and hardcoded literals; this CLI replaces all of them with one surface:
+
+    python -m gandes_tpu.cli pickle-dataset --midi-root DIR --out data/preprocessed_data_50.pkl
+    python -m gandes_tpu.cli train-mmgan   --data data/preprocessed_data_50.pkl --epochs 5
+    python -m gandes_tpu.cli train-gandes  --midi-root DIR --steps 20
+    python -m gandes_tpu.cli generate-mmgan --checkpoint models/mmgan_64_64_epoch_5
+    python -m gandes_tpu.cli sim-to-wav    --size 32 --instrument 5
+    python -m gandes_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _cmd_pickle_dataset(args):
+    from gandes_tpu.data.datasets import build_window_pickle
+
+    n = build_window_pickle(args.midi_root, args.out, sample_size=args.sample_size,
+                            sequence_length=args.sequence_length, verbose=True)
+    print(f"wrote {n} windows -> {args.out}")
+
+
+def _cmd_train_mmgan(args):
+    from gandes_tpu.data.datasets import MaestroDatasetPickle
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    cfg = MMGANConfig(num_epochs=args.epochs, batch_size=args.batch_size,
+                      start=args.start, sequence_length=args.sequence_length,
+                      models_dir=args.models_dir, losses_dir=args.losses_dir,
+                      faithful=args.faithful)
+    dataset = MaestroDatasetPickle(args.data, data_dir=".")
+    state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
+    print(f"done: {len(history['disc'])} epochs")
+
+
+def _cmd_train_gandes(args):
+    from gandes_tpu.data.datasets import DataLoader, MaestroDatasetGanDes, my_collate
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    dataset = MaestroDatasetGanDes(batch_size=args.batch_size, input_folder=args.midi_root)
+    loader = DataLoader(dataset, batch_size=1, shuffle=True, collate_fn=my_collate)
+    cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir)
+    state, history = train_gandes(loader, cfg, max_steps=args.steps)
+    print(f"done: {len(history['disc'])} steps")
+
+
+def _cmd_generate_mmgan(args):
+    from gandes_tpu.train import checkpoint as ckpt
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, generate_midi, init_state_for_config
+
+    cfg = MMGANConfig(start=args.start, sequence_length=args.sequence_length)
+    state, _, _ = init_state_for_config(cfg, batch_size=1)
+    if args.checkpoint:
+        state = ckpt.restore_state(args.checkpoint, state)
+    rng = np.random.RandomState(args.seed)
+    noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+    noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+    beats = np.zeros((1, cfg.max_beat_length), np.float32)
+    np.random.seed(args.seed)
+    rolls = generate_midi(state, cfg, noise1, noise2, beats, out_dir=args.out_dir)
+    print(f"generated roll sum={rolls[0].sum():.1f} -> {args.out_dir}/generation.mid")
+    if args.wav:
+        from gandes_tpu.data.audio import save_wav
+        from gandes_tpu.music.synth import render_midi
+
+        audio = render_midi(os.path.join(args.out_dir, "generation.mid"))
+        save_wav(os.path.join(args.out_dir, "generation.wav"), audio)
+        print(f"wrote {args.out_dir}/generation.wav")
+
+
+def _cmd_sim_to_wav(args):
+    from gandes_tpu.bridge.sim_demo import sim_to_wav
+
+    np.random.seed(args.seed)
+    outs = sim_to_wav(matrices=[None], size=args.size,
+                      use_same_instrument=args.instrument, out_dir=args.out_dir)
+    print("\n".join(outs))
+
+
+def _cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gandes_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pickle-dataset", help="build the windowed roll pickle")
+    sp.add_argument("--midi-root", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--sample-size", type=int, default=300)
+    sp.add_argument("--sequence-length", type=int, default=50)
+    sp.set_defaults(fn=_cmd_pickle_dataset)
+
+    sp = sub.add_parser("train-mmgan", help="train the MM-GAN")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--start", type=int, default=100)
+    sp.add_argument("--sequence-length", type=int, default=50)
+    sp.add_argument("--models-dir", default="models")
+    sp.add_argument("--losses-dir", default="losses")
+    sp.add_argument("--max-batches", type=int, default=None)
+    sp.add_argument("--faithful", action="store_true")
+    sp.set_defaults(fn=_cmd_train_mmgan)
+
+    sp = sub.add_parser("train-gandes", help="train the GAN-DES spectrogram GAN")
+    sp.add_argument("--midi-root", required=True)
+    sp.add_argument("--batch-size", type=int, default=30)
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--models-dir", default="models")
+    sp.set_defaults(fn=_cmd_train_gandes)
+
+    sp = sub.add_parser("generate-mmgan", help="generate a MIDI from a checkpoint")
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--start", type=int, default=100)
+    sp.add_argument("--sequence-length", type=int, default=50)
+    sp.add_argument("--out-dir", default="./adj_sim_outputs/midi")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--wav", action="store_true", help="also synthesize WAV")
+    sp.set_defaults(fn=_cmd_generate_mmgan)
+
+    sp = sub.add_parser("sim-to-wav", help="random queueing network -> WAV demo")
+    sp.add_argument("--size", type=int, default=32)
+    sp.add_argument("--instrument", type=int, default=None)
+    sp.add_argument("--out-dir", default="adj_sim_outputs")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_cmd_sim_to_wav)
+
+    sp = sub.add_parser("bench", help="run the headline benchmark")
+    sp.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

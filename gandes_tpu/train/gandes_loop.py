@@ -1,0 +1,122 @@
+"""GAN-DES training loop.
+
+Re-implements the reference script ``__main__`` (`GAN_DES/SIMNN.py:234-348`):
+per batch of collated 5 s mel slices — D update with label smoothing
+0.9/0.1 over the double-sigmoid BCE (quirk preserved in train/steps.py),
+then the post-update generator loss (G gets zero gradient — the detach at
+:299). The fake path is: jitted DCGAN forward -> host ``matrix_to_wav``
+(DES -> MIDI -> TPU synth -> mel). Generator checkpoints save every
+``save_step`` steps as ``gen_{step}_{timestamp}`` orbax dirs (reference
+naming, :344-347) — full state, not bare params.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+from gandes_tpu.train import checkpoint as ckpt
+from gandes_tpu.train.steps import (
+    init_gandes_state,
+    make_gandes_gen_forward,
+    make_gandes_train_step,
+)
+
+
+@dataclass
+class GanDesConfig:
+    batch_size: int = 30
+    z_dim: int = 100
+    lr: float = 0.00002
+    n_epochs: int = 1
+    display_step: int = 5
+    save_step: int = 5
+    model_path: str = "models/"
+    log_path: str = "logs/"
+    out_dir: str = "adj_sim_outputs"
+    mel_shape: tuple = (128, 216)
+    number_of_customers: int = 1000
+    max_sim_time: float = 0.5
+    seed: int = 0
+
+
+def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None):
+    """``dataloader`` yields (B, 128, 216) mel batches (my_collate output)."""
+    gen = DCGANGenerator(noise_dim=cfg.z_dim)
+    disc = MelDiscriminator()
+    g_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)
+    d_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)
+    state = init_gandes_state(gen, disc, jax.random.key(cfg.seed),
+                              batch_size=cfg.batch_size, z_dim=cfg.z_dim,
+                              mel_shape=cfg.mel_shape, g_tx=g_tx, d_tx=d_tx)
+    gen_forward = jax.jit(make_gandes_gen_forward(gen))
+    train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
+
+    gen_losses, disc_losses = [], []
+    cur_step = 0
+    for epoch in range(cfg.n_epochs):
+        for real in dataloader:
+            if max_steps is not None and cur_step >= max_steps:
+                return state, {"gen": gen_losses, "disc": disc_losses}
+            cur_batch_size = len(real)
+            real = jnp.asarray(real, jnp.float32)
+
+            noise = jax.random.normal(
+                jax.random.fold_in(jax.random.key(cfg.seed + 1), cur_step),
+                (cur_batch_size, cfg.z_dim),
+            )
+            fake_mats, new_stats = gen_forward(state, noise)
+            state = state.__class__(**{**state.__dict__, "g_stats": new_stats})
+
+            fake = matrix_to_wav(
+                np.asarray(fake_mats), size=20, start=0, end=cfg.mel_shape[1],
+                overwrite=True, log_path=cfg.log_path, out_dir=cfg.out_dir,
+                number_of_customers=cfg.number_of_customers,
+                max_sim_time=cfg.max_sim_time,
+            )
+            state, metrics = train_step(state, real, jnp.asarray(fake))
+            disc_losses.append(float(metrics["d_loss"]))
+            gen_losses.append(float(metrics["g_loss"]))
+
+            if cur_step % cfg.display_step == 0 and cur_step > 0:
+                print(
+                    f"Epoch:{epoch} Step {cur_step}: Generator loss: {np.mean(gen_losses)}, "
+                    f"discriminator loss: {np.mean(disc_losses)}"
+                )
+            if cur_step % cfg.save_step == 0 and cur_step > 0:
+                now = datetime.now()
+                ckpt.save_state(
+                    os.path.join(cfg.model_path, f"gen_{cur_step}_{datetime.timestamp(now)}"),
+                    state,
+                )
+            cur_step += 1
+
+    return state, {"gen": gen_losses, "disc": disc_losses}
+
+
+def generate_song(ckpt_path, cfg: GanDesConfig = GanDesConfig(), n_samples=1):
+    """== reference ``generate_song`` (SIMNN.py:201-216): load generator,
+    sample noise, decode through the DES to spectrograms."""
+    gen = DCGANGenerator(noise_dim=cfg.z_dim)
+    disc = MelDiscriminator()
+    g_tx = optax.adam(cfg.lr, b1=0.5)
+    d_tx = optax.adam(cfg.lr, b1=0.5)
+    state = init_gandes_state(gen, disc, jax.random.key(0), batch_size=n_samples,
+                              z_dim=cfg.z_dim, mel_shape=cfg.mel_shape,
+                              g_tx=g_tx, d_tx=d_tx)
+    state = ckpt.restore_state(ckpt_path, state)
+    noise = jax.random.normal(jax.random.key(42), (n_samples, cfg.z_dim))
+    mats = gen.apply(
+        {"params": state.g_params, "batch_stats": state.g_stats}, noise, False
+    )
+    return matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
+                         log_path=cfg.log_path, out_dir=cfg.out_dir)

@@ -1,0 +1,224 @@
+"""MM-GAN training loop.
+
+Re-implements the reference driver
+(`MMGAN_MIDI_DES/network_tests.py:208-350`) with the device math fused and
+jitted (train/steps.py) and the DES round-trip as a host pipeline stage:
+
+per batch: jitted G1+G2 forward -> host ``matrix_to_midi`` (seeded DES +
+MIDI decode + rasterization) -> ONE fused jitted D-update + post-update
+G-loss launch. Loss histories pickle to
+``losses/{disc,gen}_losses_epoch_{e}.pkl`` (exact reference naming, 337x16
+schedule on the reference dataset), checkpoints save every
+``save_interval`` epochs as ``mmgan_{A}_{B}_epoch_{e}`` orbax dirs (full
+state incl. optimizer — fixing the reference's params-only gap), StepLR(30,
+0.1) on both optimizers, resume from the newest epoch checkpoint.
+
+``faithful=True`` reproduces the reference's *second* generator forward +
+DES round-trip per batch (the G step re-runs the whole fake path,
+:311-315); the default single-round-trip mode halves host work with
+identical learning dynamics (G receives no gradients either way — the
+detach quirk).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+from gandes_tpu.data.datasets import DataLoader, MaestroDatasetPickle
+from gandes_tpu.models.mmgan import BeatGenerator, DiscriminatorCNN, MLPGenerator
+from gandes_tpu.train import checkpoint as ckpt
+from gandes_tpu.train.losses import bce_with_logits
+from gandes_tpu.train.steps import (
+    GANState,
+    init_mmgan_state,
+    make_mmgan_gen_forward,
+    make_mmgan_train_step,
+    make_steplr,
+)
+
+
+@dataclass
+class MMGANConfig:
+    batch_size: int = 16
+    noise_dim: int = 50
+    adj_size: tuple = (64, 64)
+    sequence_length: int = 50
+    max_beat_length: int = 50
+    gen2_output_dim: int = 20
+    start: int = 100
+    instrument: int | None = 0
+    lr: float = 0.01
+    steplr_epochs: int = 30
+    steplr_gamma: float = 0.1
+    num_epochs: int = 100
+    save_interval: int = 1
+    print_interval: int = 5
+    sleep_between_epochs: float = 0.0  # reference: 10 s (network_tests.py:344)
+    faithful: bool = False
+    models_dir: str = "models"
+    losses_dir: str = "losses"
+    log_path: str = "logs/"
+    midi_out_dir: str = "./adj_sim_outputs/midi"
+    resume: bool = True
+    seed: int = 0
+
+
+def build_mmgan(cfg: MMGANConfig):
+    g1 = MLPGenerator(z_dim=cfg.noise_dim, adj_size=cfg.adj_size, input_dim=cfg.noise_dim)
+    g2 = BeatGenerator(z_dim=cfg.noise_dim, input_dim=cfg.max_beat_length,
+                       output_dim=cfg.gen2_output_dim)
+    d = DiscriminatorCNN(roll_size=(2, 128, cfg.sequence_length))
+    return g1, g2, d
+
+
+def make_optimizers(cfg: MMGANConfig, steps_per_epoch: int):
+    sched = make_steplr(cfg.lr, cfg.steplr_epochs, cfg.steplr_gamma, steps_per_epoch)
+    return optax.adam(sched), optax.adam(sched)
+
+
+def init_state_for_config(cfg: MMGANConfig, steps_per_epoch: int = 1,
+                          batch_size: int | None = None):
+    """One construction path for training AND checkpoint-restore templates
+    (the optimizer tree structure must match what training saved)."""
+    g1, g2, d = build_mmgan(cfg)
+    g_tx, d_tx = make_optimizers(cfg, steps_per_epoch)
+    state = init_mmgan_state(
+        g1, g2, d, jax.random.key(cfg.seed),
+        batch_size=batch_size or cfg.batch_size, z_dim=cfg.noise_dim,
+        beat_dim=cfg.max_beat_length, roll_size=(2, 128, cfg.sequence_length),
+        g_tx=g_tx, d_tx=d_tx,
+    )
+    return state, (g1, g2, d), (g_tx, d_tx)
+
+
+def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
+                max_batches=None):
+    """Returns (state, history). ``dataset`` yields (roll, dur, beats)."""
+    loader = DataLoader(dataset, cfg.batch_size, shuffle=False, drop_last=True)
+    steps_per_epoch = steps_per_epoch or max(1, len(loader))
+
+    state, (g1, g2, d), (g_tx, d_tx) = init_state_for_config(cfg, steps_per_epoch)
+
+    start_epoch = 0
+    if cfg.resume:
+        path, epoch = ckpt.latest_epoch_checkpoint(
+            cfg.models_dir, f"mmgan_{cfg.adj_size[0]}_{cfg.adj_size[1]}"
+        )
+        if path:
+            state = ckpt.restore_state(path, state)
+            start_epoch = epoch
+            print(f"Loaded model from {path}")
+        else:
+            print("No saved model found, starting training from scratch")
+
+    gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
+    train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
+    g_loss_only = jax.jit(
+        lambda d_params, fake: bce_with_logits(
+            d.apply({"params": d_params}, fake).squeeze(), 1.0
+        )
+    )
+
+    count = 0
+    total_failures = 0
+    total_seen = 0
+    history = {"disc": [], "gen": []}
+
+    def fake_batch(state, noise1, noise2, beats, count):
+        mats, vec, new_stats = gen_forward(state, noise1, noise2, beats,
+                                           jax.random.key(count))
+        rolls, failed = matrix_to_midi(
+            np.asarray(mats)[:, None], np.asarray(vec), adj_size=cfg.adj_size,
+            instrument=cfg.instrument, start=cfg.start,
+            end=cfg.start + cfg.sequence_length, count=count,
+            log_path=cfg.log_path, out_dir=cfg.midi_out_dir,
+        )
+        fake = jnp.asarray(np.stack(rolls), jnp.float32)
+        return fake, failed, new_stats
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        disc_losses, gen_losses = [], []
+        for i, (piano_roll, durations, beats) in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            count += 1
+            kb = jax.random.fold_in(jax.random.key(cfg.seed + 1), count)
+            noise1 = jax.random.normal(jax.random.fold_in(kb, 0), (cfg.batch_size, cfg.noise_dim))
+            noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (cfg.batch_size, cfg.noise_dim))
+            beats_j = jnp.asarray(beats, jnp.float32)
+            real = jnp.stack([jnp.asarray(piano_roll), jnp.asarray(durations)], axis=1)
+
+            fake, failed, new_stats = fake_batch(state, noise1, noise2, beats_j, count)
+            state = GANState(**{**state.__dict__, "g_stats": new_stats})
+            state, metrics = train_step(state, real, fake)
+            g_loss = metrics["g_loss"]
+
+            if cfg.faithful:
+                # reference runs the whole fake path again for the G step
+                fake2, failed2, new_stats = fake_batch(state, noise1, noise2, beats_j, count)
+                state = GANState(**{**state.__dict__, "g_stats": new_stats})
+                g_loss = g_loss_only(state.d_params, fake2)
+                failed += failed2
+
+            total_failures += failed
+            total_seen += cfg.batch_size
+            disc_losses.append(float(metrics["d_loss"]))
+            gen_losses.append(float(g_loss))
+
+            if i % cfg.print_interval == 0:
+                print(
+                    f"Epoch {epoch + 1}/{cfg.num_epochs}, Batch {i}/{steps_per_epoch}, "
+                    f"Avg Disc Loss: {np.mean(disc_losses)}, Avg Gen Loss: {np.mean(gen_losses)}"
+                )
+                print("Total failures:", total_failures, "Total seen:", total_seen)
+
+        os.makedirs(cfg.losses_dir, exist_ok=True)
+        with open(os.path.join(cfg.losses_dir, f"disc_losses_epoch_{epoch + 1}.pkl"), "wb") as f:
+            pickle.dump(disc_losses, f)
+        with open(os.path.join(cfg.losses_dir, f"gen_losses_epoch_{epoch + 1}.pkl"), "wb") as f:
+            pickle.dump(gen_losses, f)
+        history["disc"].append(disc_losses)
+        history["gen"].append(gen_losses)
+
+        if cfg.sleep_between_epochs:
+            time.sleep(cfg.sleep_between_epochs)
+
+        if (epoch + 1) % cfg.save_interval == 0:
+            path = os.path.join(
+                cfg.models_dir,
+                f"mmgan_{cfg.adj_size[0]}_{cfg.adj_size[1]}_epoch_{epoch + 1}",
+            )
+            ckpt.save_state(path, state)
+
+    return state, history
+
+
+def generate_midi(state, cfg: MMGANConfig, noise1, noise2, beats, out_dir=None):
+    """Inference == ``MultiModalGAN.generate_midi`` (network_tests.py:198-206):
+    eval-mode G1/G2 -> DES with ``generate=True`` (writes generation.mid)."""
+    g1, g2, d = build_mmgan(cfg)
+    out1 = g1.apply(
+        {"params": state.g_params["g1"], "batch_stats": state.g_stats["g1"]},
+        jnp.asarray(noise1), None, False, rngs={"aux": jax.random.key(0)},
+    )
+    out2 = g2.apply(
+        {"params": state.g_params["g2"], "batch_stats": state.g_stats["g2"]},
+        jnp.asarray(noise2), jnp.asarray(beats), False,
+    )
+    rolls, failed = matrix_to_midi(
+        np.asarray(out1)[:, None], np.asarray(out2), adj_size=cfg.adj_size,
+        instrument=cfg.instrument, start=cfg.start,
+        end=cfg.start + cfg.sequence_length, generate=True,
+        log_path=cfg.log_path, out_dir=out_dir or cfg.midi_out_dir,
+    )
+    return rolls

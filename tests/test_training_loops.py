@@ -1,0 +1,153 @@
+"""Datasets, training loops, checkpoint/resume, CLI — end to end on
+self-generated fixtures (no MAESTRO needed: the simulator generates MIDI)."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from gandes_tpu.data.datasets import (
+    DataLoader,
+    MaestroDatasetMidi,
+    MaestroDatasetPickle,
+    build_window_pickle,
+    my_collate,
+)
+
+
+@pytest.fixture(scope="module")
+def midi_fixture_dir(tmp_path_factory):
+    """Generate a few MIDI files through the simulator demo pipeline."""
+    d = tmp_path_factory.mktemp("midi_fixtures")
+    cwd = os.getcwd()
+    os.chdir(d)
+    try:
+        os.makedirs("logs", exist_ok=True)
+        from gandes_tpu.bridge.sim_demo import sim_to_wav
+
+        np.random.seed(42)
+        for i in range(3):
+            sim_to_wav(matrices=[None], size=32, use_same_instrument=i,
+                       out_dir=f"out_{i}")
+    finally:
+        os.chdir(cwd)
+    return d
+
+
+def test_build_window_pickle_and_dataset(midi_fixture_dir, tmp_path):
+    out = str(tmp_path / "windows.pkl")
+    n = build_window_pickle(str(midi_fixture_dir), out, sample_size=300,
+                            sequence_length=50)
+    assert n > 0
+    ds = MaestroDatasetPickle(out, data_dir=".")
+    roll, dur, beats = ds[0]
+    assert roll.shape == (128, 50) and dur.shape == (128, 50) and beats.shape == (50,)
+    # window 0 skipped: the pickler starts at window 1 (notebook cell 11)
+    with open(out, "rb") as f:
+        data = pickle.load(f)
+    assert len(data) == n
+
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == n // 2
+    r, d_, b = batches[0]
+    assert r.shape == (2, 128, 50)
+
+
+def test_maestro_midi_dataset(midi_fixture_dir):
+    ds = MaestroDatasetMidi(str(midi_fixture_dir), sequence_length=40)
+    assert len(ds) >= 3
+    roll, dur, beats = ds[0]
+    assert roll.shape == (128, 40) and beats.shape == (50,)
+
+
+def test_mmgan_training_loop_and_resume(midi_fixture_dir, tmp_path, monkeypatch):
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    cfg = MMGANConfig(batch_size=2, num_epochs=2, start=0, sequence_length=50,
+                      models_dir=str(tmp_path / "models"),
+                      losses_dir=str(tmp_path / "losses"), seed=1)
+    np.random.seed(0)
+    state, history = train_mmgan(ds, cfg, max_batches=2)
+    assert len(history["disc"]) == 2 and len(history["disc"][0]) == 2
+    assert all(np.isfinite(v) for e in history["disc"] for v in e)
+    # loss pickles in reference naming
+    assert os.path.exists(tmp_path / "losses" / "disc_losses_epoch_1.pkl")
+    assert os.path.exists(tmp_path / "losses" / "gen_losses_epoch_2.pkl")
+    # checkpoints per epoch
+    assert os.path.isdir(tmp_path / "models" / "mmgan_64_64_epoch_2")
+
+    # resume: restarts from epoch 2 and trains only the remaining epoch
+    cfg2 = MMGANConfig(**{**cfg.__dict__, "num_epochs": 3})
+    np.random.seed(0)
+    state2, history2 = train_mmgan(ds, cfg2, max_batches=2)
+    assert len(history2["disc"]) == 1
+    assert int(state2.step) > int(state.step)
+
+
+def test_gandes_training_loop(tmp_path, monkeypatch):
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(4, 128, 216).astype(np.float32) * 40 - 40 for _ in range(2)]
+    cfg = GanDesConfig(batch_size=4, model_path=str(tmp_path / "models"),
+                       number_of_customers=120, max_sim_time=0.3)
+    np.random.seed(2)
+    state, history = train_gandes(iter(batches), cfg, max_steps=2)
+    assert len(history["disc"]) == 2
+    assert all(np.isfinite(v) for v in history["disc"])
+
+
+def test_multimodal_gan_composite(tmp_path, monkeypatch):
+    from gandes_tpu.models.composite import MultiModalGAN
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    np.random.seed(5)
+    mmgan = MultiModalGAN(z_dim=50, adj_size=(64, 64), roll_size=(2, 128, 50),
+                          input_dim=50, output_dim=20, instrument=0,
+                          start=0, end=50, out_dir=str(tmp_path / "midi"))
+    noise1 = np.random.randn(2, 50).astype(np.float32)
+    noise2 = np.random.randn(2, 50).astype(np.float32)
+    beats = np.zeros((2, 50), np.float32)
+    logits, failed = mmgan(noise1, noise2, beats, count=1)
+    assert logits.shape == (2, 1)
+    rolls = mmgan.generate_midi(noise1[:1], noise2[:1], beats[:1])
+    assert rolls[0].shape == (2, 128, 50)
+    assert os.path.exists(tmp_path / "midi" / "generation.mid")
+
+
+def test_simnn_heads():
+    from gandes_tpu.models.composite import SimNN
+
+    model = SimNN(10)
+    x = np.random.RandomState(0).randn(2, 1, 64, 64).astype(np.float32)
+    v = model.init(jax.random.key(0), x)
+    matrix, a1, a2, a3, a4 = model.apply(v, x)
+    assert matrix.shape == (2, 10, 10)
+    assert a1.shape == a2.shape == a3.shape == a4.shape == (2, 10)
+
+
+def test_cli_sim_to_wav(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "gandes_tpu.cli", "sim-to-wav", "--size", "32",
+         "--instrument", "4", "--seed", "3", "--out-dir", "demo_out"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "demo_out" / "wav" / "output_0.wav").exists()
+    assert (tmp_path / "demo_out" / "midi" / "output.mid").exists()
