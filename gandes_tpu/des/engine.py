@@ -868,3 +868,31 @@ class Sim:
         """The buffered log lines (without file I/O); empty when
         ``generate_log=False``."""
         return [] if self.log is None else self.log.lines
+
+    # -------------------------------------------------------------- plots
+    # API parity with the reference's Sim plotting surface
+    # (simulation_v3.py:850-1353); implementations in des/plots.py.
+
+    def plot_metrics(self, server=1, confidence_level=0.95, **kw):
+        from gandes_tpu.des import plots
+
+        return plots.plot_metrics(self, server, confidence_level, **kw)
+
+    def plot_metrics_all_servers(self, confidence_level=0.95, predicted=None,
+                                 theoretical=None, **kw):
+        from gandes_tpu.des import plots
+
+        return plots.plot_metrics_all_servers(self, confidence_level, predicted,
+                                              theoretical, **kw)
+
+    def plot_probability_k_customers_in_system(self, node=1, confidence_level=0.95, **kw):
+        from gandes_tpu.des import plots
+
+        return plots.plot_probability_k_customers_in_system(self, node, confidence_level, **kw)
+
+    def plot_cumulative_renege_rates(self, queue_length=None, confidence_level=0.95,
+                                     observed=None, **kw):
+        from gandes_tpu.des import plots
+
+        return plots.plot_cumulative_renege_rates(self, queue_length, confidence_level,
+                                                  observed, **kw)

@@ -1,0 +1,143 @@
+"""Visualization surface (reference `MMGAN_MIDI_DES/visualize.py:68-76`,
+`matrix_sim_process.py:202-245`, `simlog_to_vid.ipynb`, demo.ipynb
+spectrogram cells) — headless-friendly: every function takes
+``show``/``save_path``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.lines as mlines
+import matplotlib.pyplot as plt
+
+
+def visualize_piano_roll(piano_roll, show=False, save_path=None):
+    """Per-note velocity line plot (`visualize.py:68-76`)."""
+    fig = plt.figure(figsize=(10, 6))
+    for i in range(piano_roll.shape[0]):
+        plt.plot(piano_roll[i], label=f"Note {i + 1}")
+    plt.title("Piano Roll")
+    plt.xlabel("Time Step")
+    plt.ylabel("Velocity")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+
+
+def plot_input_matrix(matrix, sources, servers, show=False, save_path=None):
+    """Routing-matrix heatmap with source/server diagonal overlay
+    (`matrix_sim_process.py:202-245`)."""
+    matrix_copy = np.array(matrix, dtype=float, copy=True)
+    n = matrix_copy.shape[0]
+    for i in range(n):
+        matrix_copy[i, i] = np.nan
+
+    fig = plt.figure(figsize=(10, 8))
+    im = plt.imshow(matrix_copy, cmap=plt.get_cmap("viridis"),
+                    vmin=np.nanmin(matrix_copy), vmax=np.nanmax(matrix_copy))
+    for i in range(n):
+        if i in sources:
+            plt.scatter(i, i, color="green", s=40)
+        if i in servers:
+            plt.scatter(i, i, color="red", s=40)
+    red = mlines.Line2D([], [], color="red", marker="o", markersize=10,
+                        label="Server", linestyle="None")
+    green = mlines.Line2D([], [], color="green", marker="o", markersize=10,
+                          label="Source", linestyle="None")
+    plt.legend(handles=[red, green])
+    plt.title("Matrix Transition Probabilities")
+    plt.xlabel("Transition probability from row to column")
+    plt.colorbar(im, label="Matrix Values")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+
+
+def plot_spectrogram(mel, sr=44100, show=False, save_path=None, title="Mel spectrogram (dB)"):
+    """demo.ipynb-style mel display."""
+    fig, ax = plt.subplots(figsize=(10, 4))
+    im = ax.imshow(np.asarray(mel), aspect="auto", origin="lower", cmap="magma")
+    ax.set_title(title)
+    ax.set_xlabel("Frame")
+    ax.set_ylabel("Mel bin")
+    fig.colorbar(im, ax=ax, format="%+2.0f dB")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+
+
+_LOG_RE = re.compile(
+    r"INFO:root:([0-9]*\.[0-9]+|[0-9]+) - ([0-9]*\.[0-9]+|[0-9]+) - "
+    r"([0-9]*\.[0-9]+|[0-9]+) - (arrival|departure)"
+)
+
+
+def simulation_log_to_gif(log_lines_or_path, out_path="simulation.gif",
+                          n_frames=40, fps=8):
+    """Queue-length-over-time animation from a 'Music' event log
+    (replaces `simlog_to_vid.ipynb` cells 0-2). Writes an animated GIF via
+    pillow; returns the per-frame queue-length matrix."""
+    if isinstance(log_lines_or_path, str):
+        with open(log_lines_or_path) as f:
+            lines = f.read().splitlines()
+    else:
+        lines = list(log_lines_or_path)
+
+    events = []
+    for line in lines:
+        m = _LOG_RE.match(line)
+        if m:
+            t, _eid, srv, kind = m.groups()
+            events.append((float(t), int(srv), 1 if kind == "arrival" else -1))
+    if not events:
+        raise ValueError("no parsable events in log")
+
+    servers = sorted({srv for _, srv, _ in events})
+    idx = {s: i for i, s in enumerate(servers)}
+    times = [t for t, _, _ in events]
+    t0, t1 = min(times), max(times)
+    frame_edges = np.linspace(t0, t1, n_frames + 1)
+
+    lengths = np.zeros(len(servers))
+    frames = np.zeros((n_frames, len(servers)))
+    ei = 0
+    ordered = sorted(events, key=lambda e: e[0])
+    for fi in range(n_frames):
+        while ei < len(ordered) and ordered[ei][0] <= frame_edges[fi + 1]:
+            _, srv, delta = ordered[ei]
+            lengths[idx[srv]] = max(0, lengths[idx[srv]] + delta)
+            ei += 1
+        frames[fi] = lengths
+
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    bars = ax.bar(range(len(servers)), frames[0])
+    ax.set_ylim(0, max(frames.max(), 1) * 1.1)
+    ax.set_xticks(range(len(servers)))
+    ax.set_xticklabels([str(s) for s in servers])
+    ax.set_xlabel("Server")
+    ax.set_ylabel("Queue length")
+
+    def update(fi):
+        for b, h in zip(bars, frames[fi]):
+            b.set_height(h)
+        ax.set_title(f"t = {frame_edges[fi + 1]:.2f}")
+        return bars
+
+    anim = FuncAnimation(fig, update, frames=n_frames)
+    anim.save(out_path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return frames
