@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 import time as _time
 
 import numpy as np
@@ -317,6 +318,7 @@ class Sim:
         max_sim_time=1000,
         verbose=False,
         deadline=None,
+        engine="auto",
     ):
         self.generate_log = generate_log
         self.animation = animation
@@ -324,6 +326,11 @@ class Sim:
         self.logging_mode = logging_mode
         self.max_sim_time = max_sim_time
         self.verbose = verbose
+        # 'auto' (native C++ core when the config is eligible, else the
+        # Python loop), 'native' (force; error if ineligible), 'python'.
+        # Both engines are draw-for-draw and log-byte identical; see
+        # des/native.py and tests/test_native_engine.py.
+        self.engine = os.environ.get("GANDES_ENGINE", engine) if engine == "auto" else engine
         # cooperative absolute wall-clock deadline (time.time() value); this
         # replaces the reference's leaked watchdog threads
         # (MMGAN_MIDI_DES/matrix_sim_process.py:159-168).
@@ -413,6 +420,16 @@ class Sim:
         self.source_seeds = [[] for _ in range(n)]
         self.number_of_customers = number_of_customers
         self.use_next_available_server = use_next_available_server
+
+        if self.engine in ("auto", "native"):
+            from gandes_tpu.des import native
+
+            if native.native_eligible(self):
+                native.run_native(self, number_of_customers, use_next_available_server)
+                return
+            if self.engine == "native":
+                raise ValueError("Sim configuration not supported by the native engine")
+
         try:
             self._run_replications(number_of_customers)
         finally:

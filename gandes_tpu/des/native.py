@@ -1,0 +1,255 @@
+"""ctypes bindings + build for the native C++ DES engine.
+
+Builds ``native/des_engine.cpp`` with g++ on first use (cached next to the
+source keyed by content hash), exposes :func:`run_native`, and
+:func:`native_eligible` which gates which Sim configurations the native
+core supports (the rest fall back to the Python engine transparently):
+
+* logging_mode == 'Music' (the training/data channel; 'All' has dozens of
+  verbose line kinds that aren't on the hot path),
+* record_history=False (SimTester's accuracy path stays in Python),
+* distribution kinds exp/normal/uniform/gamma/beta/branch/queue
+  ('discrete' stays in Python),
+* seeds in [0, 2^32) (numpy's legacy integer seeding range).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                    "native", "des_engine.cpp")
+
+_DIST_CODES = {
+    "exponential": 0,
+    "normal": 1,
+    "uniform": 2,
+    "gamma": 3,
+    "beta": 4,
+    "branch": 5,
+    "queue": 6,
+}
+
+_lib = None
+_build_failed = False
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(os.path.dirname(_SRC), f"libdes_{digest}.so")
+    if os.path.exists(out):
+        return out
+    # -ffp-contract=off: FMA contraction changes low bits vs Python's
+    # unfused float math, breaking draw-for-draw parity
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", "-o", out + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(out + ".tmp", out)
+        return out
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    path = _build()
+    if path is None:
+        _build_failed = True
+        return None
+    lib = C.CDLL(path)
+    lib.des_run.restype = C.c_int
+    lib.des_free_records.restype = None
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def native_eligible(sim) -> bool:
+    if sim.record_history or sim.animation:
+        return False
+    if sim.generate_log and sim.logging_mode != "Music":
+        return False
+    for spec in sim.distributions:
+        if spec[0] == "discrete":
+            return False
+        if spec[0] not in _DIST_CODES:
+            return False
+    for s in sim.seeds:
+        if not (0 <= int(s) < 2**32):
+            return False
+    return native_available()
+
+
+_KIND_NAMES = {0: "arrival", 1: "processing", 2: "departure"}
+
+
+def run_native(sim, number_of_customers: int, use_next_available_server: bool):
+    """Execute sim.run on the native engine. Mutates ``sim`` (stats, seeds,
+    log lines) to match the Python engine's post-run state."""
+    lib = get_lib()
+    n = len(np.diag(sim.adj_matrix))
+
+    node_is_source = np.zeros(n, np.int8)
+    for i in sim.sources:
+        node_is_source[i] = 1
+    dist_kind = np.zeros(n, np.int8)
+    dist_params = np.zeros((n, 4), np.float64)
+    for i, spec in enumerate(sim.distributions):
+        dist_kind[i] = _DIST_CODES[spec[0]]
+        for j, p in enumerate(spec[1:5]):
+            dist_params[i, j] = float(p)
+    queue_caps = np.asarray(sim.queue_list, np.int64)
+
+    children_flat, cdf_flat, offsets = [], [], [0]
+    route_mode = np.zeros(n, np.int8)
+    is_sink = np.zeros(n, np.int8)
+    nodes = {**sim.servers, **sim.sources}
+    for i in range(n):
+        dest = nodes[i].destination
+        ch = dest.children
+        children_flat.extend(int(c) for c in ch)
+        if dest.shortest_queue:
+            route_mode[i] = 2
+            cdf_flat.extend([0.0] * len(ch))
+        elif dest._p_is_exact:
+            route_mode[i] = 0
+            cdf = np.cumsum(np.asarray(dest.probabilities, np.float64))
+            cdf = cdf / cdf[-1]
+            cdf_flat.extend(cdf.tolist())
+        else:
+            route_mode[i] = 1
+            cdf_flat.extend([0.0] * len(ch))
+        is_sink[i] = 1 if dest.is_sink() else 0
+        offsets.append(len(children_flat))
+
+    children_arr = np.asarray(children_flat, np.int32)
+    cdf_arr = np.asarray(cdf_flat, np.float64)
+    offsets_arr = np.asarray(offsets, np.int64)
+    seeds_arr = np.asarray([int(s) for s in sim.seeds], np.int64)
+    num_seeds = len(seeds_arr)
+
+    # global RandomState snapshot in/out (routing parity with np.random)
+    g_state = np.random.get_state()
+    g_key = np.ascontiguousarray(g_state[1], np.uint32)
+    g_pos = C.c_int(int(g_state[2]))
+    g_has_gauss = C.c_int(int(g_state[3]))
+    g_gauss = C.c_double(float(g_state[4]))
+
+    qlt_cap = int(min(max(int(queue_caps.max(initial=0)) + 1024, 256), 65536))
+
+    out_tis = np.zeros(n, np.float64)
+    out_served = np.zeros(n, np.int64)
+    out_tiq = np.zeros(n, np.float64)
+    out_cql = np.zeros(n, np.float64)
+    out_mql = np.zeros(n, np.int64)
+    out_ren = np.zeros(n, np.int64)
+    out_del = np.zeros(n, np.int64)
+    out_qlt = np.zeros((n, qlt_cap), np.float64)
+    out_sat = np.zeros(n, np.float64)
+    out_scust = np.zeros(n, np.int64)
+    dealt = np.zeros((num_seeds, n), np.int64)
+    out_totals = np.zeros(6, np.float64)
+
+    rec_values = C.POINTER(C.c_double)()
+    rec_ids = C.POINTER(C.c_int64)()
+    rec_servers = C.POINTER(C.c_int32)()
+    rec_kinds = C.POINTER(C.c_uint8)()
+    rec_count = C.c_int64(0)
+
+    deadline_budget = sim.max_sim_time
+    if sim.deadline is not None:
+        import time as _t
+
+        deadline_budget = min(deadline_budget, max(sim.deadline - _t.time(), 0.0))
+
+    ptr = lambda a: a.ctypes.data_as(C.c_void_p)
+    lib.des_run(
+        C.c_int(n), ptr(node_is_source), ptr(dist_kind), ptr(dist_params),
+        ptr(queue_caps), ptr(children_arr), ptr(offsets_arr), ptr(cdf_arr),
+        ptr(route_mode), ptr(is_sink),
+        ptr(seeds_arr), C.c_int(num_seeds), C.c_int64(number_of_customers),
+        C.c_int(1 if use_next_available_server else 0),
+        C.c_double(float(deadline_budget)), C.c_int(1 if sim.generate_log else 0),
+        ptr(g_key), C.byref(g_pos), C.byref(g_has_gauss), C.byref(g_gauss),
+        ptr(out_tis), ptr(out_served), ptr(out_tiq), ptr(out_cql), ptr(out_mql),
+        ptr(out_ren), ptr(out_del), ptr(out_qlt), C.c_int(qlt_cap),
+        ptr(out_sat), ptr(out_scust), ptr(dealt), ptr(out_totals),
+        C.byref(rec_values), C.byref(rec_ids), C.byref(rec_servers),
+        C.byref(rec_kinds), C.byref(rec_count),
+    )
+
+    # write the advanced global RNG stream back
+    np.random.set_state(("MT19937", g_key, int(g_pos.value),
+                         int(g_has_gauss.value), float(g_gauss.value)))
+
+    # copy stats onto the python-side objects
+    for i, server in sim.servers.items():
+        server.total_time_in_service = float(out_tis[i])
+        server.total_customers_served = int(out_served[i])
+        server.total_time_in_queue = float(out_tiq[i])
+        server.cumulative_queue_length = float(out_cql[i])
+        server.max_queue_length = int(out_mql[i])
+        server.reneges = int(out_ren[i])
+        server.delayed_departures = int(out_del[i])
+        qlt = {0: 0}
+        nonzero = np.nonzero(out_qlt[i])[0]
+        for length in nonzero:
+            qlt[int(length)] = float(out_qlt[i][length])
+        server.queue_length_times = qlt
+    for i, source in sim.sources.items():
+        source.arrival_times = float(out_sat[i])
+        source.customers_generated = int(out_scust[i])
+
+    for r in range(num_seeds):
+        for i in range(n):
+            if i in sim.servers:
+                sim.server_seeds[i].append(int(dealt[r, i]))
+            else:
+                sim.source_seeds[i].append(int(dealt[r, i]))
+
+    sim.Clock = float(out_totals[0])
+    sim.previous_time = float(out_totals[1])
+    sim.total_arrival_time = float(out_totals[2])
+    sim.total_time_in_queues = float(out_totals[3])
+    sim.total_customers = int(out_totals[4])
+    sim.current_customers_in_system = int(out_totals[5])
+
+    # materialize log lines (buffered; identical bytes to the Python
+    # engine). tolist() + repr on python floats == str(np.float64)
+    # (shortest repr), and the list-comp fast path skips per-element numpy
+    # scalar boxing.
+    if sim.generate_log and rec_count.value:
+        cnt = rec_count.value
+        values = np.ctypeslib.as_array(rec_values, shape=(cnt,)).tolist()
+        ids = np.ctypeslib.as_array(rec_ids, shape=(cnt,)).tolist()
+        servers_l = np.ctypeslib.as_array(rec_servers, shape=(cnt,)).tolist()
+        kinds = np.ctypeslib.as_array(rec_kinds, shape=(cnt,)).tolist()
+        lib.des_free_records(rec_values, rec_ids, rec_servers, rec_kinds)
+        names = ("arrival", "processing", "departure",
+                 "Scheduling delayed departure from server")
+        append = sim.log.lines.append
+        for v, i, s, k in zip(values, ids, servers_l, kinds):
+            if k == 1 and v == 0.0:
+                # branch/'queue' nodes: the Python engine's service_time is
+                # the *int* 0 (str "0", not "0.0") — drawn times are always
+                # > 0, so a 0.0 here can only be that case
+                append(f"INFO:root:0 - {i} - {s} - processing")
+            elif s >= 0:
+                append(f"INFO:root:{v!r} - {i} - {s} - {names[k]}")
+            else:
+                append(f"INFO:root:{v!r} - {i} - None - {names[k]}")
+        sim.log.flush()
+    elif sim.generate_log:
+        sim.log.flush()

@@ -1,0 +1,761 @@
+// Native DES engine — the queueing-network event loop as C++.
+//
+// Drop-in compute core for gandes_tpu.des.engine.Sim (engine='native'):
+// same event semantics, same statistics, and BIT-IDENTICAL randomness to
+// the Python engine / the reference, which requires faithful
+// re-implementations of numpy's legacy RandomState primitives:
+//
+//   * MT19937 core with numpy's init_genrand seeding,
+//   * random_sample  = ((a>>5)*2^26 + (b>>6)) / 2^53,
+//   * standard_normal = Marsaglia polar with the cached-second-value
+//     order numpy uses (returns f*x2 first, caches f*x1),
+//   * standard_exponential = -log(1 - random_sample),
+//   * randint = legacy rk_interval 32-bit masked rejection (no draw when
+//     the range is 1),
+//   * standard_gamma / beta = numpy's legacy algorithms,
+//   * choice(p) = cumsum-normalized searchsorted(random_sample, 'right'),
+//   * choice uniform = rk_interval.
+//
+// Routing randomness flows through the caller-provided GLOBAL RandomState
+// snapshot (reference quirk: np.random.choice in FlowBranchOperator uses
+// the global stream) which is read in and written back, so Python-side
+// code before/after a run sees exactly the stream it would have seen.
+//
+// The event heap replicates CPython heapq's _siftup/_siftdown index
+// mechanics so time ties resolve identically.
+//
+// Bit-parity with the Python engine is asserted in
+// tests/test_native_engine.py over full Music event logs.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
+#include <algorithm>
+#include <deque>
+#include <vector>
+
+namespace {
+
+double wall_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+// ------------------------------------------------------------- MT19937
+
+struct MT19937 {
+  uint32_t key[624];
+  int pos = 624;
+  bool has_gauss = false;
+  double gauss = 0.0;
+
+  void seed(uint32_t s) {
+    key[0] = s;
+    for (int i = 1; i < 624; i++)
+      key[i] = 1812433253u * (key[i - 1] ^ (key[i - 1] >> 30)) + (uint32_t)i;
+    pos = 624;
+    has_gauss = false;
+    gauss = 0.0;
+  }
+
+  uint32_t next32() {
+    if (pos >= 624) {
+      for (int i = 0; i < 624; i++) {
+        uint32_t y = (key[i] & 0x80000000u) | (key[(i + 1) % 624] & 0x7fffffffu);
+        key[i] = key[(i + 397) % 624] ^ (y >> 1);
+        if (y & 1u) key[i] ^= 2567483615u;
+      }
+      pos = 0;
+    }
+    uint32_t y = key[pos++];
+    y ^= y >> 11;
+    y ^= (y << 7) & 2636928640u;
+    y ^= (y << 15) & 4022730752u;
+    y ^= y >> 18;
+    return y;
+  }
+
+  double random_sample() {
+    uint32_t a = next32() >> 5, b = next32() >> 6;
+    return (a * 67108864.0 + b) / 9007199254740992.0;
+  }
+
+  double standard_exponential() { return -std::log(1.0 - random_sample()); }
+
+  double standard_normal() {
+    if (has_gauss) {
+      has_gauss = false;
+      return gauss;
+    }
+    double x1, x2, r2;
+    do {
+      x1 = 2.0 * random_sample() - 1.0;
+      x2 = 2.0 * random_sample() - 1.0;
+      r2 = x1 * x1 + x2 * x2;
+    } while (r2 >= 1.0 || r2 == 0.0);
+    double f = std::sqrt(-2.0 * std::log(r2) / r2);
+    gauss = f * x1;
+    has_gauss = true;
+    return f * x2;
+  }
+
+  // legacy rk_interval: inclusive max, 32-bit masked rejection
+  uint32_t interval(uint32_t max) {
+    if (max == 0) return 0;
+    uint32_t mask = max;
+    mask |= mask >> 1;
+    mask |= mask >> 2;
+    mask |= mask >> 4;
+    mask |= mask >> 8;
+    mask |= mask >> 16;
+    uint32_t v;
+    while ((v = next32() & mask) > max) {
+    }
+    return v;
+  }
+
+  long randint(long low, long high) {  // [low, high) as numpy
+    return low + (long)interval((uint32_t)(high - low - 1));
+  }
+
+  double standard_gamma(double shape) {
+    if (shape == 1.0) return standard_exponential();
+    if (shape == 0.0) return 0.0;
+    if (shape < 1.0) {
+      for (;;) {
+        double U = random_sample();
+        double V = standard_exponential();
+        if (U <= 1.0 - shape) {
+          double X = std::pow(U, 1.0 / shape);
+          if (X <= V) return X;
+        } else {
+          double Y = -std::log((1.0 - U) / shape);
+          double X = std::pow(1.0 - shape + shape * Y, 1.0 / shape);
+          if (X <= V + Y) return X;
+        }
+      }
+    }
+    double b = shape - 1.0 / 3.0;
+    double c = 1.0 / std::sqrt(9.0 * b);
+    for (;;) {
+      double X, V;
+      do {
+        X = standard_normal();
+        V = 1.0 + c * X;
+      } while (V <= 0.0);
+      V = V * V * V;
+      double U = random_sample();
+      if (U < 1.0 - 0.0331 * (X * X) * (X * X)) return b * V;
+      if (std::log(U) < 0.5 * X * X + b * (1.0 - V + std::log(V))) return b * V;
+    }
+  }
+
+  double beta(double a, double b) {
+    if (a <= 1.0 && b <= 1.0) {
+      for (;;) {
+        double U = random_sample();
+        double V = random_sample();
+        double X = std::pow(U, 1.0 / a);
+        double Y = std::pow(V, 1.0 / b);
+        if (X + Y <= 1.0) {
+          if (X + Y > 0) return X / (X + Y);
+          double logX = std::log(U) / a, logY = std::log(V) / b;
+          double logM = logX > logY ? logX : logY;
+          logX -= logM;
+          logY -= logM;
+          return std::exp(logX - std::log(std::exp(logX) + std::exp(logY)));
+        }
+      }
+    }
+    double Ga = standard_gamma(a);
+    double Gb = standard_gamma(b);
+    return Ga / (Ga + Gb);
+  }
+};
+
+// ------------------------------------------------------ events and heap
+
+constexpr uint8_t ARRIVAL = 1, DEPARTURE = 2;
+
+struct Event {
+  double time;
+  int64_t event_id;
+  int32_t server_id;   // -1 == None
+  int32_t source_id;   // -1 == None
+  uint8_t type;
+  bool delayed;
+  double arrival_time;
+};
+
+// CPython heapq mechanics (time-only strict <, same tie behavior)
+struct Heap {
+  std::vector<Event> h;
+
+  static bool lt(const Event& a, const Event& b) { return a.time < b.time; }
+
+  void siftdown(size_t startpos, size_t pos) {
+    Event item = h[pos];
+    while (pos > startpos) {
+      size_t parent = (pos - 1) >> 1;
+      if (lt(item, h[parent])) {
+        h[pos] = h[parent];
+        pos = parent;
+      } else
+        break;
+    }
+    h[pos] = item;
+  }
+
+  void siftup(size_t pos) {
+    size_t endpos = h.size(), startpos = pos;
+    Event item = h[pos];
+    size_t child = 2 * pos + 1;
+    while (child < endpos) {
+      size_t right = child + 1;
+      if (right < endpos && !lt(h[child], h[right])) child = right;
+      h[pos] = h[child];
+      pos = child;
+      child = 2 * pos + 1;
+    }
+    h[pos] = item;
+    siftdown(startpos, pos);
+  }
+
+  void push(const Event& e) {
+    h.push_back(e);
+    siftdown(0, h.size() - 1);
+  }
+
+  Event pop() {
+    Event last = h.back();
+    h.pop_back();
+    if (!h.empty()) {
+      Event ret = h[0];
+      h[0] = last;
+      siftup(0);
+      return ret;
+    }
+    return last;
+  }
+
+  bool empty() const { return h.empty(); }
+};
+
+// -------------------------------------------------------------- network
+
+enum DistKind : int8_t {
+  D_EXPONENTIAL = 0,
+  D_NORMAL = 1,
+  D_UNIFORM = 2,
+  D_GAMMA = 3,
+  D_BETA = 4,
+  D_BRANCH = 5,
+  D_QUEUE = 6,
+};
+
+enum RouteMode : int8_t {
+  R_WEIGHTED = 0,   // cdf searchsorted
+  R_UNIFORM = 1,    // p not exactly 1 -> uniform over children
+  R_SHORTEST = 2,   // shortest-queue (empty rows)
+};
+
+struct QueuedCustomer {
+  double time;          // event scheduled time (total_time_in_queues uses it)
+  double arrival_time;  // clock at enqueue
+  int64_t event_id;
+};
+
+struct ServerState {
+  std::deque<QueuedCustomer> queue;
+  MT19937 rng;
+  int in_service = 0;
+  double total_time_in_service = 0;
+  int64_t total_customers_served = 0;
+  int64_t max_queue_length = 0;
+  int64_t reneges = 0;
+  double total_time_in_queue = 0;
+  double cumulative_queue_length = 0;
+  int64_t delayed_departures = 0;
+  double len_since = 0;  // lazy time-at-length accounting
+};
+
+struct Record {
+  double value;  // time or service_time
+  int64_t event_id;
+  int32_t server_id;
+  uint8_t kind;  // 0 arrival, 1 processing, 2 departure, 3 delayed-sched
+};
+
+struct Engine {
+  int n = 0;
+  const int8_t* node_is_source;
+  const int8_t* dist_kind;
+  const double* dist_params;  // n*4
+  const int64_t* queue_caps;
+  // routing tables
+  const int32_t* children;       // flattened
+  const int64_t* child_offsets;  // n+1
+  const double* cdf;             // aligned with children (weighted nodes)
+  const int8_t* route_mode;
+  const int8_t* is_sink;
+
+  MT19937 global;  // routing RNG (the numpy global stream)
+  std::vector<ServerState> servers;
+  std::vector<MT19937> source_rngs;
+  std::vector<double> source_arrival_times;
+  std::vector<int64_t> source_customers;
+  std::vector<double> next_departure;  // servers_next_departure (inf none)
+
+  int64_t total_customers = 0;
+  double total_arrival_time = 0;
+  double total_time_in_queues = 0;
+  int64_t current_customers_in_system = 0;
+  double clock = 0;
+  double previous_time = 0;
+  bool use_next_available = false;
+  bool gen_log = true;
+  double deadline_epoch = 0;  // absolute; 0 = none
+
+  std::vector<Record> records;
+  // queue-length-time buckets: dense n x qlt_cap
+  std::vector<double> qlt;
+  int qlt_cap = 0;
+
+  Heap fel;
+
+  void qlt_add(int sid, int64_t length, double dt) {
+    if (length >= qlt_cap) length = qlt_cap - 1;
+    qlt[(size_t)sid * qlt_cap + length] += dt;
+  }
+
+  void account_len(int sid, double now) {
+    ServerState& s = servers[sid];
+    int64_t length = (int64_t)s.queue.size() + s.delayed_departures;
+    double dt = now - s.len_since;
+    if (dt != 0) qlt_add(sid, length, dt);
+    s.len_since = now;
+  }
+
+  void emit(uint8_t kind, double value, int64_t eid, int32_t sid) {
+    if (gen_log) records.push_back({value, eid, sid, kind});
+  }
+
+  double draw_dist(int node, MT19937& rng) {
+    const double* p = dist_params + node * 4;
+    switch (dist_kind[node]) {
+      case D_EXPONENTIAL:
+        return p[0] * rng.standard_exponential();
+      case D_NORMAL:
+        return p[0] + p[1] * rng.standard_normal();
+      case D_UNIFORM:
+        return p[0] + p[1] * rng.random_sample();
+      case D_GAMMA:
+        return p[1] + p[2] * rng.standard_gamma(p[0]);
+      case D_BETA:
+        return p[2] + p[3] * rng.beta(p[0], p[1]);
+      default:
+        return 0.0;
+    }
+  }
+
+  // FlowBranchOperator.randomly_select_child on the global stream
+  int32_t select_child(int node) {
+    int64_t lo = child_offsets[node], hi = child_offsets[node + 1];
+    int64_t cnt = hi - lo;
+    if (route_mode[node] == R_UNIFORM) {
+      return children[lo + (int64_t)global.interval((uint32_t)(cnt - 1))];
+    }
+    // weighted: searchsorted(cdf, u, 'right')
+    double u = global.random_sample();
+    int64_t a = lo, b = hi;  // first index with cdf[idx] > u
+    while (a < b) {
+      int64_t mid = (a + b) >> 1;
+      if (cdf[mid] <= u)
+        a = mid + 1;
+      else
+        b = mid;
+    }
+    int64_t idx = a - lo;
+    if (idx >= cnt) idx = cnt - 1;
+    return children[lo + idx];
+  }
+
+  // Sim.get_destination (reference :699-743)
+  int32_t get_destination(int id) {
+    bool shortest = route_mode[id] == R_SHORTEST;
+    if (!node_is_source[id]) {
+      if (dist_kind[id] == D_QUEUE || is_sink[id]) return -1;
+    }
+    if (shortest) {
+      int64_t lo = child_offsets[id], hi = child_offsets[id + 1];
+      int64_t best_len = INT64_MAX;
+      int32_t best = -1;
+      std::vector<int32_t> zero_children;
+      for (int64_t k = lo; k < hi; k++) {
+        int32_t c = children[k];
+        if (c >= 0 && c < n && !node_is_source[c]) {
+          int64_t sz = (int64_t)servers[c].queue.size();
+          if (sz < best_len) {
+            best_len = sz;
+            best = c;
+          }
+          if (sz == 0) zero_children.push_back(c);
+        }
+      }
+      if (use_next_available) {
+        double best_t = HUGE_VAL;
+        for (int32_t c : zero_children) {
+          double t = next_departure[c];
+          if (t < best_t) {
+            best_t = t;
+            best = c;
+          }
+        }
+      }
+      return best;
+    }
+    return select_child(id);
+  }
+
+  void schedule_departure(int32_t server_id, int64_t event_id, double wall_deadline) {
+    if (server_id < 0) return;
+    ServerState& s = servers[server_id];
+    s.in_service = 1;
+    s.total_customers_served += 1;
+    double service_time = 0;
+    if (dist_kind[server_id] != D_QUEUE && dist_kind[server_id] != D_BRANCH) {
+      int redraws = 0;
+      while (service_time <= 0) {
+        service_time = draw_dist(server_id, s.rng);
+        if (++redraws >= 10000) {
+          service_time = 1e-9;
+          break;
+        }
+        if ((redraws & 1023) == 0 && wall_deadline > 0) {
+          if (wall_now() > wall_deadline) throw 1;
+        }
+      }
+    }
+    emit(1, service_time, event_id, server_id);
+    s.total_time_in_service += service_time;
+    Event dep{clock + service_time, event_id, server_id, -1, DEPARTURE, false, 0};
+    fel.push(dep);
+    next_departure[server_id] = dep.time;
+  }
+
+  void process_arrival(Event& evt, double wall_deadline) {
+    int32_t server_id = evt.server_id;
+    emit(0, clock, evt.event_id, server_id);
+
+    if (server_id >= 0) {
+      ServerState& s = servers[server_id];
+      if (s.in_service == 0) {
+        schedule_departure(server_id, evt.event_id, wall_deadline);
+      } else if ((int64_t)s.queue.size() + s.delayed_departures < queue_caps[server_id]) {
+        account_len(server_id, clock);
+        s.queue.push_back({evt.time, clock, evt.event_id});
+        if ((int64_t)s.queue.size() > s.max_queue_length)
+          s.max_queue_length = (int64_t)s.queue.size();
+      } else {
+        s.reneges += 1;
+      }
+    }
+
+    if (evt.source_id >= 0) {
+      current_customers_in_system += 1;
+      int sid = evt.source_id;
+      double t = draw_dist(sid, source_rngs[sid]);
+      total_arrival_time += t;
+      source_arrival_times[sid] += t;
+      source_customers[sid] += 1;
+      // quirk: next arrival reuses this event's server_id (reference :580)
+      Event nxt{clock + t, total_customers, server_id, sid, ARRIVAL, false, 0};
+      total_customers += 1;
+      fel.push(nxt);
+    }
+  }
+
+  void process_departure(Event& evt, double wall_deadline) {
+    emit(2, clock, evt.event_id, evt.server_id);
+    int32_t server_id = evt.server_id;
+    ServerState& s = servers[server_id];
+    if (evt.delayed) {
+      account_len(server_id, clock);
+      s.delayed_departures -= 1;
+      evt.delayed = false;
+    }
+    int32_t next_id = get_destination(server_id);
+
+    if (next_id < 0) {
+      int64_t lo = child_offsets[server_id], hi = child_offsets[server_id + 1];
+      for (int64_t k = lo; k < hi; k++) {
+        int32_t c = children[k];
+        if (c >= 0 && c < n && !node_is_source[c] && servers[c].in_service == 0) {
+          next_id = c;
+          break;
+        }
+      }
+    }
+
+    if (next_id >= 0 || is_sink[server_id]) {
+      if (!s.queue.empty()) {
+        account_len(server_id, clock);
+        QueuedCustomer customer = s.queue.front();
+        s.queue.pop_front();
+        total_time_in_queues += clock - customer.time;
+        s.total_time_in_queue += clock - customer.arrival_time;
+        schedule_departure(server_id, customer.event_id, wall_deadline);
+        s.in_service = 1;
+        s.cumulative_queue_length += (double)s.queue.size();
+      } else {
+        s.in_service = 0;
+        next_departure[server_id] = 0;  // quirk: idle marker is 0
+      }
+      if (!is_sink[server_id]) {
+        Event internal{clock, evt.event_id, next_id, -1, ARRIVAL, false, 0};
+        process_arrival(internal, wall_deadline);
+      }
+    } else {
+      int64_t lo = child_offsets[server_id], hi = child_offsets[server_id + 1];
+      double next_dep = HUGE_VAL;
+      for (int64_t k = lo; k < hi; k++) {
+        int32_t c = children[k];
+        if (c != server_id) {
+          double t = (c >= 0 && c < n) ? next_departure[c] : HUGE_VAL;
+          if (t < next_dep) next_dep = t;
+        }
+      }
+      // schedule_delayed_departure (reference :679-697)
+      if (total_customers < 100) emit(3, clock, evt.event_id, server_id);
+      s.in_service = 1;
+      account_len(server_id, clock);
+      s.delayed_departures += 1;
+      Event dep{next_dep, evt.event_id, server_id, -1, DEPARTURE, true, 0};
+      fel.push(dep);
+      next_departure[server_id] = dep.time;
+      s.total_time_in_queue += next_dep - clock;
+    }
+  }
+
+  void reset() {
+    for (auto& s : servers) {
+      s.queue.clear();
+      s.in_service = 0;
+      s.total_time_in_service = 0;
+      s.total_customers_served = 0;
+      s.max_queue_length = 0;
+      s.reneges = 0;
+      s.total_time_in_queue = 0;
+      s.cumulative_queue_length = 0;
+      s.delayed_departures = 0;
+      s.len_since = 0;
+    }
+    std::fill(qlt.begin(), qlt.end(), 0.0);
+    for (int i = 0; i < n; i++)
+      source_arrival_times[i] = 0, source_customers[i] = 0;
+    total_time_in_queues = 0;
+    total_customers = 0;
+    total_arrival_time = 0;
+    clock = 0;
+    std::fill(next_departure.begin(), next_departure.end(), HUGE_VAL);
+  }
+
+  void initialization(double wall_deadline) {
+    for (int sid = 0; sid < n; sid++) {
+      if (!node_is_source[sid]) continue;
+      double t = draw_dist(sid, source_rngs[sid]);
+      total_arrival_time += t;
+      source_arrival_times[sid] += t;
+      int32_t next_server = get_destination(sid);
+      Event evt{clock + t, total_customers, next_server, sid, ARRIVAL, false, 0};
+      total_customers += 1;
+      source_customers[sid] += 1;
+      fel.push(evt);
+      (void)wall_deadline;
+    }
+  }
+
+  // one replication; returns wall-interrupted flag
+  bool run_one(int64_t number_of_customers, double wall_deadline) {
+    fel = Heap();
+    reset();
+    try {
+      initialization(wall_deadline);
+    } catch (int) {
+      return true;
+    }
+    previous_time = 0;
+    bool interrupted = false;
+    int64_t iter = 0;
+    while (!fel.empty()) {
+      Event evt = fel.pop();
+      double td = evt.time - previous_time;
+      if (evt.server_id >= 0 && evt.server_id < n && !node_is_source[evt.server_id]) {
+        servers[evt.server_id].cumulative_queue_length +=
+            td * (double)servers[evt.server_id].queue.size();
+      }
+      previous_time = evt.time;
+      if (total_customers > number_of_customers - 1) break;
+      clock = evt.time;
+      try {
+        if (evt.type == ARRIVAL)
+          process_arrival(evt, wall_deadline);
+        else
+          process_departure(evt, wall_deadline);
+      } catch (int) {
+        interrupted = true;
+        break;
+      }
+      ++iter;
+      if (wall_deadline > 0 && wall_now() > wall_deadline) {
+        break;
+      }
+    }
+    for (int i = 0; i < n; i++)
+      if (!node_is_source[i]) account_len(i, previous_time);
+    return interrupted;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Runs all replications. Returns 0 ok, 1 wall-interrupted.
+// Outputs are written into caller buffers; the record buffer is allocated
+// here (grown as needed) and must be freed with des_free_records.
+int des_run(
+    // network
+    int n, const int8_t* node_is_source, const int8_t* dist_kind,
+    const double* dist_params, const int64_t* queue_caps,
+    const int32_t* children, const int64_t* child_offsets, const double* cdf,
+    const int8_t* route_mode, const int8_t* is_sink,
+    // run config
+    const int64_t* seeds, int num_seeds, int64_t number_of_customers,
+    int use_next_available, double max_sim_time_s, int gen_log,
+    // global RNG state in/out
+    uint32_t* g_key, int* g_pos, int* g_has_gauss, double* g_gauss,
+    // outputs (per-node arrays of length n; LAST replication)
+    double* out_time_in_service, int64_t* out_served, double* out_time_in_queue,
+    double* out_cumulative_queue_length, int64_t* out_max_queue_length,
+    int64_t* out_reneges, int64_t* out_delayed,
+    double* out_qlt, int qlt_cap,
+    double* out_src_arrival_times, int64_t* out_src_customers,
+    int64_t* dealt_seeds,  // num_seeds * n (server/source dealing order: node id)
+    double* out_totals,    // [clock, previous_time, total_arrival_time,
+                           //  total_time_in_queues, total_customers, ccis]
+    // records
+    double** rec_values, int64_t** rec_ids, int32_t** rec_servers,
+    uint8_t** rec_kinds, int64_t* rec_count) {
+  Engine eng;
+  eng.n = n;
+  eng.node_is_source = node_is_source;
+  eng.dist_kind = dist_kind;
+  eng.dist_params = dist_params;
+  eng.queue_caps = queue_caps;
+  eng.children = children;
+  eng.child_offsets = child_offsets;
+  eng.cdf = cdf;
+  eng.route_mode = route_mode;
+  eng.is_sink = is_sink;
+  eng.use_next_available = use_next_available != 0;
+  eng.gen_log = gen_log != 0;
+
+  std::memcpy(eng.global.key, g_key, 624 * sizeof(uint32_t));
+  eng.global.pos = *g_pos;
+  eng.global.has_gauss = *g_has_gauss != 0;
+  eng.global.gauss = *g_gauss;
+
+  eng.servers.resize(n);
+  eng.source_rngs.resize(n);
+  eng.source_arrival_times.assign(n, 0.0);
+  eng.source_customers.assign(n, 0);
+  eng.next_departure.assign(n, HUGE_VAL);
+  eng.qlt_cap = qlt_cap;
+  eng.qlt.assign((size_t)n * qlt_cap, 0.0);
+
+  bool interrupted = false;
+  for (int r = 0; r < num_seeds; r++) {
+    MT19937 master;
+    master.seed((uint32_t)seeds[r]);
+    // deal seeds: servers in id order, then sources (reference :446-456)
+    for (int i = 0; i < n; i++) {
+      if (!node_is_source[i]) {
+        long s = master.randint(3, 9999999);
+        eng.servers[i].rng.seed((uint32_t)s);
+        dealt_seeds[(size_t)r * n + i] = s;
+      }
+    }
+    for (int i = 0; i < n; i++) {
+      if (node_is_source[i]) {
+        long s = master.randint(3, 9999999);
+        eng.source_rngs[i].seed((uint32_t)s);
+        dealt_seeds[(size_t)r * n + i] = s;
+      }
+    }
+    double wall_deadline =
+        max_sim_time_s > 0 ? wall_now() + max_sim_time_s
+                           : 0.0;
+    interrupted = eng.run_one(number_of_customers, wall_deadline) || interrupted;
+  }
+
+  for (int i = 0; i < n; i++) {
+    out_time_in_service[i] = eng.servers[i].total_time_in_service;
+    out_served[i] = eng.servers[i].total_customers_served;
+    out_time_in_queue[i] = eng.servers[i].total_time_in_queue;
+    out_cumulative_queue_length[i] = eng.servers[i].cumulative_queue_length;
+    out_max_queue_length[i] = eng.servers[i].max_queue_length;
+    out_reneges[i] = eng.servers[i].reneges;
+    out_delayed[i] = eng.servers[i].delayed_departures;
+    out_src_arrival_times[i] = eng.source_arrival_times[i];
+    out_src_customers[i] = eng.source_customers[i];
+  }
+  std::memcpy(out_qlt, eng.qlt.data(), sizeof(double) * (size_t)n * qlt_cap);
+  out_totals[0] = eng.clock;
+  out_totals[1] = eng.previous_time;
+  out_totals[2] = eng.total_arrival_time;
+  out_totals[3] = eng.total_time_in_queues;
+  out_totals[4] = (double)eng.total_customers;
+  out_totals[5] = (double)eng.current_customers_in_system;
+
+  std::memcpy(g_key, eng.global.key, 624 * sizeof(uint32_t));
+  *g_pos = eng.global.pos;
+  *g_has_gauss = eng.global.has_gauss ? 1 : 0;
+  *g_gauss = eng.global.gauss;
+
+  int64_t cnt = (int64_t)eng.records.size();
+  *rec_count = cnt;
+  if (cnt > 0) {
+    double* v = (double*)std::malloc(sizeof(double) * cnt);
+    int64_t* ids = (int64_t*)std::malloc(sizeof(int64_t) * cnt);
+    int32_t* srv = (int32_t*)std::malloc(sizeof(int32_t) * cnt);
+    uint8_t* kinds = (uint8_t*)std::malloc(sizeof(uint8_t) * cnt);
+    for (int64_t i = 0; i < cnt; i++) {
+      v[i] = eng.records[i].value;
+      ids[i] = eng.records[i].event_id;
+      srv[i] = eng.records[i].server_id;
+      kinds[i] = eng.records[i].kind;
+    }
+    *rec_values = v;
+    *rec_ids = ids;
+    *rec_servers = srv;
+    *rec_kinds = kinds;
+  } else {
+    *rec_values = nullptr;
+    *rec_ids = nullptr;
+    *rec_servers = nullptr;
+    *rec_kinds = nullptr;
+  }
+  return interrupted ? 1 : 0;
+}
+
+void des_free_records(double* v, int64_t* ids, int32_t* srv, uint8_t* kinds) {
+  std::free(v);
+  std::free(ids);
+  std::free(srv);
+  std::free(kinds);
+}
+}

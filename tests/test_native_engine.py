@@ -1,0 +1,115 @@
+"""Native C++ engine: bit-parity with the Python engine and speed.
+
+The native core re-implements numpy's legacy RandomState primitives and
+CPython's heapq mechanics; these tests compare full 'Music' event logs
+byte-for-byte and all statistics against the Python engine on the same
+networks used for reference parity.
+"""
+
+import numpy as np
+import pytest
+
+from gandes_tpu.des import Sim
+from gandes_tpu.des.native import native_available
+
+from test_reference_parity import _dense_network, _shortest_queue_network
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="native engine build failed")
+
+
+def _run(engine, tmp_path, build, n_customers, seeds=(101, 202), **kw):
+    adj, dists, qlist = build()
+    np.random.seed(123)
+    sim = Sim(np.array(adj), [list(d) for d in dists], list(qlist), seeds=list(seeds),
+              generate_log=True, log_path=str(tmp_path) + f"/{engine}_",
+              logging_mode="Music", max_sim_time=kw.get("max_sim_time", 60),
+              engine=engine)
+    sim.run(number_of_customers=n_customers,
+            use_next_available_server=kw.get("use_next_available_server", False))
+    state = np.random.get_state()
+    return sim, list(sim.music_lines()), (state[1].copy(), state[2], state[3], state[4])
+
+
+@pytest.mark.parametrize("config,kw", [
+    ("dense", {}),
+    ("dense_next_available", {"use_next_available_server": True}),
+    ("shortest_queue_delayed", {}),
+])
+def test_native_matches_python_engine(tmp_path, config, kw):
+    build = _dense_network if config.startswith("dense") else _shortest_queue_network
+    py_sim, py_lines, py_state = _run("python", tmp_path, build, 400, **kw)
+    nt_sim, nt_lines, nt_state = _run("native", tmp_path, build, 400, **kw)
+
+    assert len(py_lines) > 100
+    assert nt_lines == py_lines
+
+    # post-run GLOBAL RNG stream identical (routing draws counted equally)
+    assert (nt_state[0] == py_state[0]).all() and nt_state[1:] == py_state[1:]
+
+    for sid in py_sim.servers:
+        p, c = py_sim.servers[sid], nt_sim.servers[sid]
+        assert c.total_customers_served == p.total_customers_served
+        assert c.reneges == p.reneges
+        assert c.max_queue_length == p.max_queue_length
+        assert c.total_time_in_service == pytest.approx(p.total_time_in_service, rel=1e-12)
+        assert c.total_time_in_queue == pytest.approx(p.total_time_in_queue, rel=1e-12, abs=1e-12)
+        p_qlt = {k: v for k, v in p.queue_length_times.items() if v != 0}
+        c_qlt = {k: v for k, v in c.queue_length_times.items() if v != 0}
+        assert set(c_qlt) == set(p_qlt)
+        for k in p_qlt:
+            assert c_qlt[k] == pytest.approx(p_qlt[k], rel=1e-9, abs=1e-12)
+    for src in py_sim.sources:
+        assert nt_sim.sources[src].customers_generated == py_sim.sources[src].customers_generated
+        assert nt_sim.sources[src].arrival_times == py_sim.sources[src].arrival_times
+    assert nt_sim.server_seeds == py_sim.server_seeds
+    assert nt_sim.source_seeds == py_sim.source_seeds
+    assert nt_sim.total_customers == py_sim.total_customers
+    assert nt_sim.Clock == py_sim.Clock
+
+
+def test_native_gamma_beta_parity(tmp_path):
+    def build():
+        adj = np.zeros((3, 3))
+        adj[0, 0] = 1.0
+        adj[0, 1], adj[0, 2] = 0.5, 0.5
+        adj[1, 1] = adj[2, 2] = -1.0
+        dists = [["gamma", 2.0, 0.0, 0.4], ["beta", 2.0, 3.0, 0.1, 1.0],
+                 ["gamma", 0.7, 0.05, 0.5]]
+        return adj, dists, [0, 8, 8]
+
+    _, py_lines, _ = _run("python", tmp_path, build, 500)
+    _, nt_lines, _ = _run("native", tmp_path, build, 500)
+    assert nt_lines == py_lines and len(py_lines) > 200
+
+
+def test_native_speedup(tmp_path):
+    import time
+
+    adj, dists, qlist = _dense_network()
+
+    def timed(engine, n):
+        np.random.seed(1)
+        sim = Sim(np.array(adj), [list(d) for d in dists], list(qlist), seeds=[7],
+                  generate_log=True, log_path=str(tmp_path) + f"/b{engine}_",
+                  logging_mode="Music", engine=engine)
+        t0 = time.perf_counter()
+        sim.run(number_of_customers=n)
+        return time.perf_counter() - t0
+
+    n = 30000
+    t_native = timed("native", n)
+    t_python = timed("python", n)
+    speedup = t_python / t_native
+    print(f"native speedup: {speedup:.1f}x ({t_python:.3f}s -> {t_native:.3f}s)")
+    assert speedup > 3
+
+
+def test_engine_fallback_for_unsupported_configs():
+    adj = np.array([[1.0, 1.0], [0.0, -1.0]])
+    dists = [["discrete", [0.5, 1.5], [0.5, 0.5]], ["exponential", 0.5]]
+    np.random.seed(0)
+    sim = Sim(adj, dists, [0, 10], seeds=[1], engine="auto")
+    sim.run(number_of_customers=200)  # silently uses the python engine
+    assert sim.servers[1].total_customers_served > 0
+    with pytest.raises(ValueError):
+        Sim(adj, dists, [0, 10], seeds=[1], engine="native").run(number_of_customers=10)
