@@ -94,15 +94,25 @@ def _hann_periodic(n: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)).astype(np.float32)
 
 
+def frame_signal(wav, n_fft: int, hop_length: int):
+    """(n_frames, n_fft) overlapping frames via conv patches — a plain XLA
+    gather compiles pathologically slowly on TPU for this access pattern."""
+    n_frames = 1 + (wav.shape[0] - n_fft) // hop_length
+    usable = (n_frames - 1) * hop_length + n_fft
+    p = jax.lax.conv_general_dilated_patches(
+        wav[None, :usable, None], filter_shape=(n_fft,), window_strides=(hop_length,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return p[0]
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center"))
 def power_spectrogram(wav, n_fft: int = 2048, hop_length: int = 512, center: bool = True):
     """|STFT|^2 with hann window; (1 + n_fft//2, n_frames)."""
     wav = jnp.asarray(wav, jnp.float32)
     if center:
         wav = jnp.pad(wav, (n_fft // 2, n_fft // 2), mode="reflect")
-    n_frames = 1 + (wav.shape[0] - n_fft) // hop_length
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    frames = wav[idx] * jnp.asarray(_hann_periodic(n_fft))
+    frames = frame_signal(wav, n_fft, hop_length) * jnp.asarray(_hann_periodic(n_fft))
     spec = jnp.fft.rfft(frames, axis=-1)
     return (spec.real**2 + spec.imag**2).T
 
@@ -163,33 +173,51 @@ def amplitude_to_db_torch(S, top_db=80.0):
     return db
 
 
+def _mel_power_backend(waveform, sr, n_fft, hop_length, n_mels, fmin, fmax,
+                       htk, norm_slaney, use_pallas):
+    """Power mel via the fused Pallas kernel (TPU default — ~16x faster
+    than the XLA rfft path on v5e) or the XLA path (CPU default; also the
+    bit-reference for the kernel's parity tests)."""
+    if use_pallas is None:
+        import jax as _jax
+
+        use_pallas = _jax.devices()[0].platform != "cpu"
+    if use_pallas:
+        from gandes_tpu.ops.pallas_mel import mel_power_pallas
+
+        return mel_power_pallas(waveform, sr, n_fft=n_fft, hop_length=hop_length,
+                                n_mels=n_mels, fmin=fmin, fmax=fmax, htk=htk,
+                                norm_slaney=norm_slaney)
+    s = power_spectrogram(jnp.asarray(waveform, jnp.float32), n_fft=n_fft,
+                          hop_length=hop_length)
+    return _mel_project(s, sr, n_fft, n_mels, fmin, fmax, htk, norm_slaney)
+
+
 def melspectrogram_db_tensor(waveform, sr=44100, n_fft=2048, hop_length=512,
                              n_mels=128, fmin=20, fmax=8300, top_db=80,
-                             mel_length=216):
+                             mel_length=216, use_pallas=None):
     """== reference ``get_melspectrogram_db_tensor`` (util.py:37-61):
     dynamic hop forcing ~mel_length frames, htk mel, power dB."""
     waveform = np.asarray(waveform)
     hop_length = len(waveform) // (mel_length - 1)
     new_audio_length = mel_length * hop_length
     waveform = waveform[:new_audio_length]
-    s = power_spectrogram(jnp.asarray(waveform, jnp.float32), n_fft=n_fft,
-                          hop_length=hop_length)
-    mel = _mel_project(s, sr, n_fft, n_mels, fmin, fmax, htk=True, norm_slaney=False)
+    mel = _mel_power_backend(waveform, sr, n_fft, hop_length, n_mels, fmin, fmax,
+                             True, False, use_pallas)
     return amplitude_to_db_torch(mel, top_db=top_db)
 
 
 def melspectrogram_power_tensor(waveform, sr=44100, n_fft=2048, hop_length=512,
                                 n_mels=128, fmin=20, fmax=8300, top_db=80,
-                                mel_length=216):
+                                mel_length=216, use_pallas=None):
     """== reference ``get_melspectrogram_db_tensor_maestro`` (util.py:63-87)
     QUIRK: computes the dB transform then returns the *power* mel."""
     waveform = np.asarray(waveform)
     hop_length = len(waveform) // (mel_length - 1)
     new_audio_length = mel_length * hop_length
     waveform = waveform[:new_audio_length]
-    s = power_spectrogram(jnp.asarray(waveform, jnp.float32), n_fft=n_fft,
-                          hop_length=hop_length)
-    return _mel_project(s, sr, n_fft, n_mels, fmin, fmax, htk=True, norm_slaney=False)
+    return _mel_power_backend(waveform, sr, n_fft, hop_length, n_mels, fmin, fmax,
+                              True, False, use_pallas)
 
 
 def melspectrogram_db_tensor_from_file(file_path):
