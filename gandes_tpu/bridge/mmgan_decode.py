@@ -18,19 +18,27 @@ Decode semantics preserved exactly (all feed the same global-RNG sequence):
   and the replication seed drawn from it;
 * customers = max(1000, 3000*gen2[6]); sim wall budget min(gen2[5], 1.0) s.
 
-Re-design (observable behavior preserved): the reference wraps each sim in
-a 2.5 s watchdog ``threading.Thread`` and *leaks* the thread on timeout
-(:159-168). We run the sim inline with a cooperative absolute deadline
-(the engine checks it between events and inside redraw loops) — timeouts
-yield the same blank-roll + failed-count behavior without zombie threads.
-The event log is decoded from the in-memory buffer (identical bytes to the
-file, which is still written for artifact parity).
+Re-designs (observable behavior preserved on the default path):
+
+* The reference wraps each sim in a 2.5 s watchdog ``threading.Thread``
+  and *leaks* the thread on timeout (:159-168). We run the sim inline with
+  a cooperative absolute deadline — timeouts yield the same blank-roll +
+  failed-count behavior without zombie threads.
+* ``parallel=N`` (fast mode, needs the native engine) runs the batch's
+  sims CONCURRENTLY: decoding stays sequential on the global RNG, then
+  each sim gets a private routing stream seeded from that RNG and runs on
+  a thread (the native call releases the GIL), then logs decode
+  sequentially. Deterministic given the starting RNG state, but a
+  *different* stream than the reference's strictly-sequential global-RNG
+  coupling — opt-in for training throughput; default is parity-exact
+  sequential.
 """
 
 from __future__ import annotations
 
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -49,6 +57,71 @@ def run_simulation(sim, num_customers):
     sim.run(number_of_customers=num_customers)
 
 
+def _decode_sample(matrix, gen2_row, dim, size, num_aug, instrument):
+    """Decode one generator matrix into (sim_matrix, distributions,
+    instruments, note_levels, seeds, num_customers) — consumes the global
+    numpy RNG exactly as the reference does."""
+    if matrix.ndim == 3:  # (1, A, A) channel axis, as the torch models emit
+        matrix = matrix[0]
+    matrix = np.abs(matrix)
+
+    # Dead-code quirk preserved: the threshold compare never selects
+    # (see module docstring); sources are always a random dim//4 subset.
+    sources_where = np.where(matrix[dim] > gen2_row[0])
+    if len(sources_where[0]) == 0 or len(sources_where[0] == dim):
+        sources = np.random.choice(dim, size=dim // 4, replace=False)
+    else:  # pragma: no cover - unreachable, kept for structural parity
+        sources = sources_where[0]
+
+    servers = [x for x in np.arange(0, size - num_aug) if x not in sources]
+
+    instruments = np.zeros(dim)
+    if instrument is None:
+        for i in range(dim):
+            instruments[i] = int(matrix[dim + 1, i] * 126)
+    else:
+        instruments = np.array([instrument] * dim)
+
+    note_levels = np.ones(dim)
+    for i in range(dim):
+        note_levels[i] = max(0, (int(matrix[dim + 2, i] * 126)) % 128)
+
+    distributions = []
+    for i in range(dim):
+        if i in sources:
+            distributions.append(["normal", np.abs(gen2_row[1] * 50), np.abs(gen2_row[2] * 50)])
+        else:
+            distributions.append(["normal", np.abs(gen2_row[3] * 10), np.abs(gen2_row[4] * 10)])
+
+    sim_matrix = matrix[:dim, :dim].copy()
+    for i in sources:
+        sim_matrix[:, i] = 0.0
+        sim_matrix[i, i] = 0.0
+    for i in servers:
+        sim_matrix[i][i] = 0.0
+
+    sim_matrix = sim_matrix.astype(np.float64)
+    row_sums = sim_matrix.sum(axis=1, keepdims=True)
+    sim_matrix = sim_matrix / row_sums
+    sim_matrix[np.isnan(sim_matrix)] = 0
+
+    for i in range(dim):
+        candidates = [x for x in range(dim) if x != i and sim_matrix[i, x] != 0]
+        sim_matrix[i, np.random.choice(candidates)] += 1 - sim_matrix[i].sum()
+
+    for i in sources:
+        sim_matrix[i, i] = 1.0
+    for i in servers:
+        sim_matrix[i, i] = -1.0
+
+    np.random.seed(np.random.randint(0, 99999, size=1))
+    seeds = np.random.randint(0, 99999, size=1)
+    num_customers = max(1000, int(3000 * gen2_row[6]))
+    if num_customers < 200:
+        num_customers = 200
+    return sim_matrix, distributions, instruments, note_levels, seeds, num_customers
+
+
 def matrix_to_midi(
     gen1_output,
     gen2_output,
@@ -63,10 +136,9 @@ def matrix_to_midi(
     out_dir="./adj_sim_outputs/midi",
     watchdog=2.5,
     write_log_file=True,
+    parallel=None,
 ):
     num_aug = 3
-    midi_rolls = []
-
     start = int(start)
     end = int(end)
     size = adj_size[0]
@@ -75,72 +147,23 @@ def matrix_to_midi(
     gen1_output = _to_numpy(gen1_output)
     gen2_output = _to_numpy(gen2_output)
 
+    if parallel and parallel > 1:
+        from gandes_tpu.des.native import native_available
+
+        if native_available():
+            return _matrix_to_midi_parallel(
+                gen1_output, gen2_output, dim, size, num_aug, instrument,
+                start, end, count, generate, log_path, out_dir, watchdog, parallel,
+            )
+
+    midi_rolls = []
     failed_simulations = 0
 
     for index, matrix in enumerate(gen1_output):
-        if matrix.ndim == 3:  # (1, A, A) channel axis, as the torch models emit
-            matrix = matrix[0]
-        matrix = np.abs(matrix)
-
-        # Dead-code quirk preserved: the threshold compare never selects
-        # (see module docstring); sources are always a random dim//4 subset.
-        sources_where = np.where(matrix[dim] > gen2_output[index][0])
-        if len(sources_where[0]) == 0 or len(sources_where[0] == dim):
-            sources = np.random.choice(dim, size=dim // 4, replace=False)
-        else:  # pragma: no cover - unreachable, kept for structural parity
-            sources = sources_where[0]
-
-        servers = [x for x in np.arange(0, size - num_aug) if x not in sources]
-
-        instruments = np.zeros(dim)
-        if instrument is None:
-            for i in range(dim):
-                instruments[i] = int(matrix[dim + 1, i] * 126)
-        else:
-            instruments = np.array([instrument] * dim)
-
-        note_levels = np.ones(dim)
-        for i in range(dim):
-            note_levels[i] = max(0, (int(matrix[dim + 2, i] * 126)) % 128)
-
-        distributions = []
-        for i in range(dim):
-            if i in sources:
-                distributions.append(
-                    ["normal", np.abs(gen2_output[index][1] * 50), np.abs(gen2_output[index][2] * 50)]
-                )
-            else:
-                distributions.append(
-                    ["normal", np.abs(gen2_output[index][3] * 10), np.abs(gen2_output[index][4] * 10)]
-                )
-
-        sim_matrix = matrix[:dim, :dim].copy()
-        for i in sources:
-            sim_matrix[:, i] = 0.0
-            sim_matrix[i, i] = 0.0
-        for i in servers:
-            sim_matrix[i][i] = 0.0
-
-        sim_matrix = sim_matrix.astype(np.float64)
-        row_sums = sim_matrix.sum(axis=1, keepdims=True)
-        sim_matrix = sim_matrix / row_sums
-        sim_matrix[np.isnan(sim_matrix)] = 0
-
-        for i in range(dim):
-            candidates = [x for x in range(dim) if x != i and sim_matrix[i, x] != 0]
-            sim_matrix[i, np.random.choice(candidates)] += 1 - sim_matrix[i].sum()
-
-        for i in sources:
-            sim_matrix[i, i] = 1.0
-        for i in servers:
-            sim_matrix[i, i] = -1.0
-
+        sim_matrix, distributions, instruments, note_levels, seeds, num_customers = _decode_sample(
+            matrix, gen2_output[index], dim, size, num_aug, instrument
+        )
         queue_list = [2 * 127] * dim
-
-        np.random.seed(np.random.randint(0, 99999, size=1))
-        seeds = np.random.randint(0, 99999, size=1)
-
-        num_customers = max(1000, int(3000 * gen2_output[index][6]))
 
         this_count = 1
         if index == 0:
@@ -148,22 +171,13 @@ def matrix_to_midi(
 
         deadline = time.time() + watchdog
         sim = Sim(
-            sim_matrix,
-            distributions,
-            queue_list,
-            seeds=seeds,
-            log_path=log_path,
-            generate_log=True,
-            animation=False,
-            record_history=False,
-            logging_mode="Music",
-            max_sim_time=min(float(gen2_output[index][5]), 1.0),
+            sim_matrix, distributions, queue_list, seeds=seeds, log_path=log_path,
+            generate_log=True, animation=False, record_history=False,
+            logging_mode="Music", max_sim_time=min(float(gen2_output[index][5]), 1.0),
             deadline=deadline,
         )
 
         output = np.zeros((2, 128, end - start))
-        if num_customers < 200:
-            num_customers = 200
         sim_died = False
         try:
             run_simulation(sim, num_customers)
@@ -180,16 +194,11 @@ def matrix_to_midi(
                 failed_simulations += 1
             else:
                 roll, durations, _ = process_adjsim_log_v2(
-                    instruments=instruments,
-                    note_levels=note_levels,
-                    gen2_output=gen2_output[index][10:],
-                    count=this_count,
-                    start=start,
-                    end=end,
-                    generate=generate,
+                    instruments=instruments, note_levels=note_levels,
+                    gen2_output=gen2_output[index][10:], count=this_count,
+                    start=start, end=end, generate=generate,
                     lines=sim.music_lines() if not write_log_file else None,
-                    log_file=log_path + "simulation.log",
-                    out_dir=out_dir,
+                    log_file=log_path + "simulation.log", out_dir=out_dir,
                 )
                 if roll is None:  # pragma: no cover - defensive, as reference :173
                     failed_simulations += 1
@@ -207,3 +216,71 @@ def matrix_to_midi(
         midi_rolls.append(output)
 
     return midi_rolls, failed_simulations
+
+
+def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
+                             instrument, start, end, count, generate,
+                             log_path, out_dir, watchdog, parallel):
+    """Fast mode: sequential decode, concurrent native sims, sequential
+    log decode. See module docstring for the RNG-stream caveat."""
+    B = len(gen1_output)
+    sims, metas = [], []
+    for index, matrix in enumerate(gen1_output):
+        sim_matrix, distributions, instruments, note_levels, seeds, num_customers = _decode_sample(
+            matrix, gen2_output[index], dim, size, num_aug, instrument
+        )
+        routing_seed = int(np.random.randint(0, 2**31 - 1))
+        sim = Sim(
+            sim_matrix, distributions, [2 * 127] * dim, seeds=seeds,
+            log_path=log_path, log_name=f"simulation.{index}.log",
+            generate_log=True, record_history=False, logging_mode="Music",
+            max_sim_time=min(float(gen2_output[index][5]), 1.0),
+            engine="native",
+        )
+        sim.log.path = None  # in-memory only; no per-sample file artifacts
+        sim.routing_rng = np.random.RandomState(routing_seed)
+        sims.append(sim)
+        metas.append((instruments, note_levels, num_customers))
+
+    timed_out = [False] * B
+
+    def worker(i):
+        t0 = time.time()
+        sims[i].deadline = t0 + watchdog
+        try:
+            sims[i].run(number_of_customers=metas[i][2])
+            timed_out[i] = time.time() - t0 > watchdog
+            return None
+        except Exception as e:  # matches the swallowed-thread semantics
+            traceback.print_exc()
+            return e
+
+    with ThreadPoolExecutor(max_workers=min(parallel, B)) as pool:
+        errors = list(pool.map(worker, range(B)))
+
+    midi_rolls = []
+    failed = 0
+    for index, sim in enumerate(sims):
+        instruments, note_levels, _num = metas[index]
+        output = np.zeros((2, 128, end - start))
+        if errors[index] is None and timed_out[index]:
+            print("Simulation took too long, stopping")
+            failed += 1
+            midi_rolls.append(output)
+            continue
+        try:
+            roll, durations, _ = process_adjsim_log_v2(
+                instruments=instruments, note_levels=note_levels,
+                gen2_output=gen2_output[index][10:],
+                count=(count if index == 0 else 1), start=start, end=end,
+                generate=generate, lines=sim.music_lines(limit=5001),
+                out_dir=out_dir,
+            )
+            output[0] = roll
+            output[1] = durations
+        except Exception:
+            print("Error in simulation thread, using blank piano roll instead.")
+            failed += 1
+            raise ValueError("Error in simulation thread, using blank piano roll instead.")
+        midi_rolls.append(output)
+    return midi_rolls, failed

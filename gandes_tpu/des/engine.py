@@ -335,6 +335,9 @@ class Sim:
         # replaces the reference's leaked watchdog threads
         # (MMGAN_MIDI_DES/matrix_sim_process.py:159-168).
         self.deadline = deadline
+        # optional private routing stream (native engine only); defaults to
+        # the numpy global RNG for reference parity
+        self.routing_rng = None
 
         if self.generate_log:
             filename = log_path + ("simulation.log" if log_name is None else log_name)
@@ -881,10 +884,18 @@ class Sim:
 
     # ---------------------------------------------------------- fast access
 
-    def music_lines(self):
+    def music_lines(self, limit=None):
         """The buffered log lines (without file I/O); empty when
-        ``generate_log=False``."""
-        return [] if self.log is None else self.log.lines
+        ``generate_log=False``. ``limit`` bounds how many native-engine
+        records get formatted (the MIDI decoders read at most ~5001 lines);
+        more than ``limit`` lines may be returned if already materialized."""
+        if self.log is None:
+            return []
+        if getattr(self, "_pending_records", None) is not None:
+            from gandes_tpu.des.native import materialize_records
+
+            materialize_records(self, limit)
+        return self.log.lines
 
     # -------------------------------------------------------------- plots
     # API parity with the reference's Sim plotting surface

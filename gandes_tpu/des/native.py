@@ -92,7 +92,38 @@ def native_eligible(sim) -> bool:
     return native_available()
 
 
-_KIND_NAMES = {0: "arrival", 1: "processing", 2: "departure"}
+_KIND_NAMES = ("arrival", "processing", "departure",
+               "Scheduling delayed departure from server")
+
+
+def materialize_records(sim, limit: int | None = None) -> None:
+    """Format pending native records into log lines, up to ``limit`` total
+    records. tolist() + repr on python floats == str(np.float64) (shortest
+    repr); identical bytes to the Python engine's lines."""
+    pend = getattr(sim, "_pending_records", None)
+    if pend is None:
+        return
+    values, ids, servers_l, kinds = pend
+    total = len(values)
+    want = total if limit is None else min(limit, total)
+    off = sim._pending_offset
+    if want > off:
+        names = _KIND_NAMES
+        append = sim.log.lines.append
+        for k in range(off, want):
+            v, i, s, kk = values[k], ids[k], servers_l[k], kinds[k]
+            if kk == 1 and v == 0.0:
+                # branch/'queue' nodes: the Python engine's service_time is
+                # the *int* 0 (str "0", not "0.0") — drawn times are always
+                # > 0, so a 0.0 here can only be that case
+                append(f"INFO:root:0 - {i} - {s} - processing")
+            elif s >= 0:
+                append(f"INFO:root:{v!r} - {i} - {s} - {names[kk]}")
+            else:
+                append(f"INFO:root:{v!r} - {i} - None - {names[kk]}")
+        sim._pending_offset = want
+    if sim._pending_offset >= total:
+        sim._pending_records = None
 
 
 def run_native(sim, number_of_customers: int, use_next_available_server: bool):
@@ -140,8 +171,11 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     seeds_arr = np.asarray([int(s) for s in sim.seeds], np.int64)
     num_seeds = len(seeds_arr)
 
-    # global RandomState snapshot in/out (routing parity with np.random)
-    g_state = np.random.get_state()
+    # routing RNG snapshot in/out — the numpy global stream by default
+    # (reference parity), or an injected RandomState (thread-parallel fast
+    # mode: each sim owns a private routing stream)
+    routing_rng = getattr(sim, "routing_rng", None)
+    g_state = routing_rng.get_state() if routing_rng is not None else np.random.get_state()
     g_key = np.ascontiguousarray(g_state[1], np.uint32)
     g_pos = C.c_int(int(g_state[2]))
     g_has_gauss = C.c_int(int(g_state[3]))
@@ -190,9 +224,13 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         C.byref(rec_kinds), C.byref(rec_count),
     )
 
-    # write the advanced global RNG stream back
-    np.random.set_state(("MT19937", g_key, int(g_pos.value),
-                         int(g_has_gauss.value), float(g_gauss.value)))
+    # write the advanced routing stream back
+    new_state = ("MT19937", g_key, int(g_pos.value),
+                 int(g_has_gauss.value), float(g_gauss.value))
+    if routing_rng is not None:
+        routing_rng.set_state(new_state)
+    else:
+        np.random.set_state(new_state)
 
     # copy stats onto the python-side objects
     for i, server in sim.servers.items():
@@ -226,10 +264,10 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     sim.total_customers = int(out_totals[4])
     sim.current_customers_in_system = int(out_totals[5])
 
-    # materialize log lines (buffered; identical bytes to the Python
-    # engine). tolist() + repr on python floats == str(np.float64)
-    # (shortest repr), and the list-comp fast path skips per-element numpy
-    # scalar boxing.
+    # Log records: stored raw; materialized to strings lazily (the decoder
+    # reads at most ~5001 lines, and formatting is the GIL-bound part of a
+    # run). A file-backed log materializes fully and flushes immediately
+    # (artifact parity with the Python engine); a path-less log defers.
     if sim.generate_log and rec_count.value:
         cnt = rec_count.value
         values = np.ctypeslib.as_array(rec_values, shape=(cnt,)).tolist()
@@ -237,19 +275,10 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         servers_l = np.ctypeslib.as_array(rec_servers, shape=(cnt,)).tolist()
         kinds = np.ctypeslib.as_array(rec_kinds, shape=(cnt,)).tolist()
         lib.des_free_records(rec_values, rec_ids, rec_servers, rec_kinds)
-        names = ("arrival", "processing", "departure",
-                 "Scheduling delayed departure from server")
-        append = sim.log.lines.append
-        for v, i, s, k in zip(values, ids, servers_l, kinds):
-            if k == 1 and v == 0.0:
-                # branch/'queue' nodes: the Python engine's service_time is
-                # the *int* 0 (str "0", not "0.0") — drawn times are always
-                # > 0, so a 0.0 here can only be that case
-                append(f"INFO:root:0 - {i} - {s} - processing")
-            elif s >= 0:
-                append(f"INFO:root:{v!r} - {i} - {s} - {names[k]}")
-            else:
-                append(f"INFO:root:{v!r} - {i} - None - {names[k]}")
-        sim.log.flush()
+        sim._pending_records = (values, ids, servers_l, kinds)
+        sim._pending_offset = 0
+        if sim.log.path is not None:
+            materialize_records(sim)
+            sim.log.flush()
     elif sim.generate_log:
         sim.log.flush()

@@ -65,6 +65,9 @@ class MMGANConfig:
     print_interval: int = 5
     sleep_between_epochs: float = 0.0  # reference: 10 s (network_tests.py:344)
     faithful: bool = False
+    # >1: concurrent native DES sims per batch (fast mode — deterministic
+    # but a different RNG stream than the reference's sequential coupling)
+    des_parallel: int | None = None
     models_dir: str = "models"
     losses_dir: str = "losses"
     log_path: str = "logs/"
@@ -142,6 +145,7 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             instrument=cfg.instrument, start=cfg.start,
             end=cfg.start + cfg.sequence_length, count=count,
             log_path=cfg.log_path, out_dir=cfg.midi_out_dir,
+            parallel=cfg.des_parallel,
         )
         fake = jnp.asarray(np.stack(rolls), jnp.float32)
         return fake, failed, new_stats

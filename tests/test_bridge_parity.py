@@ -115,6 +115,34 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
             assert our_mid == ref_mid
 
 
+def test_matrix_to_midi_parallel_mode(tmp_path, monkeypatch):
+    """Fast mode: concurrent native sims; deterministic given the RNG
+    state, no per-sample log files, same shapes/failure semantics."""
+    from gandes_tpu.bridge import matrix_to_midi
+    from gandes_tpu.des.native import native_available
+
+    if not native_available():
+        pytest.skip("native engine unavailable")
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(4)
+    g1 = rng.rand(4, 1, 64, 64).astype(np.float32)
+    g2 = (rng.rand(4, 20) * 0.5 + 0.2).astype(np.float32)
+
+    np.random.seed(55)
+    a, fa = matrix_to_midi(g1, g2, adj_size=(64, 64), start=0, end=50,
+                           parallel=4, out_dir=str(tmp_path / "m1"))
+    np.random.seed(55)
+    b, fb = matrix_to_midi(g1, g2, adj_size=(64, 64), start=0, end=50,
+                           parallel=4, out_dir=str(tmp_path / "m2"))
+    assert fa == fb
+    assert len(a) == 4 and all(r.shape == (2, 128, 50) for r in a)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # no per-sample log files written in fast mode
+    assert not any(p.name.startswith("simulation.") for p in (tmp_path / "logs").iterdir())
+
+
 def test_matrix_to_midi_instrument_override(tmp_path, monkeypatch):
     from gandes_tpu.bridge import matrix_to_midi
 
