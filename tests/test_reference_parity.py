@@ -162,6 +162,39 @@ CONFIGS = {
 }
 
 
+def test_all_mode_log_byte_parity(tmp_path):
+    """'All' logging mode (verbose lifecycle lines, <100-customer gates)
+    byte-parity — always on the Python engine (the native core only
+    implements 'Music')."""
+    adj, dists, qlist = _dense_network()
+    ref = _load_reference()
+    _clear_root_logger()
+    np.random.seed(123)
+    sim = ref.Sim(np.array(adj), [list(d) for d in dists], list(qlist), seeds=[11, 12],
+                  generate_log=True, log_path=str(tmp_path) + "/ref_",
+                  logging_mode="All", max_sim_time=60)
+    sim.run(number_of_customers=60)
+    _clear_root_logger()
+    ref_lines = (tmp_path / "ref_simulation.log").read_text().splitlines()
+
+    np.random.seed(123)
+    ours = Sim(np.array(adj), [list(d) for d in dists], list(qlist), seeds=[11, 12],
+               generate_log=True, log_path=str(tmp_path) + "/ours_",
+               logging_mode="All", max_sim_time=60)
+    ours.run(number_of_customers=60)
+    our_lines = (tmp_path / "ours_simulation.log").read_text().splitlines()
+    assert len(ref_lines) > 100
+    # the reference's last line embeds a wall-clock elapsed time; compare
+    # everything except that timing token
+    import re as _re
+
+    def scrub(lines):
+        return [_re.sub(r"\d+\.\d+(e-?\d+)? elapsed time", "<T> elapsed time", l)
+                for l in lines]
+
+    assert scrub(our_lines) == scrub(ref_lines)
+
+
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_music_log_byte_parity(tmp_path, name):
     build, n_customers, kw = CONFIGS[name]
