@@ -415,6 +415,11 @@ class Sim:
         self.customers_served_per_server = []
         self.probabilities_of_queue_lengths_history = []
 
+        # experimental scratch lists, kept for API parity (reference :422-424)
+        self.test_variable = []
+        self.test_variable_two = []
+        self.test_variable_three = []
+
     # ------------------------------------------------------------------ run
 
     def run(self, number_of_customers=50, use_next_available_server=False):
@@ -826,6 +831,9 @@ class Sim:
             self.probabilities_of_queue_lengths_history.append(queue_length_probabilities)
 
         return avg_queue_length, avg_queue_time, renege_rate, server_utilizations
+
+    def print_test_variables(self):
+        print(f"TEST QUEUE LENGTH: {self.test_variable}")
 
     def print_metrics(self):
         print(f"Average queue length: {self.avg_queue_length_history}")

@@ -5,3 +5,11 @@ from gandes_tpu.models.mmgan import (
     DiscriminatorMLP,
     MLPGenerator,
 )
+
+
+def get_noise(key, n_samples, noise_dim):
+    """Reference helper (`GAN_DES/SIMNN.py:37-46`, `network_tests.py:43-44`)
+    with jax.random semantics: N(0,1) noise of shape (n_samples, noise_dim)."""
+    import jax
+
+    return jax.random.normal(key, (n_samples, noise_dim))

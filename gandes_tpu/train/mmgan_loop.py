@@ -176,16 +176,21 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
 
             total_failures += failed
             total_seen += cfg.batch_size
-            disc_losses.append(float(metrics["d_loss"]))
-            gen_losses.append(float(g_loss))
+            # keep losses on device; a d2h fetch per scalar costs tens of ms
+            # on remote-attached TPUs — fetch in bulk at epoch end
+            disc_losses.append(metrics["d_loss"])
+            gen_losses.append(g_loss)
 
             if i % cfg.print_interval == 0:
                 print(
                     f"Epoch {epoch + 1}/{cfg.num_epochs}, Batch {i}/{steps_per_epoch}, "
-                    f"Avg Disc Loss: {np.mean(disc_losses)}, Avg Gen Loss: {np.mean(gen_losses)}"
+                    f"Avg Disc Loss: {np.mean(jax.device_get(disc_losses))}, "
+                    f"Avg Gen Loss: {np.mean(jax.device_get(gen_losses))}"
                 )
                 print("Total failures:", total_failures, "Total seen:", total_seen)
 
+        disc_losses = [float(x) for x in jax.device_get(disc_losses)]
+        gen_losses = [float(x) for x in jax.device_get(gen_losses)]
         os.makedirs(cfg.losses_dir, exist_ok=True)
         with open(os.path.join(cfg.losses_dir, f"disc_losses_epoch_{epoch + 1}.pkl"), "wb") as f:
             pickle.dump(disc_losses, f)
