@@ -892,6 +892,17 @@ class Sim:
 
     # ---------------------------------------------------------- fast access
 
+    def log_line_count(self):
+        """Total buffered log lines (materialized + pending native records)
+        without forcing string formatting."""
+        if self.log is None:
+            return 0
+        n = len(self.log.lines)
+        pend = getattr(self, "_pending_records", None)
+        if pend is not None:
+            n += len(pend[0]) - self._pending_offset
+        return n
+
     def music_lines(self, limit=None):
         """The buffered log lines (without file I/O); empty when
         ``generate_log=False``. ``limit`` bounds how many native-engine

@@ -81,8 +81,16 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
     from gandes_tpu.bridge import matrix_to_midi
 
     rng = np.random.RandomState(5)
-    samples = [(rng.rand(1, 1, 64, 64).astype(np.float32),
-                rng.rand(1, 20).astype(np.float32) * 0.5 + 0.2) for _ in range(2)]
+    samples = []
+    for _ in range(2):
+        g1 = rng.rand(1, 1, 64, 64).astype(np.float32)
+        g2 = rng.rand(1, 20).astype(np.float32) * 0.5 + 0.2
+        # give the sim the full 1.0 s wall budget so the (slow) reference
+        # completes by customer count — otherwise its budget truncation
+        # point (machine-speed-dependent, quirk #7) makes line counts and
+        # the %100 save gate diverge between engines
+        g2[:, 5] = 1.5
+        samples.append((g1, g2))
 
     monkeypatch.chdir(tmp_path)
     os.makedirs("logs", exist_ok=True)
@@ -113,6 +121,26 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
             assert our_rolls[0].sum() > 0
             our_mid = open("adj_sim_outputs/midi_ours/generation.mid", "rb").read()
             assert our_mid == ref_mid
+
+
+def test_skip_trivial_decode_is_parity_exact(tmp_path, monkeypatch):
+    """The zero-roll shortcut must change nothing observable."""
+    from gandes_tpu.bridge import matrix_to_midi
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(8)
+    g1 = rng.rand(3, 1, 64, 64).astype(np.float32)
+    g2 = (rng.rand(3, 20) * 0.5 + 0.2).astype(np.float32)
+    np.random.seed(21)
+    a, fa = matrix_to_midi(g1, g2, adj_size=(64, 64), start=0, end=50,
+                           skip_trivial_decode=True)
+    np.random.seed(21)
+    b, fb = matrix_to_midi(g1, g2, adj_size=(64, 64), start=0, end=50,
+                           skip_trivial_decode=False)
+    assert fa == fb
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
 
 
 def test_matrix_to_midi_parallel_mode(tmp_path, monkeypatch):
