@@ -87,15 +87,21 @@ class FlowBranchOperator:
         probs = np.asarray(probabilities, dtype="float64")
         if children is None:
             children = []
-        keep = [i for i in range(len(probs)) if probs[i] > 0]
-        self.children = [children[i] for i in keep]
-        # keep np.float64 elements: CPython's sum() applies Neumaier
-        # compensation to *python* floats (3.12+) but plain left-to-right
-        # accumulation to np.float64 objects — the reference's exact
-        # ``sum(probabilities) != 1`` branch depends on the latter.
-        kept = [probs[i] for i in keep]
-        total = sum(kept)
-        self.probabilities = [p / total for p in kept] if kept else []
+        keep = np.nonzero(probs > 0)[0]
+        children_arr = np.asarray(children)
+        self.children = children_arr[keep].tolist() if len(keep) else []
+        kept = probs[keep]
+        # left-to-right accumulation over np.float64 scalars: CPython's
+        # sum() applies Neumaier compensation to *python* floats (3.12+)
+        # and numpy's np.sum is pairwise — both diverge in low bits from
+        # the reference's ``sum(list_of_np.float64)``, whose exact
+        # ``sum(probabilities) != 1`` branch downstream depends on it.
+        total = np.float64(0.0)
+        for v in kept:
+            total = total + v
+        # elementwise array division == per-scalar division bitwise;
+        # iterating the result keeps np.float64 elements (see above)
+        self.probabilities = list(kept / total) if len(kept) else []
 
         self.shortest_queue = False
         if np.abs(1 - np.sum(self.probabilities)) > 0.0001 and origin is not None:
@@ -368,27 +374,35 @@ class Sim:
         # the reference (simulation_v3.py:51 goes through the root logger),
         # so 'Music' log files contain it too.
         log_any = self.log if self.generate_log else None
+        adj = np.asarray(adj_matrix, dtype="float64")
+        idx_n = np.arange(n)
+
+        def _destiny(i):
+            mask = (adj[i] > 0) & (idx_n != i)
+            return np.where(mask, idx_n, 0)
+
         for i, source in self.sources.items():
-            destiny = [j if (self.adj_matrix[i][j] > 0 and i != j) else 0 for j in range(n)]
-            probabilities = np.array(adj_matrix[i], dtype="float64", copy=True)
+            probabilities = adj[i].copy()
             probabilities[i] = 0
+            destiny = _destiny(i)
             source.destination = FlowBranchOperator(
                 probabilities=probabilities, children=destiny, origin=i, log=log_any
             )
             if log_all is not None:
-                log_all.info(f"Source {i} has destination {destiny}")
+                # reference logs the python-list repr of destiny
+                log_all.info(f"Source {i} has destination {destiny.tolist()}")
                 log_all.info(f"Source {i} has distribution {distributions[i]}")
                 log_all.info(f"Source {i} has mean inter-arrival time {source.mean_inter_arrival_time}")
 
         for i, server in self.servers.items():
-            destiny = [j if (self.adj_matrix[i][j] > 0 and i != j) else 0 for j in range(n)]
-            probabilities = np.array(adj_matrix[i], dtype="float64", copy=True)
+            probabilities = adj[i].copy()
             probabilities[i] = 0
+            destiny = _destiny(i)
             server.destination = FlowBranchOperator(
                 probabilities=probabilities, children=destiny, origin=i, log=log_any
             )
             if log_all is not None:
-                log_all.info(f"Server {i} has destination {destiny}")
+                log_all.info(f"Server {i} has destination {destiny.tolist()}")
                 log_all.info(f"Server {i} has distribution {distributions[i]}")
                 log_all.info(f"Server {i} has mean service time {server.mean_service_time}")
 
