@@ -3,7 +3,8 @@ marja-w/gan-des-midi-music-gen (GAN x DES MIDI music generation).
 
 Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 
-- ``core``     — config dataclasses, RNG stream discipline, event-log codec.
+- ``core``     — RNG stream discipline, event-log codec, profiling
+                 (training configs are dataclasses in ``train``).
 - ``des``      — the discrete-event simulator (host engine; C++ fast path),
                  queueing theory validators, SimTester.
 - ``music``    — MIDI codec (self-contained SMF reader/writer), the log->MIDI

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from gandes_tpu.music.midi import DEFAULT_TEMPO, MidiFile
+from gandes_tpu.music.midi import MidiFile
 
 
 def _tempo_changes(midi: MidiFile):

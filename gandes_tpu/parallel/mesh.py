@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import optax
 
 from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
-from gandes_tpu.data.datasets import DataLoader, MaestroDatasetPickle
+from gandes_tpu.data.datasets import DataLoader
 from gandes_tpu.models.mmgan import BeatGenerator, DiscriminatorCNN, MLPGenerator
 from gandes_tpu.train import checkpoint as ckpt
 from gandes_tpu.train.losses import bce_with_logits

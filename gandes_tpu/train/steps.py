@@ -24,13 +24,11 @@ against D on a device-side differentiable proxy (provided by the caller as
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import freeze, unfreeze
 
 from gandes_tpu.train.losses import GAN_DES_FAKE_LABEL, GAN_DES_REAL_LABEL, bce_with_logits
 
