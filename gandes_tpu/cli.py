@@ -58,7 +58,11 @@ def _cmd_generate_mmgan(args):
 
     cfg = MMGANConfig(start=args.start, sequence_length=args.sequence_length)
     state, _, _ = init_state_for_config(cfg, batch_size=1)
-    if args.checkpoint:
+    if args.torch_checkpoint:
+        from gandes_tpu.train.torch_import import load_mmgan_torch_checkpoint
+
+        state = load_mmgan_torch_checkpoint(args.torch_checkpoint, state)
+    elif args.checkpoint:
         state = ckpt.restore_state(args.checkpoint, state)
     rng = np.random.RandomState(args.seed)
     noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
@@ -123,6 +127,8 @@ def main(argv=None):
 
     sp = sub.add_parser("generate-mmgan", help="generate a MIDI from a checkpoint")
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="a reference .pth state_dict (author-trained weights)")
     sp.add_argument("--start", type=int, default=100)
     sp.add_argument("--sequence-length", type=int, default=50)
     sp.add_argument("--out-dir", default="./adj_sim_outputs/midi")
