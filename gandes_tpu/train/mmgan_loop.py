@@ -65,6 +65,9 @@ class MMGANConfig:
     print_interval: int = 5
     sleep_between_epochs: float = 0.0  # reference: 10 s (network_tests.py:344)
     faithful: bool = False
+    # 'none' (reference semantics: G gets zero gradient through the DES) or
+    # 'direct' (straight-through surrogate; G actually trains — improvement)
+    g_update: str = "none"
     # >1: concurrent native DES sims per batch (fast mode — deterministic
     # but a different RNG stream than the reference's sequential coupling)
     des_parallel: int | None = None
@@ -125,7 +128,8 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             print("No saved model found, starting training from scratch")
 
     gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
-    train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
+    train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
+                                               g_update=cfg.g_update))
     g_loss_only = jax.jit(
         lambda d_params, fake: bce_with_logits(
             d.apply({"params": d_params}, fake).squeeze(), 1.0
@@ -164,7 +168,11 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
 
             fake, failed, new_stats = fake_batch(state, noise1, noise2, beats_j, count)
             state = GANState(**{**state.__dict__, "g_stats": new_stats})
-            state, metrics = train_step(state, real, fake)
+            if cfg.g_update == "direct":
+                state, metrics = train_step(state, real, fake, noise1, noise2,
+                                            beats_j, jax.random.key(count))
+            else:
+                state, metrics = train_step(state, real, fake)
             g_loss = metrics["g_loss"]
 
             if cfg.faithful:

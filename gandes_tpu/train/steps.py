@@ -85,18 +85,54 @@ def make_mmgan_gen_forward(g1, g2):
     return forward
 
 
+def make_default_fake_proxy(g1, g2):
+    """Straight-through surrogate for ``g_update='direct'``: re-run G1/G2
+    differentiably, render a cheap differentiable "roll" from their outputs
+    (adjacency matrix bilinearly resized onto the (note, time) grid, scaled
+    by gen2's velocity/duration parameters), and route gradients through it
+    while the forward VALUE stays the true DES-produced roll:
+
+        proxy = fake_roll + surrogate - stop_grad(surrogate)
+
+    The surrogate is a biased renderer, not the DES — but unlike the
+    reference (whose generators receive exactly zero gradient), it gives G
+    a non-degenerate training signal through D.
+    """
+
+    def proxy(g_params, g_stats, noise1, noise2, beats, aux_key, fake_roll):
+        mats, _ = g1.apply(
+            {"params": g_params["g1"], "batch_stats": g_stats["g1"]},
+            noise1, None, True, mutable=["batch_stats"], rngs={"aux": aux_key},
+        )
+        vec, _ = g2.apply(
+            {"params": g_params["g2"], "batch_stats": g_stats["g2"]},
+            noise2, beats, True, mutable=["batch_stats"],
+        )
+        B, _, H, T = fake_roll.shape
+        img = jax.image.resize(mats, (B, H, T), method="bilinear")
+        vel = img * (126.0 * vec[:, 3][:, None, None])
+        dur = img * (20.0 * vec[:, 5][:, None, None])
+        surrogate = jnp.stack([vel, dur], axis=1)
+        return fake_roll + surrogate - jax.lax.stop_gradient(surrogate)
+
+    return proxy
+
+
 def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
                           fake_proxy_fn: Callable | None = None):
-    """Returns ``train_step(state, real_roll, fake_roll) -> (state, metrics)``
-    with the D update and G loss fused into one jit.
+    """Returns ``train_step(state, real_roll, fake_roll, [noise1, noise2,
+    beats, aux_key]) -> (state, metrics)`` with the D update and G loss
+    fused into one jit.
 
-    ``g_update='direct'`` requires ``fake_proxy_fn(g_params, fake_roll) ->
-    differentiable roll`` (the straight-through shortcut around the DES).
+    ``g_update='direct'`` uses ``fake_proxy_fn`` (default:
+    :func:`make_default_fake_proxy`) to route gradients to the generators
+    through a straight-through surrogate around the DES; the extra args are
+    required in that mode.
     """
     if g_update not in ("none", "direct"):
         raise ValueError(f"unknown g_update mode {g_update!r}")
     if g_update == "direct" and fake_proxy_fn is None:
-        raise ValueError("g_update='direct' needs fake_proxy_fn")
+        fake_proxy_fn = make_default_fake_proxy(g1, g2)
 
     def d_loss_fn(d_params, real, fake):
         logits_fake = d.apply({"params": d_params}, fake)
@@ -106,14 +142,16 @@ def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
         )
         return loss
 
-    def train_step(state: GANState, real_roll, fake_roll):
+    def train_step(state: GANState, real_roll, fake_roll, noise1=None,
+                   noise2=None, beats=None, aux_key=None):
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_roll, fake_roll)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         if g_update == "direct":
             def g_loss_fn(g_params):
-                roll = fake_proxy_fn(g_params, fake_roll)
+                roll = fake_proxy_fn(g_params, state.g_stats, noise1, noise2,
+                                     beats, aux_key, fake_roll)
                 return bce_with_logits(d.apply({"params": d_params}, roll).squeeze(), 1.0)
 
             g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)

@@ -112,6 +112,36 @@ def test_mmgan_train_step_semantics():
     assert int(new_state.step) == 1
 
 
+def test_mmgan_direct_g_update_moves_generators():
+    """Improved mode: the straight-through surrogate gives G1/G2 real
+    gradients (the reference's generators receive exactly zero)."""
+    g1 = MLPGenerator(adj_size=(64, 64))
+    g2 = BeatGenerator(output_dim=20)
+    d = DiscriminatorCNN(roll_size=(2, 128, 50))
+    g_tx = optax.adam(0.01)
+    d_tx = optax.adam(0.01)
+    state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=4,
+                             z_dim=50, beat_dim=50, roll_size=(2, 128, 50),
+                             g_tx=g_tx, d_tx=d_tx)
+    step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update="direct"))
+    noise1 = jax.random.normal(jax.random.key(1), (4, 50))
+    noise2 = jax.random.normal(jax.random.key(2), (4, 50))
+    beats = jnp.zeros((4, 50))
+    # small magnitudes: unnormalized 0..100 rolls saturate D's logits after
+    # one update and the sigmoid gradient vanishes exactly
+    real = jax.random.uniform(jax.random.key(3), (4, 2, 128, 50))
+    fake = jax.random.uniform(jax.random.key(4), (4, 2, 128, 50))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.g_params)
+    new_state, metrics = step(state, real, fake, noise1, noise2, beats, jax.random.key(9))
+    assert np.isfinite(metrics["g_loss"]) and float(metrics["g_loss"]) > 0
+    moved = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != np.asarray(b))), before,
+                     new_state.g_params),
+    )
+    assert moved
+
+
 def test_gandes_train_step():
     gen = DCGANGenerator()
     disc = MelDiscriminator()
