@@ -96,6 +96,26 @@ def test_mmgan_training_loop_and_resume(midi_fixture_dir, tmp_path, monkeypatch)
     assert int(state2.step) > int(state.step)
 
 
+def test_mmgan_faithful_and_direct_modes(midi_fixture_dir, tmp_path, monkeypatch):
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    for name, kw in (("faithful", {"faithful": True}),
+                     ("direct", {"g_update": "direct"})):
+        cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
+                          models_dir=str(tmp_path / f"m_{name}"),
+                          losses_dir=str(tmp_path / f"l_{name}"),
+                          save_interval=99, resume=False, seed=2, **kw)
+        np.random.seed(1)
+        state, history = train_mmgan(ds, cfg, max_batches=1)
+        assert np.isfinite(history["disc"][0][0]), name
+        assert np.isfinite(history["gen"][0][0]), name
+
+
 def test_gandes_training_loop(tmp_path, monkeypatch):
     from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
 
