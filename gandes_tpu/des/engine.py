@@ -907,14 +907,16 @@ class Sim:
     # ---------------------------------------------------------- fast access
 
     def log_line_count(self):
-        """Total buffered log lines (materialized + pending native records)
-        without forcing string formatting."""
+        """Total log lines the run emitted (materialized + pending native
+        records, including any beyond the storage cap) without forcing
+        string formatting."""
         if self.log is None:
             return 0
         n = len(self.log.lines)
         pend = getattr(self, "_pending_records", None)
         if pend is not None:
-            n += len(pend[0]) - self._pending_offset
+            total = getattr(self, "_pending_total", len(pend[0]))
+            n += total - self._pending_offset
         return n
 
     def music_lines(self, limit=None):

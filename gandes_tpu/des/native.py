@@ -110,8 +110,8 @@ def materialize_records(sim, limit: int | None = None) -> None:
     if want > off:
         names = _KIND_NAMES
         append = sim.log.lines.append
-        for k in range(off, want):
-            v, i, s, kk = values[k], ids[k], servers_l[k], kinds[k]
+        for v, i, s, kk in zip(values[off:want].tolist(), ids[off:want].tolist(),
+                               servers_l[off:want].tolist(), kinds[off:want].tolist()):
             if kk == 1 and v == 0.0:
                 # branch/'queue' nodes: the Python engine's service_time is
                 # the *int* 0 (str "0", not "0.0") — drawn times are always
@@ -194,7 +194,7 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     out_sat = np.zeros(n, np.float64)
     out_scust = np.zeros(n, np.int64)
     dealt = np.zeros((num_seeds, n), np.int64)
-    out_totals = np.zeros(6, np.float64)
+    out_totals = np.zeros(7, np.float64)
 
     rec_values = C.POINTER(C.c_double)()
     rec_ids = C.POINTER(C.c_int64)()
@@ -202,6 +202,9 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     rec_kinds = C.POINTER(C.c_uint8)()
     rec_count = C.c_int64(0)
 
+    # when the log is in-memory-only, storing every record is wasted work:
+    # downstream consumers read at most ~5001 lines + the total line count
+    record_limit = -1 if (sim.log is not None and sim.log.path is not None) else 5100
     deadline_budget = sim.max_sim_time
     if sim.deadline is not None:
         import time as _t
@@ -216,6 +219,7 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         ptr(seeds_arr), C.c_int(num_seeds), C.c_int64(number_of_customers),
         C.c_int(1 if use_next_available_server else 0),
         C.c_double(float(deadline_budget)), C.c_int(1 if sim.generate_log else 0),
+        C.c_int64(record_limit),
         ptr(g_key), C.byref(g_pos), C.byref(g_has_gauss), C.byref(g_gauss),
         ptr(out_tis), ptr(out_served), ptr(out_tiq), ptr(out_cql), ptr(out_mql),
         ptr(out_ren), ptr(out_del), ptr(out_qlt), C.c_int(qlt_cap),
@@ -270,15 +274,19 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     # (artifact parity with the Python engine); a path-less log defers.
     if sim.generate_log and rec_count.value:
         cnt = rec_count.value
-        values = np.ctypeslib.as_array(rec_values, shape=(cnt,)).tolist()
-        ids = np.ctypeslib.as_array(rec_ids, shape=(cnt,)).tolist()
-        servers_l = np.ctypeslib.as_array(rec_servers, shape=(cnt,)).tolist()
-        kinds = np.ctypeslib.as_array(rec_kinds, shape=(cnt,)).tolist()
+        # memcpy into numpy; python-object conversion (tolist) is deferred
+        # to materialization and bounded by its limit
+        values = np.ctypeslib.as_array(rec_values, shape=(cnt,)).copy()
+        ids = np.ctypeslib.as_array(rec_ids, shape=(cnt,)).copy()
+        servers_l = np.ctypeslib.as_array(rec_servers, shape=(cnt,)).copy()
+        kinds = np.ctypeslib.as_array(rec_kinds, shape=(cnt,)).copy()
         lib.des_free_records(rec_values, rec_ids, rec_servers, rec_kinds)
         sim._pending_records = (values, ids, servers_l, kinds)
         sim._pending_offset = 0
+        sim._pending_total = int(out_totals[6])
         if sim.log.path is not None:
             materialize_records(sim)
             sim.log.flush()
     elif sim.generate_log:
+        sim._pending_total = int(out_totals[6])
         sim.log.flush()

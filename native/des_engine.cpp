@@ -320,6 +320,8 @@ struct Engine {
   double deadline_epoch = 0;  // absolute; 0 = none
 
   std::vector<Record> records;
+  int64_t record_limit = -1;   // -1 = unlimited
+  int64_t records_emitted = 0;
   // queue-length-time buckets: dense n x qlt_cap
   std::vector<double> qlt;
   int qlt_cap = 0;
@@ -340,7 +342,10 @@ struct Engine {
   }
 
   void emit(uint8_t kind, double value, int64_t eid, int32_t sid) {
-    if (gen_log) records.push_back({value, eid, sid, kind});
+    if (!gen_log) return;
+    records_emitted++;
+    if (record_limit < 0 || (int64_t)records.size() < record_limit)
+      records.push_back({value, eid, sid, kind});
   }
 
   double draw_dist(int node, MT19937& rng) {
@@ -636,6 +641,7 @@ int des_run(
     // run config
     const int64_t* seeds, int num_seeds, int64_t number_of_customers,
     int use_next_available, double max_sim_time_s, int gen_log,
+    int64_t record_limit,
     // global RNG state in/out
     uint32_t* g_key, int* g_pos, int* g_has_gauss, double* g_gauss,
     // outputs (per-node arrays of length n; LAST replication)
@@ -646,7 +652,8 @@ int des_run(
     double* out_src_arrival_times, int64_t* out_src_customers,
     int64_t* dealt_seeds,  // num_seeds * n (server/source dealing order: node id)
     double* out_totals,    // [clock, previous_time, total_arrival_time,
-                           //  total_time_in_queues, total_customers, ccis]
+                           //  total_time_in_queues, total_customers, ccis,
+                           //  records_emitted]
     // records
     double** rec_values, int64_t** rec_ids, int32_t** rec_servers,
     uint8_t** rec_kinds, int64_t* rec_count) {
@@ -663,6 +670,7 @@ int des_run(
   eng.is_sink = is_sink;
   eng.use_next_available = use_next_available != 0;
   eng.gen_log = gen_log != 0;
+  eng.record_limit = record_limit;
 
   std::memcpy(eng.global.key, g_key, 624 * sizeof(uint32_t));
   eng.global.pos = *g_pos;
@@ -720,6 +728,7 @@ int des_run(
   out_totals[3] = eng.total_time_in_queues;
   out_totals[4] = (double)eng.total_customers;
   out_totals[5] = (double)eng.current_customers_in_system;
+  out_totals[6] = (double)eng.records_emitted;
 
   std::memcpy(g_key, eng.global.key, 624 * sizeof(uint32_t));
   *g_pos = eng.global.pos;
