@@ -7,7 +7,6 @@ core supports (the rest fall back to the Python engine transparently):
 
 * logging_mode == 'Music' (the training/data channel; 'All' has dozens of
   verbose line kinds that aren't on the hot path),
-* record_history=False (SimTester's accuracy path stays in Python),
 * distribution kinds exp/normal/uniform/gamma/beta/branch/queue
   ('discrete' stays in Python),
 * seeds in [0, 2^32) (numpy's legacy integer seeding range).
@@ -77,7 +76,7 @@ def native_available() -> bool:
 
 
 def native_eligible(sim) -> bool:
-    if sim.record_history or sim.animation:
+    if sim.animation:
         return False
     if sim.generate_log and sim.logging_mode != "Music":
         return False
@@ -182,6 +181,7 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     g_gauss = C.c_double(float(g_state[4]))
 
     qlt_cap = int(min(max(int(queue_caps.max(initial=0)) + 1024, 256), 65536))
+    ptr = lambda a: a.ctypes.data_as(C.c_void_p)
 
     out_tis = np.zeros(n, np.float64)
     out_served = np.zeros(n, np.int64)
@@ -195,6 +195,17 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
     out_scust = np.zeros(n, np.int64)
     dealt = np.zeros((num_seeds, n), np.int64)
     out_totals = np.zeros(7, np.float64)
+
+    # per-replication stats for record_history (metrics history parity)
+    if sim.record_history:
+        rep_stats = np.zeros((num_seeds, n, 9), np.float64)
+        rep_totals = np.zeros((num_seeds, 4), np.float64)
+        rep_qlt = np.zeros((num_seeds, n, qlt_cap), np.float64)
+        rep_ptrs = (ptr(rep_stats), ptr(rep_totals), ptr(rep_qlt))
+    else:
+        rep_stats = rep_totals = rep_qlt = None
+        null = C.c_void_p()
+        rep_ptrs = (null, null, null)
 
     rec_values = C.POINTER(C.c_double)()
     rec_ids = C.POINTER(C.c_int64)()
@@ -211,7 +222,6 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
 
         deadline_budget = min(deadline_budget, max(sim.deadline - _t.time(), 0.0))
 
-    ptr = lambda a: a.ctypes.data_as(C.c_void_p)
     lib.des_run(
         C.c_int(n), ptr(node_is_source), ptr(dist_kind), ptr(dist_params),
         ptr(queue_caps), ptr(children_arr), ptr(offsets_arr), ptr(cdf_arr),
@@ -223,7 +233,9 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         ptr(g_key), C.byref(g_pos), C.byref(g_has_gauss), C.byref(g_gauss),
         ptr(out_tis), ptr(out_served), ptr(out_tiq), ptr(out_cql), ptr(out_mql),
         ptr(out_ren), ptr(out_del), ptr(out_qlt), C.c_int(qlt_cap),
-        ptr(out_sat), ptr(out_scust), ptr(dealt), ptr(out_totals),
+        ptr(out_sat), ptr(out_scust), ptr(dealt),
+        rep_ptrs[0], rep_ptrs[1], rep_ptrs[2],
+        ptr(out_totals),
         C.byref(rec_values), C.byref(rec_ids), C.byref(rec_servers),
         C.byref(rec_kinds), C.byref(rec_count),
     )
@@ -260,6 +272,29 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
                 sim.server_seeds[i].append(int(dealt[r, i]))
             else:
                 sim.source_seeds[i].append(int(dealt[r, i]))
+
+    if sim.record_history:
+        for r in range(num_seeds):
+            for i, server in sim.servers.items():
+                row = rep_stats[r, i]
+                server.total_time_in_service = float(row[0])
+                server.total_time_in_queue = float(row[1])
+                server.total_customers_served = int(row[2])
+                server.reneges = int(row[3])
+                server.max_queue_length = int(row[4])
+                server.cumulative_queue_length = float(row[5])
+                server.delayed_departures = int(row[6])
+                qlt = {0: 0}
+                for length in np.nonzero(rep_qlt[r, i])[0]:
+                    qlt[int(length)] = float(rep_qlt[r, i][length])
+                server.queue_length_times = qlt
+            for i, source in sim.sources.items():
+                source.arrival_times = float(rep_stats[r, i, 7])
+                source.customers_generated = int(rep_stats[r, i, 8])
+            sim.Clock = float(rep_totals[r, 0])
+            sim.total_customers = int(rep_totals[r, 1])
+            if sim.Clock != 0:  # reference gate (fixed .clock crash)
+                sim.calculate_metrics()
 
     sim.Clock = float(out_totals[0])
     sim.previous_time = float(out_totals[1])

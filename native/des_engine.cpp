@@ -651,6 +651,13 @@ int des_run(
     double* out_qlt, int qlt_cap,
     double* out_src_arrival_times, int64_t* out_src_customers,
     int64_t* dealt_seeds,  // num_seeds * n (server/source dealing order: node id)
+    // per-replication stats (record_history support): pass NULL to skip.
+    // rep_stats: (num_seeds, n, 9) = [tis, tiq, served, reneges, mql, cql,
+    //            delayed, src_arrival_times, src_customers]
+    // rep_totals: (num_seeds, 4) = [clock, total_customers,
+    //            total_arrival_time, total_time_in_queues]
+    // rep_qlt: (num_seeds, n, qlt_cap)
+    double* rep_stats, double* rep_totals, double* rep_qlt,
     double* out_totals,    // [clock, previous_time, total_arrival_time,
                            //  total_time_in_queues, total_customers, ccis,
                            //  records_emitted]
@@ -708,6 +715,27 @@ int des_run(
         max_sim_time_s > 0 ? wall_now() + max_sim_time_s
                            : 0.0;
     interrupted = eng.run_one(number_of_customers, wall_deadline) || interrupted;
+    if (rep_stats != nullptr) {
+      for (int i = 0; i < n; i++) {
+        double* row = rep_stats + ((size_t)r * n + i) * 9;
+        row[0] = eng.servers[i].total_time_in_service;
+        row[1] = eng.servers[i].total_time_in_queue;
+        row[2] = (double)eng.servers[i].total_customers_served;
+        row[3] = (double)eng.servers[i].reneges;
+        row[4] = (double)eng.servers[i].max_queue_length;
+        row[5] = eng.servers[i].cumulative_queue_length;
+        row[6] = (double)eng.servers[i].delayed_departures;
+        row[7] = eng.source_arrival_times[i];
+        row[8] = (double)eng.source_customers[i];
+      }
+      rep_totals[(size_t)r * 4 + 0] = eng.clock;
+      rep_totals[(size_t)r * 4 + 1] = (double)eng.total_customers;
+      rep_totals[(size_t)r * 4 + 2] = eng.total_arrival_time;
+      rep_totals[(size_t)r * 4 + 3] = eng.total_time_in_queues;
+      if (rep_qlt != nullptr)
+        std::memcpy(rep_qlt + (size_t)r * n * qlt_cap, eng.qlt.data(),
+                    sizeof(double) * (size_t)n * qlt_cap);
+    }
   }
 
   for (int i = 0; i < n; i++) {

@@ -106,6 +106,31 @@ def test_native_speedup(tmp_path):
     assert speedup > 1.5
 
 
+def test_native_record_history_matches_python():
+    """Metrics histories (record_history=True) parity across engines."""
+    adj = np.array([[1.0, 1.0], [0.0, -1.0]])
+    dists = [["exponential", 1.0], ["exponential", 0.6]]
+
+    def run(engine):
+        np.random.seed(4)
+        sim = Sim(adj, [list(d) for d in dists], [0, 40], seeds=[31, 32, 33],
+                  record_history=True, engine=engine)
+        sim.run(number_of_customers=2000)
+        return sim
+
+    py, nt = run("python"), run("native")
+    assert len(nt.avg_queue_length_history) == len(py.avg_queue_length_history) == 3
+    for attr in ("avg_queue_length_history", "avg_server_length_history",
+                 "avg_queue_time_history", "renege_rate_history",
+                 "server_utilizations_history", "max_queue_lengths_history",
+                 "customers_served_per_server", "total_arrival_time_history"):
+        for h_py, h_nt in zip(getattr(py, attr), getattr(nt, attr)):
+            assert set(h_py) == set(h_nt), attr
+            for k in h_py:
+                assert h_nt[k] == pytest.approx(h_py[k], rel=1e-9, abs=1e-12), (attr, k)
+    assert nt.total_customers_history == py.total_customers_history
+
+
 def test_engine_fallback_for_unsupported_configs():
     adj = np.array([[1.0, 1.0], [0.0, -1.0]])
     dists = [["discrete", [0.5, 1.5], [0.5, 0.5]], ["exponential", 0.5]]
