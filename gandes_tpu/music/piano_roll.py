@@ -23,7 +23,11 @@ sample.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+import jax
 
 from gandes_tpu.music.beats import get_beats
 from gandes_tpu.music.midi import MidiFile
@@ -151,10 +155,18 @@ def rasterize_events_jax(notes, ons, offs, vels, *, num_steps: int, start: int =
     import jax.numpy as jnp
 
     notes = jnp.asarray(notes, dtype=jnp.int32)
-    ons = jnp.asarray(ons, dtype=jnp.int32) - start
-    offs = jnp.asarray(offs, dtype=jnp.int32) - start
+    ons = jnp.asarray(ons, dtype=jnp.int32)
+    offs = jnp.asarray(offs, dtype=jnp.int32)
     vels = jnp.asarray(vels, dtype=jnp.int32)
+    return _rasterize_impl(notes, ons, offs, vels, num_steps, start)
 
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _rasterize_impl(notes, ons, offs, vels, num_steps, start):
+    import jax.numpy as jnp
+
+    ons = ons - start
+    offs = offs - start
     B, E = notes.shape
     T = num_steps
     C = 128 * T  # flat cell count; index C = dump slot for masked writes
