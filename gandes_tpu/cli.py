@@ -80,6 +80,43 @@ def _cmd_generate_mmgan(args):
         print(f"wrote {args.out_dir}/generation.wav")
 
 
+def _cmd_generate_gandes(args):
+    import jax
+    import optax
+
+    from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+    from gandes_tpu.train import checkpoint as ckpt
+    from gandes_tpu.train.gandes_loop import GanDesConfig
+    from gandes_tpu.train.steps import init_gandes_state
+    from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+    from gandes_tpu.eval.visualize import plot_spectrogram
+
+    cfg = GanDesConfig()
+    gen = DCGANGenerator(noise_dim=cfg.z_dim)
+    disc = MelDiscriminator()
+    tx = optax.adam(cfg.lr, b1=0.5)
+    state = init_gandes_state(gen, disc, jax.random.key(0), batch_size=args.n,
+                              z_dim=cfg.z_dim, g_tx=tx, d_tx=tx)
+    if args.torch_checkpoint:
+        from gandes_tpu.train.torch_import import load_gandes_torch_checkpoint
+
+        state = load_gandes_torch_checkpoint(args.torch_checkpoint, state)
+    elif args.checkpoint:
+        state = ckpt.restore_state(args.checkpoint, state)
+    noise = jax.random.normal(jax.random.key(args.seed), (args.n, cfg.z_dim))
+    mats = gen.apply({"params": state.g_params, "batch_stats": state.g_stats},
+                     noise, False)
+    np.random.seed(args.seed)
+    import os as _os
+
+    _os.makedirs(args.out_dir, exist_ok=True)
+    specs = matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
+                          out_dir=args.out_dir)
+    plot_spectrogram(np.asarray(specs[0]),
+                     save_path=os.path.join(args.out_dir, "spectrogram.png"))
+    print(f"generated {args.n} song(s): WAVs + spectrogram.png in {args.out_dir}/")
+
+
 def _cmd_sim_to_wav(args):
     from gandes_tpu.bridge.sim_demo import sim_to_wav
 
@@ -96,6 +133,16 @@ def _cmd_bench(args):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize pre-imported jax and
+    # latched a different platform default
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     p = argparse.ArgumentParser(prog="gandes_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -135,6 +182,15 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--wav", action="store_true", help="also synthesize WAV")
     sp.set_defaults(fn=_cmd_generate_mmgan)
+
+    sp = sub.add_parser("generate-gandes", help="GAN-DES: generate songs from a checkpoint")
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="a reference gen_<step>_<ts>.pt state_dict")
+    sp.add_argument("--n", type=int, default=1)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out-dir", default="adj_sim_outputs")
+    sp.set_defaults(fn=_cmd_generate_gandes)
 
     sp = sub.add_parser("sim-to-wav", help="random queueing network -> WAV demo")
     sp.add_argument("--size", type=int, default=32)

