@@ -154,7 +154,8 @@ def matrix_to_midi(
         if native_available():
             return _matrix_to_midi_parallel(
                 gen1_output, gen2_output, dim, size, num_aug, instrument,
-                start, end, count, generate, log_path, out_dir, watchdog, parallel,
+                start, end, count, generate, log_path, out_dir, watchdog,
+                parallel, skip_trivial_decode,
             )
 
     midi_rolls = []
@@ -228,7 +229,8 @@ def matrix_to_midi(
 
 def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
                              instrument, start, end, count, generate,
-                             log_path, out_dir, watchdog, parallel):
+                             log_path, out_dir, watchdog, parallel,
+                             skip_trivial_decode=True):
     """Fast mode: sequential decode, concurrent native sims, sequential
     log decode. See module docstring for the RNG-stream caveat."""
     B = len(gen1_output)
@@ -276,7 +278,8 @@ def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
             failed += 1
             midi_rolls.append(output)
             continue
-        if not generate and min(sim.log_line_count(), 5001) % 100 != 0:
+        if (skip_trivial_decode and not generate
+                and min(sim.log_line_count(), 5001) % 100 != 0):
             # parity-exact zero-roll shortcut (see sequential path)
             midi_rolls.append(output)
             continue

@@ -844,7 +844,33 @@ class Sim:
             self.customers_served_per_server.append(customers_served_per_server)
             self.probabilities_of_queue_lengths_history.append(queue_length_probabilities)
 
-        return avg_queue_length, avg_queue_time, renege_rate, server_utilizations
+        # reference logs a metric block whenever a log exists
+        # (simulation_v3.py:804-824) and returns None on this path
+        if self.generate_log and self.log is not None:
+            total_U = sum(server_utilizations.values())
+            total_L = sum(avg_queue_length.values()) + sum(server_utilizations.values())
+            total_LQ = sum(avg_queue_length.values())
+            total_W = sum(avg_time_at_server.values()) + sum(avg_queue_time.values())
+            total_WQ = sum(avg_queue_time.values())
+            log = self.log
+            log.info(f"Average queue length: {avg_queue_length}")
+            log.info(f"Average server length: {avg_server_length}")
+            log.info(f"Average time at server: {avg_time_at_server}")
+            log.info(f"Average queue_time: {avg_queue_time}")
+            log.info(f"Renege rate: {renege_rate}")
+            log.info(f"Server utilization: {server_utilizations}")
+            log.info(f"Total arrival time: {arrival_times}")
+            log.info(f"Total service time: {service_times}")
+            log.info(f"Total customers served: {self.total_customers}")
+            log.info(f"Max queue length: {max_queue_lengths}")
+            log.info(f"Customers served per server: {customers_served_per_server}")
+            log.info("--------------------------------------------------")
+            log.info(f"Total U: {total_U}")
+            log.info(f"Total L: {total_L}")
+            log.info(f"Total LQ: {total_LQ}")
+            log.info(f"Total W: {total_W}")
+            log.info(f"Total WQ: {total_WQ}")
+        return None
 
     def print_test_variables(self):
         print(f"TEST QUEUE LENGTH: {self.test_variable}")
@@ -912,11 +938,10 @@ class Sim:
         string formatting."""
         if self.log is None:
             return 0
-        n = len(self.log.lines)
+        n = len(self.log.lines) + getattr(self, "_dropped_records", 0)
         pend = getattr(self, "_pending_records", None)
         if pend is not None:
-            total = getattr(self, "_pending_total", len(pend[0]))
-            n += total - self._pending_offset
+            n += len(pend[0]) - self._pending_offset
         return n
 
     def music_lines(self, limit=None):

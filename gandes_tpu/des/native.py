@@ -76,9 +76,13 @@ def native_available() -> bool:
 
 
 def native_eligible(sim) -> bool:
-    if sim.animation:
+    if sim.animation or sim.verbose:
         return False
     if sim.generate_log and sim.logging_mode != "Music":
+        return False
+    if sim.record_history and sim.generate_log:
+        # the reference interleaves per-replication metric log lines with
+        # event lines; the native path can't preserve that ordering
         return False
     for spec in sim.distributions:
         if spec[0] == "discrete":
@@ -88,6 +92,15 @@ def native_eligible(sim) -> bool:
     for s in sim.seeds:
         if not (0 <= int(s) < 2**32):
             return False
+    # a probability-routing row that can deliver customers to a source node
+    # makes the reference/Python engine raise KeyError; the C++ core would
+    # draw from an unseeded stream instead — keep such nets on Python
+    for node in {**sim.servers, **sim.sources}.values():
+        dest = node.destination
+        if not dest.shortest_queue:
+            for c in dest.children:
+                if c in sim.sources:
+                    return False
     return native_available()
 
 
@@ -319,9 +332,12 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         sim._pending_records = (values, ids, servers_l, kinds)
         sim._pending_offset = 0
         sim._pending_total = int(out_totals[6])
+        # records beyond the storage cap were counted but not stored
+        sim._dropped_records = sim._pending_total - cnt
         if sim.log.path is not None:
             materialize_records(sim)
             sim.log.flush()
     elif sim.generate_log:
         sim._pending_total = int(out_totals[6])
+        sim._dropped_records = 0
         sim.log.flush()

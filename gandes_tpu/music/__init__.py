@@ -1,19 +1,40 @@
-from gandes_tpu.music.midi import Message, MetaMessage, MidiFile, MidiTrack
-from gandes_tpu.music.piano_roll import generate_piano_roll, rasterize_events_jax, midi_to_events
-from gandes_tpu.music.beats import get_beats
-from gandes_tpu.music.generators import (
-    LogLineProcessor,
-    MidiGeneratorV0,
-    MidiGeneratorV1,
-    MidiGeneratorV2,
-    process_adjsim_log_v0,
-    process_adjsim_log_v1,
-    process_adjsim_log_v2,
-)
-from gandes_tpu.music.mel import (
-    melspectrogram_db,
-    melspectrogram_db_tensor,
-    melspectrogram_db_tensor_from_file,
-    melspectrogram_power_tensor,
-)
-from gandes_tpu.music.synth import FluidSynth, render_midi
+"""Music stack: MIDI codec, log->MIDI generators, piano rolls, beats,
+TPU synth, mel spectrograms.
+
+Exports resolve lazily (PEP 562) so numpy-only pieces (the MIDI codec, the
+generators) don't pull in jax/flax just by importing the package.
+"""
+
+_EXPORTS = {
+    "Message": "gandes_tpu.music.midi",
+    "MetaMessage": "gandes_tpu.music.midi",
+    "MidiFile": "gandes_tpu.music.midi",
+    "MidiTrack": "gandes_tpu.music.midi",
+    "generate_piano_roll": "gandes_tpu.music.piano_roll",
+    "rasterize_events_jax": "gandes_tpu.music.piano_roll",
+    "midi_to_events": "gandes_tpu.music.piano_roll",
+    "get_beats": "gandes_tpu.music.beats",
+    "LogLineProcessor": "gandes_tpu.music.generators",
+    "MidiGeneratorV0": "gandes_tpu.music.generators",
+    "MidiGeneratorV1": "gandes_tpu.music.generators",
+    "MidiGeneratorV2": "gandes_tpu.music.generators",
+    "process_adjsim_log_v0": "gandes_tpu.music.generators",
+    "process_adjsim_log_v1": "gandes_tpu.music.generators",
+    "process_adjsim_log_v2": "gandes_tpu.music.generators",
+    "melspectrogram_db": "gandes_tpu.music.mel",
+    "melspectrogram_db_tensor": "gandes_tpu.music.mel",
+    "melspectrogram_db_tensor_from_file": "gandes_tpu.music.mel",
+    "melspectrogram_power_tensor": "gandes_tpu.music.mel",
+    "FluidSynth": "gandes_tpu.music.synth",
+    "render_midi": "gandes_tpu.music.synth",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module 'gandes_tpu.music' has no attribute {name!r}")

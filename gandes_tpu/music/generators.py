@@ -38,6 +38,12 @@ MUSIC_LINE_REGEX = (
     r"([0-9]*\.[0-9]+|[0-9]+) - (arrival|departure)"
 )
 
+# the reference evaluates its note_levels default ONCE at module import
+# (a frozen global-RNG draw, `sim_log_process_music.py:159`); drawing per
+# call would both use different values and perturb the global stream the
+# DES routing depends on
+_DEFAULT_NOTE_LEVELS = np.random.randint(0, 127, 16)
+
 
 class LogLineProcessor:
     """Reference regex parser (`sim_log_to_midi.py:228-237`)."""
@@ -338,7 +344,7 @@ def process_adjsim_log_v1(
     """GAN-DES log->MIDI driver (`GAN_DES/sim_log_process_music.py:159-185`):
     read <= 5000 lines, stage/emit notes, save, return the file path."""
     if note_levels is None:
-        note_levels = np.random.randint(0, 127, 16)
+        note_levels = _DEFAULT_NOTE_LEVELS
     log_processor = LogLineProcessor(MUSIC_LINE_REGEX)
     maxn = 5000
     midi_generator = generator_cls(n=maxn, baseline=baseline, range=range,
@@ -387,7 +393,7 @@ def process_adjsim_log_v2(
     count is a multiple of 100 or ``generate=True``.
     """
     if note_levels is None:
-        note_levels = np.random.randint(0, 127, 16)
+        note_levels = _DEFAULT_NOTE_LEVELS
     log_processor = LogLineProcessor(MUSIC_LINE_REGEX)
     count = 0
     maxn = 5000

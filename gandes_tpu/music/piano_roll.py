@@ -23,11 +23,7 @@ sample.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
-
-import jax
 
 from gandes_tpu.music.beats import get_beats
 from gandes_tpu.music.midi import MidiFile
@@ -151,18 +147,34 @@ def rasterize_events_jax(notes, ons, offs, vels, *, num_steps: int, start: int =
     each cell, pass 2 takes that event's value. Everything is static-shape
     (B, E, T) work that XLA fuses; no host loop, no dynamic shapes.
     """
-    import jax
     import jax.numpy as jnp
 
     notes = jnp.asarray(notes, dtype=jnp.int32)
     ons = jnp.asarray(ons, dtype=jnp.int32)
     offs = jnp.asarray(offs, dtype=jnp.int32)
     vels = jnp.asarray(vels, dtype=jnp.int32)
-    return _rasterize_impl(notes, ons, offs, vels, num_steps, start)
+    return _get_rasterize_impl()(notes, ons, offs, vels, num_steps, start)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _rasterize_impl(notes, ons, offs, vels, num_steps, start):
+_RASTERIZE_IMPL = None
+
+
+def _get_rasterize_impl():
+    """Build the jitted rasterizer on first use (keeps this module — and
+    the generators that import it — importable without jax)."""
+    global _RASTERIZE_IMPL
+    if _RASTERIZE_IMPL is not None:
+        return _RASTERIZE_IMPL
+    import functools
+
+    import jax
+
+    _RASTERIZE_IMPL = functools.partial(jax.jit, static_argnums=(4, 5))(_rasterize_math)
+    return _RASTERIZE_IMPL
+
+
+def _rasterize_math(notes, ons, offs, vels, num_steps, start):
+    import jax
     import jax.numpy as jnp
 
     ons = ons - start

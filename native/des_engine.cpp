@@ -439,9 +439,7 @@ struct Engine {
           service_time = 1e-9;
           break;
         }
-        if ((redraws & 1023) == 0 && wall_deadline > 0) {
-          if (wall_now() > wall_deadline) throw 1;
-        }
+        if ((redraws & 1023) == 0 && wall_now() > wall_deadline) throw 1;
       }
     }
     emit(1, service_time, event_id, server_id);
@@ -615,7 +613,7 @@ struct Engine {
         break;
       }
       ++iter;
-      if (wall_deadline > 0 && wall_now() > wall_deadline) {
+      if (wall_now() > wall_deadline) {
         break;
       }
     }
@@ -711,10 +709,12 @@ int des_run(
         dealt_seeds[(size_t)r * n + i] = s;
       }
     }
-    double wall_deadline =
-        max_sim_time_s > 0 ? wall_now() + max_sim_time_s
-                           : 0.0;
-    interrupted = eng.run_one(number_of_customers, wall_deadline) || interrupted;
+    // the Python engine always has a wall budget (max_sim_time defaults
+    // to 1000); a zero or negative budget means "stop after the first
+    // event", not "unlimited"
+    double wall_deadline = wall_now() + max_sim_time_s;
+    bool rep_interrupted = eng.run_one(number_of_customers, wall_deadline);
+    interrupted = interrupted || rep_interrupted;
     if (rep_stats != nullptr) {
       for (int i = 0; i < n; i++) {
         double* row = rep_stats + ((size_t)r * n + i) * 9;
@@ -736,6 +736,7 @@ int des_run(
         std::memcpy(rep_qlt + (size_t)r * n * qlt_cap, eng.qlt.data(),
                     sizeof(double) * (size_t)n * qlt_cap);
     }
+    if (rep_interrupted) break;  // Python engine breaks the seed loop too
   }
 
   for (int i = 0; i < n; i++) {
