@@ -131,6 +131,43 @@ def test_native_record_history_matches_python():
     assert nt.total_customers_history == py.total_customers_history
 
 
+def test_zero_wall_budget_matches_python(tmp_path):
+    """max_sim_time=0.0 (a saturated float32 gen2[5] produces exactly this)
+    must stop after the first event on BOTH engines — the native 0.0
+    'disabled' sentinel regression."""
+    adj = np.array([[1.0, 1.0], [0.0, -1.0]])
+    dists = [["exponential", 1.0], ["exponential", 0.5]]
+    lines = {}
+    for eng in ("python", "native"):
+        np.random.seed(2)
+        sim = Sim(adj, dists, [0, 10], seeds=[5], generate_log=True,
+                  log_path=str(tmp_path) + f"/{eng}_", logging_mode="Music",
+                  max_sim_time=0.0, engine=eng)
+        sim.run(number_of_customers=500)
+        lines[eng] = list(sim.music_lines())
+    assert lines["native"] == lines["python"]
+    assert len(lines["python"]) <= 3  # stopped almost immediately
+
+
+def test_route_to_source_falls_back_to_python():
+    """A probability row that can deliver customers to a source node must
+    use the Python engine (which raises KeyError like the reference) —
+    the C++ core would spin on an unseeded stream."""
+    adj = np.array([
+        [1.0, 1.0, 0.0],
+        [0.5, -1.0, 0.5],
+        [0.0, 0.0, -1.0],
+    ])
+    dists = [["exponential", 1.0], ["exponential", 0.4], ["exponential", 0.4]]
+    np.random.seed(3)
+    sim = Sim(adj, dists, [0, 10, 10], seeds=[5], engine="auto")
+    from gandes_tpu.des.native import native_eligible
+
+    assert not native_eligible(sim)
+    with pytest.raises(KeyError):
+        sim.run(number_of_customers=200)
+
+
 def test_engine_fallback_for_unsupported_configs():
     adj = np.array([[1.0, 1.0], [0.0, -1.0]])
     dists = [["discrete", [0.5, 1.5], [0.5, 0.5]], ["exponential", 0.5]]
