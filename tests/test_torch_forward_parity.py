@@ -108,6 +108,69 @@ def test_mel_discriminator_forward_parity():
     np.testing.assert_allclose(out_flax, out_torch, atol=ATOL)
 
 
+def test_adam_update_matches_torch():
+    """One D training step (BCE fake+real, Adam lr=0.01) produces the same
+    updated weights as torch — pins optimizer beta/eps conventions and the
+    gradient path end to end."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    from gandes_tpu.models import DiscriminatorCNN
+    from gandes_tpu.train.losses import bce_with_logits
+
+    d = DiscriminatorCNN(roll_size=(2, 128, 50))
+    rng = np.random.RandomState(7)
+    real = rng.rand(4, 2, 128, 50).astype(np.float32)
+    fake = rng.rand(4, 2, 128, 50).astype(np.float32)
+    v = d.init(jax.random.key(0), jnp.asarray(real))
+
+    def loss_fn(params):
+        lf = d.apply({"params": params}, jnp.asarray(fake)).squeeze()
+        lr_ = d.apply({"params": params}, jnp.asarray(real)).squeeze()
+        return bce_with_logits(lf, 0.0) + bce_with_logits(lr_, 1.0)
+
+    tx = optax.adam(0.01)
+    opt = tx.init(v["params"])
+    loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+    updates, _ = tx.update(grads, opt, v["params"])
+    new_params = optax.apply_updates(v["params"], updates)
+
+    # torch mirror with copied weights
+    c1 = tnn.Conv2d(2, 16, 4, 2, 1)
+    c2 = tnn.Conv2d(16, 32, 4, 2, 1)
+    fc = tnn.Linear(32 * 32 * 12, 1)
+    p = v["params"]
+    c1.weight.data = conv_w(p["Conv_0"]["kernel"]); c1.bias.data = t(np.asarray(p["Conv_0"]["bias"]))
+    c2.weight.data = conv_w(p["Conv_1"]["kernel"]); c2.bias.data = t(np.asarray(p["Conv_1"]["bias"]))
+    k = np.asarray(p["Dense_0"]["kernel"]).reshape(32, 12, 32, 1)
+    fc.weight.data = t(k.transpose(2, 0, 1, 3).reshape(-1, 1).T)
+    fc.bias.data = t(np.asarray(p["Dense_0"]["bias"]))
+
+    act = tnn.LeakyReLU(0.2)
+    crit = tnn.BCEWithLogitsLoss()
+
+    def fwd(x):
+        h = act(c2(act(c1(torch.from_numpy(x)))))
+        return fc(h.reshape(len(x), -1)).squeeze()
+
+    opt_t = torch.optim.Adam(list(c1.parameters()) + list(c2.parameters()) + list(fc.parameters()), lr=0.01)
+    opt_t.zero_grad()
+    loss_t = crit(fwd(fake), torch.zeros(4)) + crit(fwd(real), torch.ones(4))
+    loss_t.backward()
+    opt_t.step()
+
+    np.testing.assert_allclose(float(loss), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["Conv_0"]["kernel"]).transpose(3, 2, 0, 1),
+        c1.weight.detach().numpy(), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_params["Conv_0"]["bias"]), c1.bias.detach().numpy(), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_params["Dense_0"]["bias"]), fc.bias.detach().numpy(), atol=2e-6)
+
+
 class _TorchGenBlock(tnn.Sequential):
     def __init__(self, i, o):
         super().__init__(tnn.Linear(i, o), tnn.BatchNorm1d(o), tnn.Sigmoid())
