@@ -95,9 +95,21 @@ def _hann_periodic(n: int) -> np.ndarray:
 
 
 def frame_signal(wav, n_fft: int, hop_length: int):
-    """(n_frames, n_fft) overlapping frames via conv patches — a plain XLA
-    gather compiles pathologically slowly on TPU for this access pattern."""
+    """(n_frames, n_fft) overlapping frames.
+
+    hop >= n_fft (the dynamic-hop long-audio case): a reshape + slice —
+    zero-copy layout work. Otherwise conv patches (a plain XLA gather
+    compiles pathologically slowly on TPU for this access pattern, and the
+    conv's cost scales with the full input length, which is ruinous for
+    multi-minute renders)."""
     n_frames = 1 + (wav.shape[0] - n_fft) // hop_length
+    if hop_length >= n_fft:
+        # last reshape row runs past the buffer; its tail is sliced away
+        # (the final frame's n_fft samples are in bounds by construction)
+        need = n_frames * hop_length
+        if need > wav.shape[0]:
+            wav = jnp.pad(wav, (0, need - wav.shape[0]))
+        return wav[:need].reshape(n_frames, hop_length)[:, :n_fft]
     usable = (n_frames - 1) * hop_length + n_fft
     p = jax.lax.conv_general_dilated_patches(
         wav[None, :usable, None], filter_shape=(n_fft,), window_strides=(hop_length,),
@@ -202,9 +214,11 @@ def melspectrogram_db_tensor(waveform, sr=44100, n_fft=2048, hop_length=512,
                              n_mels=128, fmin=20, fmax=8300, top_db=80,
                              mel_length=216, use_pallas=None):
     """== reference ``get_melspectrogram_db_tensor`` (util.py:37-61):
-    dynamic hop forcing ~mel_length frames, htk mel, power dB."""
-    waveform = np.asarray(waveform)
-    hop_length = len(waveform) // (mel_length - 1)
+    dynamic hop forcing ~mel_length frames, htk mel, power dB. Accepts
+    device-resident arrays without forcing a host transfer."""
+    if not hasattr(waveform, "shape") or isinstance(waveform, np.ndarray):
+        waveform = np.asarray(waveform)
+    hop_length = int(waveform.shape[0]) // (mel_length - 1)
     new_audio_length = mel_length * hop_length
     waveform = waveform[:new_audio_length]
     mel = _mel_power_backend(waveform, sr, n_fft, hop_length, n_mels, fmin, fmax,

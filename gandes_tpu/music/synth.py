@@ -147,12 +147,20 @@ def _pow2(x: int) -> int:
 
 
 def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
-                min_seconds: float = 0.5, tail: float = 0.3) -> np.ndarray:
+                min_seconds: float = 0.5, tail: float = 0.3,
+                pad_to_bucket: bool = False, as_jax: bool = False):
     """Render a MidiFile (or path) to a float32 mono waveform on device.
 
     Static shapes are bucketed to powers of two (event count, note window,
     total length) so variable MIDIs hit a small set of compiled
-    executables."""
+    executables. On non-CPU backends the event count and note window are
+    FIXED at their maxima — the extra masked work is negligible on a TPU
+    while each distinct shape costs a full (remote) compile. With
+    ``pad_to_bucket`` the returned audio keeps the bucketed pow2 length
+    (zero tail) so downstream dynamic-hop mels also reuse one compiled
+    program per bucket."""
+    import jax as _jax
+
     midi = MidiFile(midi_input) if isinstance(midi_input, str) else midi_input
     notes_l, vels_l, ons_l, offs_l, progs_l, n, end = midi_to_event_arrays(
         midi, max_events
@@ -160,15 +168,24 @@ def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
     n = min(n, max_events)
     length_s = max(float(end) + tail, min_seconds)
     L = _pow2(int(length_s * sr))
-    max_dur = min(MAX_NOTE_S, float(np.max(offs_l[:n] - ons_l[:n]))) if n else 0.25
-    W = _pow2(int((max_dur + RELEASE_S + ATTACK_S) * sr) + 1)
-    E = max(_pow2(n), EVENT_BLOCK)
+    on_cpu = _jax.devices()[0].platform == "cpu"
+    if on_cpu:
+        max_dur = min(MAX_NOTE_S, float(np.max(offs_l[:n] - ons_l[:n]))) if n else 0.25
+        W = _pow2(int((max_dur + RELEASE_S + ATTACK_S) * sr) + 1)
+        E = max(_pow2(n), EVENT_BLOCK)
+    else:
+        W = _pow2(int((MAX_NOTE_S + RELEASE_S + ATTACK_S) * sr) + 1)
+        E = max_events
     audio = _render(
         jnp.asarray(notes_l[:E]), jnp.asarray(vels_l[:E]), jnp.asarray(ons_l[:E]),
         jnp.asarray(offs_l[:E]), jnp.asarray(progs_l[:E]), jnp.int32(n),
         L, W, sr,
     )
-    return np.asarray(audio)[: int(length_s * sr)]
+    if as_jax:
+        # device-resident (bucketed length); .true_samples carries the crop
+        return audio, int(length_s * sr)
+    audio = np.asarray(audio)
+    return audio if pad_to_bucket else audio[: int(length_s * sr)]
 
 
 class FluidSynth:

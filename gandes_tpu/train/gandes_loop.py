@@ -46,6 +46,12 @@ class GanDesConfig:
     mel_shape: tuple = (128, 216)
     number_of_customers: int = 1000
     max_sim_time: float = 0.5
+    # >1: concurrent native DES sims per batch (fast mode, private routing
+    # streams — deterministic but not the reference's sequential coupling)
+    des_parallel: int | None = None
+    # False skips the per-sample WAV artifacts (the reference writes them
+    # every step; training never reads them)
+    write_wav: bool = True
     seed: int = 0
 
 
@@ -81,7 +87,8 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                 np.asarray(fake_mats), size=20, start=0, end=cfg.mel_shape[1],
                 overwrite=True, log_path=cfg.log_path, out_dir=cfg.out_dir,
                 number_of_customers=cfg.number_of_customers,
-                max_sim_time=cfg.max_sim_time,
+                max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
+                write_wav=cfg.write_wav,
             )
             state, metrics = train_step(state, real, jnp.asarray(fake))
             disc_losses.append(float(metrics["d_loss"]))
