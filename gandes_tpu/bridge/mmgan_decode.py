@@ -138,6 +138,7 @@ def matrix_to_midi(
     write_log_file=True,
     parallel=None,
     skip_trivial_decode=True,
+    force_roll=False,
 ):
     num_aug = 3
     start = int(start)
@@ -155,7 +156,7 @@ def matrix_to_midi(
             return _matrix_to_midi_parallel(
                 gen1_output, gen2_output, dim, size, num_aug, instrument,
                 start, end, count, generate, log_path, out_dir, watchdog,
-                parallel, skip_trivial_decode,
+                parallel, skip_trivial_decode, force_roll,
             )
 
     midi_rolls = []
@@ -194,7 +195,8 @@ def matrix_to_midi(
                 # reference: watchdog join(2.5) expired -> blank roll
                 print("Simulation took too long, stopping")
                 failed_simulations += 1
-            elif skip_trivial_decode and not generate and min(sim.log_line_count(), 5001) % 100 != 0:
+            elif (skip_trivial_decode and not generate and not force_roll
+                    and min(sim.log_line_count(), 5001) % 100 != 0):
                 # parity-EXACT shortcut: with generate=False and a line
                 # count not divisible by 100, the reference's save gate
                 # (sim_log_to_midi.py:268-272) leaves the in-memory
@@ -208,6 +210,7 @@ def matrix_to_midi(
                     start=start, end=end, generate=generate,
                     lines=sim.music_lines() if not write_log_file else None,
                     log_file=log_path + "simulation.log", out_dir=out_dir,
+                    force_roll=force_roll,
                 )
                 if roll is None:  # pragma: no cover - defensive, as reference :173
                     failed_simulations += 1
@@ -230,7 +233,7 @@ def matrix_to_midi(
 def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
                              instrument, start, end, count, generate,
                              log_path, out_dir, watchdog, parallel,
-                             skip_trivial_decode=True):
+                             skip_trivial_decode=True, force_roll=False):
     """Fast mode: sequential decode, concurrent native sims, sequential
     log decode. See module docstring for the RNG-stream caveat."""
     B = len(gen1_output)
@@ -278,7 +281,7 @@ def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
             failed += 1
             midi_rolls.append(output)
             continue
-        if (skip_trivial_decode and not generate
+        if (skip_trivial_decode and not generate and not force_roll
                 and min(sim.log_line_count(), 5001) % 100 != 0):
             # parity-exact zero-roll shortcut (see sequential path)
             midi_rolls.append(output)
@@ -289,7 +292,7 @@ def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
                 gen2_output=gen2_output[index][10:],
                 count=(count if index == 0 else 1), start=start, end=end,
                 generate=generate, lines=sim.music_lines(limit=5001),
-                out_dir=out_dir,
+                out_dir=out_dir, force_roll=force_roll,
             )
             output[0] = roll
             output[1] = durations

@@ -35,7 +35,8 @@ def _cmd_train_mmgan(args):
     cfg = MMGANConfig(num_epochs=args.epochs, batch_size=args.batch_size,
                       start=args.start, sequence_length=args.sequence_length,
                       models_dir=args.models_dir, losses_dir=args.losses_dir,
-                      faithful=args.faithful)
+                      faithful=args.faithful, g_update=args.g_update,
+                      des_parallel=args.des_parallel)
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -163,6 +164,12 @@ def main(argv=None):
     sp.add_argument("--losses-dir", default="losses")
     sp.add_argument("--max-batches", type=int, default=None)
     sp.add_argument("--faithful", action="store_true")
+    sp.add_argument("--g-update", choices=["none", "direct", "surrogate"],
+                    default="none",
+                    help="'none' = reference semantics (G gets zero gradient); "
+                         "'direct'/'surrogate' = opt-in straight-through G training")
+    sp.add_argument("--des-parallel", type=int, default=None,
+                    help="run the batch's DES sims on N threads (fast mode)")
     sp.set_defaults(fn=_cmd_train_mmgan)
 
     sp = sub.add_parser("train-gandes", help="train the GAN-DES spectrogram GAN")

@@ -283,6 +283,15 @@ class MidiGeneratorV2(_MidiGeneratorBase):
         # exact reference cleanup (:182-199) including the mutate-while-
         # iterating removal pass (list.remove drops the first equal message,
         # and removal shifts iteration — both observable in outputs).
+        self.finalize_in_memory()
+        self.mid.save(filename)
+        print("Successfully saved midi file")
+
+    def finalize_in_memory(self):
+        """The content side of ``save_midi`` (cleanup + track attach) without
+        the file write — used by the opt-in ``force_roll`` decode mode, which
+        needs the roll the reference would only materialize behind its save
+        gate (`sim_log_to_midi.py:268-272`)."""
         for msg in self.track:
             if msg.time > 200:
                 self.track.remove(msg)
@@ -290,8 +299,6 @@ class MidiGeneratorV2(_MidiGeneratorBase):
         self.track.append(MetaMessage("end_of_track"))
         self.clean_midi_file()
         self.mid.tracks.append(self.track)
-        self.mid.save(filename)
-        print("Successfully saved midi file")
 
     def clean_midi_file(self):
         """Dedup stuck note_ons / orphan note_offs and drop long-delta
@@ -385,12 +392,16 @@ def process_adjsim_log_v2(
     log_file="./logs/simulation.log",
     out_dir="./adj_sim_outputs/midi",
     verbose=True,
+    force_roll=False,
 ):
     """MM-GAN log->MIDI->piano-roll driver (`MMGAN_MIDI_DES/sim_log_to_midi.py:241-277`).
 
     Returns ``(piano_roll, durations, beats)``. Save gating preserved: the
     MIDI (and therefore a non-empty roll) only materializes when the line
-    count is a multiple of 100 or ``generate=True``.
+    count is a multiple of 100 or ``generate=True``. ``force_roll=True``
+    (opt-in, off the reference surface) materializes the roll in memory even
+    when the gate doesn't fire — same track cleanup, no file written — for
+    training modes that need non-trivial fake rolls (surrogate G updates).
     """
     if note_levels is None:
         note_levels = _DEFAULT_NOTE_LEVELS
@@ -419,6 +430,8 @@ def process_adjsim_log_v2(
         elif generate:
             os.makedirs(out_dir, exist_ok=True)
             midi_generator.save_midi(os.path.join(out_dir, "generation.mid"))
+        elif force_roll:
+            midi_generator.finalize_in_memory()
     except Exception as e:
         if verbose:
             print("Error in saving midi file")

@@ -65,9 +65,14 @@ class MMGANConfig:
     print_interval: int = 5
     sleep_between_epochs: float = 0.0  # reference: 10 s (network_tests.py:344)
     faithful: bool = False
-    # 'none' (reference semantics: G gets zero gradient through the DES) or
-    # 'direct' (straight-through surrogate; G actually trains — improvement)
+    # 'none' (reference semantics: G gets zero gradient through the DES),
+    # 'direct' (straight-through via a fixed bilinear renderer), or
+    # 'surrogate' (straight-through via a LEARNED DES surrogate fitted
+    # online to the simulator's rolls; implies force_roll decoding so the
+    # fake rolls carry real content) — the latter two are opt-in
+    # improvements; the reference's G trains under none of them
     g_update: str = "none"
+    surrogate_lr: float = 1e-3
     # >1: concurrent native DES sims per batch (fast mode — deterministic
     # but a different RNG stream than the reference's sequential coupling)
     des_parallel: int | None = None
@@ -128,8 +133,34 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             print("No saved model found, starting training from scratch")
 
     gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
-    train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
-                                               g_update=cfg.g_update))
+    s_state = None
+    if cfg.g_update == "surrogate":
+        from gandes_tpu.models.surrogate import RollSurrogate
+        from gandes_tpu.train.steps import (
+            init_surrogate_state,
+            make_mmgan_train_step_surrogate,
+        )
+
+        s_model = RollSurrogate(roll_size=(2, 128, cfg.sequence_length),
+                                vec_dim=cfg.gen2_output_dim)
+        s_tx = optax.adam(cfg.surrogate_lr)
+        s_state = init_surrogate_state(
+            s_model, jax.random.key(cfg.seed + 2), batch_size=cfg.batch_size,
+            adj_size=cfg.adj_size, vec_dim=cfg.gen2_output_dim, s_tx=s_tx,
+        )
+        if start_epoch:
+            s_path = os.path.join(
+                cfg.models_dir,
+                f"mmgan_{cfg.adj_size[0]}_{cfg.adj_size[1]}_epoch_{start_epoch}_surrogate",
+            )
+            if os.path.isdir(s_path):
+                s_state = ckpt.restore_state(s_path, s_state)
+        train_step = jax.jit(
+            make_mmgan_train_step_surrogate(g1, g2, d, s_model, g_tx, d_tx, s_tx)
+        )
+    else:
+        train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
+                                                   g_update=cfg.g_update))
     g_loss_only = jax.jit(
         lambda d_params, fake: bce_with_logits(
             d.apply({"params": d_params}, fake).squeeze(), 1.0
@@ -150,9 +181,12 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             end=cfg.start + cfg.sequence_length, count=count,
             log_path=cfg.log_path, out_dir=cfg.midi_out_dir,
             parallel=cfg.des_parallel,
+            # the surrogate regresses the DES's actual rolls — decode them
+            # even when the reference's save gate would leave them blank
+            force_roll=cfg.g_update == "surrogate",
         )
         fake = jnp.asarray(np.stack(rolls), jnp.float32)
-        return fake, failed, new_stats
+        return fake, failed, new_stats, mats, vec
 
     for epoch in range(start_epoch, cfg.num_epochs):
         disc_losses, gen_losses = [], []
@@ -166,9 +200,13 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             beats_j = jnp.asarray(beats, jnp.float32)
             real = jnp.stack([jnp.asarray(piano_roll), jnp.asarray(durations)], axis=1)
 
-            fake, failed, new_stats = fake_batch(state, noise1, noise2, beats_j, count)
+            fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
             state = GANState(**{**state.__dict__, "g_stats": new_stats})
-            if cfg.g_update == "direct":
+            if cfg.g_update == "surrogate":
+                state, s_state, metrics = train_step(
+                    state, s_state, real, fake, mats, vec, noise1, noise2,
+                    beats_j, jax.random.key(count))
+            elif cfg.g_update == "direct":
                 state, metrics = train_step(state, real, fake, noise1, noise2,
                                             beats_j, jax.random.key(count))
             else:
@@ -177,7 +215,7 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
 
             if cfg.faithful:
                 # reference runs the whole fake path again for the G step
-                fake2, failed2, new_stats = fake_batch(state, noise1, noise2, beats_j, count)
+                fake2, failed2, new_stats, _, _ = fake_batch(state, noise1, noise2, beats_j, count)
                 state = GANState(**{**state.__dict__, "g_stats": new_stats})
                 g_loss = g_loss_only(state.d_params, fake2)
                 failed += failed2
@@ -216,6 +254,8 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                 f"mmgan_{cfg.adj_size[0]}_{cfg.adj_size[1]}_epoch_{epoch + 1}",
             )
             ckpt.save_state(path, state)
+            if s_state is not None:
+                ckpt.save_state(path + "_surrogate", s_state)
 
     return state, history
 

@@ -118,6 +118,102 @@ def make_default_fake_proxy(g1, g2):
     return proxy
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class SurrogateState:
+    """Mutable state of the learned DES surrogate (a pytree)."""
+
+    params: Any
+    opt: Any
+    step: jax.Array
+
+
+def init_surrogate_state(s, key, *, batch_size, adj_size, vec_dim, s_tx) -> SurrogateState:
+    mats = jnp.zeros((batch_size, *adj_size))
+    vec = jnp.zeros((batch_size, vec_dim))
+    params = s.init(key, mats, vec)["params"]
+    return SurrogateState(params=params, opt=s_tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+
+# Piano-roll velocities reach ~126 and durations tens of steps; dividing the
+# regression residual by this keeps the MSE O(1) so Adam's 1e-3-ish lr regime
+# applies unchanged.
+ROLL_SCALE = 64.0
+
+
+def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx):
+    """One fused jitted step for ``g_update='surrogate'``:
+
+    1. D update on (real, fake) — identical to the base step;
+    2. surrogate update — regress the DES-produced ``fake`` roll from the
+       (stop-gradded) generator outputs ``mats``/``vec`` that produced it;
+    3. G update — re-run G1/G2 differentiably, render the roll with the
+       JUST-updated (frozen) surrogate, and route gradients straight-through:
+       the proxy's forward value stays the true DES roll, its gradient is the
+       surrogate's.
+
+    Unlike ``g_update='direct'`` (fixed bilinear renderer), the gradient here
+    tracks what the simulator actually does with the matrix, because the
+    surrogate is fitted online to the DES outputs of the current G
+    distribution. Returns ``(state, s_state, metrics)``.
+    """
+
+    def d_loss_fn(d_params, real, fake):
+        logits_fake = d.apply({"params": d_params}, fake)
+        logits_real = d.apply({"params": d_params}, real)
+        return bce_with_logits(logits_fake.squeeze(), 0.0) + bce_with_logits(
+            logits_real.squeeze(), 1.0
+        )
+
+    def train_step(state: GANState, s_state: SurrogateState, real_roll,
+                   fake_roll, mats, vec, noise1, noise2, beats, aux_key):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_roll, fake_roll)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        mats_sg = jax.lax.stop_gradient(mats)
+        vec_sg = jax.lax.stop_gradient(vec)
+
+        def s_loss_fn(s_params):
+            pred = s.apply({"params": s_params}, mats_sg, vec_sg)
+            return jnp.mean(((pred - fake_roll) / ROLL_SCALE) ** 2)
+
+        s_loss, s_grads = jax.value_and_grad(s_loss_fn)(s_state.params)
+        s_updates, s_opt = s_tx.update(s_grads, s_state.opt, s_state.params)
+        s_params = optax.apply_updates(s_state.params, s_updates)
+        new_s_state = SurrogateState(params=s_params, opt=s_opt, step=s_state.step + 1)
+
+        s_frozen = jax.lax.stop_gradient(s_params)
+
+        def g_loss_fn(g_params):
+            mats_d, _ = g1.apply(
+                {"params": g_params["g1"], "batch_stats": state.g_stats["g1"]},
+                noise1, None, True, mutable=["batch_stats"], rngs={"aux": aux_key},
+            )
+            vec_d, _ = g2.apply(
+                {"params": g_params["g2"], "batch_stats": state.g_stats["g2"]},
+                noise2, beats, True, mutable=["batch_stats"],
+            )
+            s_roll = s.apply({"params": s_frozen}, mats_d, vec_d)
+            proxy = fake_roll + s_roll - jax.lax.stop_gradient(s_roll)
+            return bce_with_logits(d.apply({"params": d_params}, proxy).squeeze(), 1.0)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GANState(
+            g_params=g_params, g_stats=state.g_stats,
+            d_params=d_params, d_stats=state.d_stats,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
+        )
+        return new_state, new_s_state, {"d_loss": d_loss, "g_loss": g_loss,
+                                        "s_loss": s_loss}
+
+    return train_step
+
+
 def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
                           fake_proxy_fn: Callable | None = None):
     """Returns ``train_step(state, real_roll, fake_roll, [noise1, noise2,

@@ -1,0 +1,180 @@
+"""Learned-DES-surrogate G training (``g_update='surrogate'``) and the
+``force_roll`` decode mode that feeds it.
+
+The reference's generators receive exactly zero gradient (detach before the
+DES, `network_tests.py:189`); this opt-in mode fits a differentiable
+surrogate to the simulator's rolls online and trains G through it
+straight-through. These tests pin:
+
+* force_roll yields the same roll bytes ``generate=True`` would produce,
+  without writing any MIDI artifact;
+* the default (quirk-faithful) path is unchanged by the new kwarg;
+* one fused surrogate step lowers the surrogate's regression loss and moves
+  generator parameters (nonzero G gradient);
+* the full loop runs end to end with ``g_update='surrogate'`` and
+  checkpoints both states.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _toy_batch(B=4, T=50, seed=0):
+    rng = np.random.RandomState(seed)
+    g1 = rng.rand(B, 1, 64, 64).astype(np.float32)
+    g2 = rng.rand(B, 20).astype(np.float32)
+    return g1, g2
+
+
+def test_force_roll_matches_generate_roll(tmp_path):
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+
+    g1, g2 = _toy_batch(B=3)
+    gen_dir = tmp_path / "gen"
+    force_dir = tmp_path / "force"
+
+    np.random.seed(7)
+    rolls_gen, failed_gen = matrix_to_midi(
+        g1, g2, adj_size=(64, 64), start=100, end=150, generate=True,
+        log_path=str(tmp_path) + "/", out_dir=str(gen_dir), write_log_file=False,
+    )
+    np.random.seed(7)
+    rolls_force, failed_force = matrix_to_midi(
+        g1, g2, adj_size=(64, 64), start=100, end=150, force_roll=True,
+        log_path=str(tmp_path) + "/", out_dir=str(force_dir), write_log_file=False,
+    )
+    assert failed_gen == failed_force
+    for a, b in zip(rolls_gen, rolls_force):
+        np.testing.assert_array_equal(a, b)
+    # generate=True writes generation.mid; force_roll writes nothing
+    assert (gen_dir / "generation.mid").exists()
+    assert not force_dir.exists() or not any(force_dir.iterdir())
+    # the rolls must be non-trivial for the surrogate to have a target
+    assert any(np.asarray(r).any() for r in rolls_force)
+
+
+def test_force_roll_default_path_unchanged(tmp_path):
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+
+    g1, g2 = _toy_batch(B=2, seed=1)
+    np.random.seed(3)
+    rolls_a, _ = matrix_to_midi(g1, g2, adj_size=(64, 64), start=100, end=150,
+                                log_path=str(tmp_path) + "/", write_log_file=False)
+    np.random.seed(3)
+    rolls_b, _ = matrix_to_midi(g1, g2, adj_size=(64, 64), start=100, end=150,
+                                log_path=str(tmp_path) + "/", write_log_file=False,
+                                force_roll=False)
+    for a, b in zip(rolls_a, rolls_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_force_roll_parallel_matches_sequential_stream(tmp_path):
+    """The parallel fast path with force_roll decodes non-trivial rolls too
+    (its RNG stream differs from sequential by design; assert shape/content
+    sanity, not equality)."""
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+    from gandes_tpu.des.native import native_available
+
+    if not native_available():
+        pytest.skip("native engine unavailable")
+    g1, g2 = _toy_batch(B=4, seed=2)
+    np.random.seed(11)
+    rolls, failed = matrix_to_midi(g1, g2, adj_size=(64, 64), start=100, end=150,
+                                   log_path=str(tmp_path) + "/", parallel=4,
+                                   write_log_file=False, force_roll=True)
+    assert len(rolls) == 4
+    assert all(r.shape == (2, 128, 50) for r in rolls)
+    assert any(np.asarray(r).any() for r in rolls)
+
+
+def _make_models(T=50):
+    from gandes_tpu.models import BeatGenerator, DiscriminatorCNN, MLPGenerator
+    from gandes_tpu.models.surrogate import RollSurrogate
+
+    g1 = MLPGenerator(adj_size=(64, 64))
+    g2 = BeatGenerator(output_dim=20)
+    d = DiscriminatorCNN(roll_size=(2, 128, T))
+    s = RollSurrogate(roll_size=(2, 128, T), vec_dim=20)
+    return g1, g2, d, s
+
+
+def test_surrogate_step_trains_surrogate_and_generators():
+    from gandes_tpu.train.steps import (
+        init_mmgan_state,
+        init_surrogate_state,
+        make_mmgan_gen_forward,
+        make_mmgan_train_step_surrogate,
+    )
+
+    B, T = 4, 50
+    g1, g2, d, s = _make_models(T)
+    g_tx, d_tx, s_tx = optax.adam(1e-3), optax.adam(1e-3), optax.adam(1e-3)
+    state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=B,
+                             z_dim=50, beat_dim=50, roll_size=(2, 128, T),
+                             g_tx=g_tx, d_tx=d_tx)
+    s_state = init_surrogate_state(s, jax.random.key(1), batch_size=B,
+                                   adj_size=(64, 64), vec_dim=20, s_tx=s_tx)
+
+    gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
+    step = jax.jit(make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx))
+
+    key = jax.random.key(2)
+    noise1 = jax.random.normal(jax.random.fold_in(key, 0), (B, 50))
+    noise2 = jax.random.normal(jax.random.fold_in(key, 1), (B, 50))
+    beats = jnp.zeros((B, 50))
+    real = jax.random.uniform(jax.random.fold_in(key, 2), (B, 2, 128, T)) * 100
+    # fixed synthetic "DES" target so the regression is learnable
+    mats, vec, _ = gen_forward(state, noise1, noise2, beats, jax.random.key(3))
+    fake = jax.random.uniform(jax.random.fold_in(key, 3), (B, 2, 128, T)) * 60
+
+    g_params_before = state.g_params
+    s_losses = []
+    for i in range(30):
+        state, s_state, metrics = step(state, s_state, real, fake, mats, vec,
+                                       noise1, noise2, beats, jax.random.key(3))
+        s_losses.append(float(metrics["s_loss"]))
+
+    # surrogate regression converges toward the fixed target
+    assert s_losses[-1] < s_losses[0] * 0.7, s_losses[::10]
+    # generators actually moved (the reference's G never does)
+    moved = jax.tree.reduce(
+        lambda acc, x: acc or bool(x),
+        jax.tree.map(lambda a, b: bool(jnp.any(a != b)), g_params_before, state.g_params),
+        False,
+    )
+    assert moved
+    assert int(s_state.step) == 30
+
+
+def test_train_mmgan_surrogate_mode_end_to_end(tmp_path, monkeypatch):
+    """Two batches of the real loop in surrogate mode: runs, produces finite
+    losses, and checkpoints both the GAN and surrogate states."""
+    monkeypatch.chdir(tmp_path)
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    B, T = 4, 50
+    rng = np.random.RandomState(0)
+    dataset = [
+        (rng.rand(128, T).astype(np.float32) * 90,
+         rng.rand(128, T).astype(np.float32) * 10,
+         rng.rand(T).astype(np.float32))
+        for _ in range(2 * B)
+    ]
+    cfg = MMGANConfig(batch_size=B, num_epochs=1, g_update="surrogate",
+                      models_dir=str(tmp_path / "models"),
+                      losses_dir=str(tmp_path / "losses"),
+                      log_path=str(tmp_path) + "/",
+                      midi_out_dir=str(tmp_path / "midi"),
+                      resume=False, print_interval=100)
+    state, history = train_mmgan(dataset, cfg, max_batches=2)
+    assert len(history["disc"][0]) == 2
+    assert all(np.isfinite(x) for x in history["disc"][0] + history["gen"][0])
+    ckpts = os.listdir(tmp_path / "models")
+    assert any(c.endswith("_surrogate") for c in ckpts)
+    assert any(not c.endswith("_surrogate") for c in ckpts)
