@@ -48,7 +48,8 @@ def _cmd_train_gandes(args):
 
     dataset = MaestroDatasetGanDes(batch_size=args.batch_size, input_folder=args.midi_root)
     loader = DataLoader(dataset, batch_size=1, shuffle=True, collate_fn=my_collate)
-    cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir)
+    cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir,
+                       g_update=args.g_update, des_parallel=args.des_parallel)
     state, history = train_gandes(loader, cfg, max_steps=args.steps)
     print(f"done: {len(history['disc'])} steps")
 
@@ -177,6 +178,11 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=30)
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--models-dir", default="models")
+    sp.add_argument("--g-update", choices=["none", "surrogate"], default="none",
+                    help="'none' = reference semantics (G gets zero gradient); "
+                         "'surrogate' = opt-in learned matrix->mel surrogate")
+    sp.add_argument("--des-parallel", type=int, default=None,
+                    help="run the batch's DES sims on N threads (fast mode)")
     sp.set_defaults(fn=_cmd_train_gandes)
 
     sp = sub.add_parser("generate-mmgan", help="generate a MIDI from a checkpoint")

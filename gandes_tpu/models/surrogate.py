@@ -28,6 +28,28 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class MelSurrogate(nn.Module):
+    """GAN-DES counterpart: (20x20 adjacency matrix) -> predicted (128, 216)
+    mel-dB spectrogram — a differentiable stand-in for
+    matrix → DES → MIDI → synth → mel (`bridge/gandes_decode.py`). Linear
+    head: mel-dB values are signed."""
+
+    mel_shape: tuple[int, int] = (128, 216)
+    hidden_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mats):
+        B = mats.shape[0]
+        x = mats.reshape(B, -1).astype(self.dtype)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, 0.2)
+        out = nn.Dense(int(np.prod(self.mel_shape)), dtype=self.dtype)(x)
+        return out.reshape(B, *self.mel_shape).astype(jnp.float32)
+
+
 class RollSurrogate(nn.Module):
     """(adjacency matrix, gen2 parameter vector) -> predicted (2, 128, T)
     piano roll, differentiable end to end."""

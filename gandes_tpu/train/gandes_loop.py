@@ -52,6 +52,11 @@ class GanDesConfig:
     # False skips the per-sample WAV artifacts (the reference writes them
     # every step; training never reads them)
     write_wav: bool = True
+    # 'none' (reference semantics: G gets zero gradient through the DES) or
+    # 'surrogate' (opt-in: G trains straight-through via a learned
+    # matrix->mel surrogate fitted online to the real pipeline output)
+    g_update: str = "none"
+    surrogate_lr: float = 1e-3
     seed: int = 0
 
 
@@ -65,7 +70,24 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                               batch_size=cfg.batch_size, z_dim=cfg.z_dim,
                               mel_shape=cfg.mel_shape, g_tx=g_tx, d_tx=d_tx)
     gen_forward = jax.jit(make_gandes_gen_forward(gen))
-    train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
+    s_state = None
+    if cfg.g_update == "surrogate":
+        from gandes_tpu.models.surrogate import MelSurrogate
+        from gandes_tpu.train.steps import (
+            init_surrogate_state,
+            make_gandes_train_step_surrogate,
+        )
+
+        s_model = MelSurrogate(mel_shape=cfg.mel_shape)
+        s_tx = optax.adam(cfg.surrogate_lr)
+        s_state = init_surrogate_state(s_model, jax.random.key(cfg.seed + 2),
+                                       batch_size=cfg.batch_size,
+                                       adj_size=(20, 20), s_tx=s_tx)
+        train_step = jax.jit(
+            make_gandes_train_step_surrogate(gen, disc, s_model, g_tx, d_tx, s_tx)
+        )
+    else:
+        train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
 
     gen_losses, disc_losses = [], []
     cur_step = 0
@@ -90,7 +112,12 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                 max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
                 write_wav=cfg.write_wav,
             )
-            state, metrics = train_step(state, real, jnp.asarray(fake))
+            if cfg.g_update == "surrogate":
+                state, s_state, metrics = train_step(state, s_state, real,
+                                                     jnp.asarray(fake),
+                                                     fake_mats, noise)
+            else:
+                state, metrics = train_step(state, real, jnp.asarray(fake))
             disc_losses.append(float(metrics["d_loss"]))
             gen_losses.append(float(metrics["g_loss"]))
 
@@ -101,10 +128,12 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                 )
             if cur_step % cfg.save_step == 0 and cur_step > 0:
                 now = datetime.now()
-                ckpt.save_state(
-                    os.path.join(cfg.model_path, f"gen_{cur_step}_{datetime.timestamp(now)}"),
-                    state,
+                path = os.path.join(
+                    cfg.model_path, f"gen_{cur_step}_{datetime.timestamp(now)}"
                 )
+                ckpt.save_state(path, state)
+                if s_state is not None:
+                    ckpt.save_state(path + "_surrogate", s_state)
             cur_step += 1
 
     return state, {"gen": gen_losses, "disc": disc_losses}

@@ -128,10 +128,13 @@ class SurrogateState:
     step: jax.Array
 
 
-def init_surrogate_state(s, key, *, batch_size, adj_size, vec_dim, s_tx) -> SurrogateState:
+def init_surrogate_state(s, key, *, batch_size, adj_size, vec_dim=None, s_tx) -> SurrogateState:
+    """``vec_dim=None`` for matrix-only surrogates (MelSurrogate)."""
     mats = jnp.zeros((batch_size, *adj_size))
-    vec = jnp.zeros((batch_size, vec_dim))
-    params = s.init(key, mats, vec)["params"]
+    if vec_dim is None:
+        params = s.init(key, mats)["params"]
+    else:
+        params = s.init(key, mats, jnp.zeros((batch_size, vec_dim)))["params"]
     return SurrogateState(params=params, opt=s_tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
@@ -336,6 +339,68 @@ def make_gandes_train_step(gen, disc, g_tx, d_tx):
             g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
         )
         return new_state, {"d_loss": d_loss, "g_loss": g_loss}
+
+    return train_step
+
+
+# mel-dB spectrograms span ~[-80, 0]; normalize the surrogate regression
+# residual so the MSE is O(1)
+MEL_SCALE = 40.0
+
+
+def make_gandes_train_step_surrogate(gen, disc, s, g_tx, d_tx, s_tx):
+    """GAN-DES ``g_update='surrogate'`` fused step (mirror of the MM-GAN
+    one): D update with the reference's 0.9/0.1 smoothing, online surrogate
+    regression matrix->mel against the pipeline's actual output, then a
+    straight-through G update whose gradient flows through the just-updated
+    (frozen) surrogate. Returns ``(state, s_state, metrics)``."""
+
+    def d_loss_fn(d_params, real, fake):
+        pred_real = disc.apply({"params": d_params}, real).reshape(-1)
+        pred_fake = disc.apply({"params": d_params}, fake).reshape(-1)
+        return bce_with_logits(pred_real, GAN_DES_REAL_LABEL) + bce_with_logits(
+            pred_fake, GAN_DES_FAKE_LABEL
+        )
+
+    def train_step(state: GANState, s_state: SurrogateState, real_mel,
+                   fake_mel, mats, noise):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_mel, fake_mel)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        mats_sg = jax.lax.stop_gradient(mats)
+
+        def s_loss_fn(s_params):
+            pred = s.apply({"params": s_params}, mats_sg)
+            return jnp.mean(((pred - fake_mel) / MEL_SCALE) ** 2)
+
+        s_loss, s_grads = jax.value_and_grad(s_loss_fn)(s_state.params)
+        s_updates, s_opt = s_tx.update(s_grads, s_state.opt, s_state.params)
+        s_params = optax.apply_updates(s_state.params, s_updates)
+        new_s_state = SurrogateState(params=s_params, opt=s_opt, step=s_state.step + 1)
+
+        s_frozen = jax.lax.stop_gradient(s_params)
+
+        def g_loss_fn(g_params):
+            mats_d, _ = gen.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                noise, True, mutable=["batch_stats"],
+            )
+            s_mel = s.apply({"params": s_frozen}, mats_d)
+            proxy = fake_mel + s_mel - jax.lax.stop_gradient(s_mel)
+            return bce_with_logits(disc.apply({"params": d_params}, proxy).squeeze(), 1.0)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GANState(
+            g_params=g_params, g_stats=state.g_stats,
+            d_params=d_params, d_stats=state.d_stats,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
+        )
+        return new_state, new_s_state, {"d_loss": d_loss, "g_loss": g_loss,
+                                        "s_loss": s_loss}
 
     return train_step
 

@@ -152,6 +152,64 @@ def test_surrogate_step_trains_surrogate_and_generators():
     assert int(s_state.step) == 30
 
 
+def test_gandes_surrogate_step_trains():
+    from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+    from gandes_tpu.models.surrogate import MelSurrogate
+    from gandes_tpu.train.steps import (
+        init_gandes_state,
+        init_surrogate_state,
+        make_gandes_gen_forward,
+        make_gandes_train_step_surrogate,
+    )
+
+    B = 4
+    gen = DCGANGenerator(noise_dim=100)
+    disc = MelDiscriminator()
+    s = MelSurrogate(mel_shape=(128, 216))
+    g_tx, d_tx, s_tx = optax.adam(1e-4, b1=0.5), optax.adam(1e-4, b1=0.5), optax.adam(1e-3)
+    state = init_gandes_state(gen, disc, jax.random.key(0), batch_size=B,
+                              z_dim=100, mel_shape=(128, 216), g_tx=g_tx, d_tx=d_tx)
+    s_state = init_surrogate_state(s, jax.random.key(1), batch_size=B,
+                                   adj_size=(20, 20), s_tx=s_tx)
+    gen_forward = jax.jit(make_gandes_gen_forward(gen))
+    step = jax.jit(make_gandes_train_step_surrogate(gen, disc, s, g_tx, d_tx, s_tx))
+
+    key = jax.random.key(2)
+    noise = jax.random.normal(jax.random.fold_in(key, 0), (B, 100))
+    real = jax.random.uniform(jax.random.fold_in(key, 1), (B, 128, 216)) * -40
+    mats, _ = gen_forward(state, noise)
+    fake = jax.random.uniform(jax.random.fold_in(key, 2), (B, 128, 216)) * -40
+
+    g_before = state.g_params
+    s_losses = []
+    for _ in range(25):
+        state, s_state, metrics = step(state, s_state, real, fake, mats, noise)
+        s_losses.append(float(metrics["s_loss"]))
+    assert s_losses[-1] < s_losses[0] * 0.7, s_losses[::8]
+    moved = jax.tree.reduce(
+        lambda acc, x: acc or bool(x),
+        jax.tree.map(lambda a, b: bool(jnp.any(a != b)), g_before, state.g_params),
+        False,
+    )
+    assert moved
+
+
+def test_train_gandes_surrogate_mode_end_to_end(tmp_path, monkeypatch):
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(4, 128, 216).astype(np.float32) * 40 - 40 for _ in range(2)]
+    cfg = GanDesConfig(batch_size=4, model_path=str(tmp_path / "models"),
+                       number_of_customers=120, max_sim_time=0.3,
+                       g_update="surrogate", write_wav=False)
+    np.random.seed(2)
+    state, history = train_gandes(iter(batches), cfg, max_steps=2)
+    assert len(history["disc"]) == 2
+    assert all(np.isfinite(v) for v in history["disc"] + history["gen"])
+
+
 def test_train_mmgan_surrogate_mode_end_to_end(tmp_path, monkeypatch):
     """Two batches of the real loop in surrogate mode: runs, produces finite
     losses, and checkpoints both the GAN and surrogate states."""
