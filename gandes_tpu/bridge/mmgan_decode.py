@@ -256,6 +256,14 @@ def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
         metas.append((instruments, note_levels, num_customers))
 
     timed_out = [False] * B
+    # rolls decoded inside the workers, overlapped with still-running sims
+    # (the native engine releases the GIL, so the GIL-bound Python decode of
+    # finished sims rides under the remaining sims' wall budgets). Only
+    # in-memory decodes are eligible — decodes that write MIDI artifacts
+    # (generate=True, or the lines%100==0 save gate) stay sequential below
+    # so the last-written-file semantics match the reference's ordering.
+    early_rolls: list = [None] * B
+    early_errors: list = [None] * B
 
     def worker(i):
         t0 = time.time()
@@ -263,10 +271,31 @@ def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
         try:
             sims[i].run(number_of_customers=metas[i][2])
             timed_out[i] = time.time() - t0 > watchdog
-            return None
         except Exception as e:  # matches the swallowed-thread semantics
             traceback.print_exc()
             return e
+        if (force_roll and not generate and not timed_out[i]
+                and min(sims[i].log_line_count(), 5001) % 100 != 0):
+            try:
+                # native record-array decoder first (no string formatting,
+                # no regex; bit-identical rolls), Python decoder fallback
+                from gandes_tpu.music.native_decode import decode_records_v2
+
+                early_rolls[i] = decode_records_v2(
+                    sims[i], metas[i][0], metas[i][1], gen2_output[i][10:],
+                    start, end,
+                )
+                if early_rolls[i] is None:
+                    early_rolls[i] = process_adjsim_log_v2(
+                        instruments=metas[i][0], note_levels=metas[i][1],
+                        gen2_output=gen2_output[i][10:], count=1, start=start,
+                        end=end, generate=False,
+                        lines=sims[i].music_lines(limit=5001),
+                        out_dir=out_dir, force_roll=True,
+                    )
+            except Exception as e:
+                early_errors[i] = e
+        return None
 
     with ThreadPoolExecutor(max_workers=min(parallel, B)) as pool:
         errors = list(pool.map(worker, range(B)))
@@ -287,13 +316,18 @@ def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,
             midi_rolls.append(output)
             continue
         try:
-            roll, durations, _ = process_adjsim_log_v2(
-                instruments=instruments, note_levels=note_levels,
-                gen2_output=gen2_output[index][10:],
-                count=(count if index == 0 else 1), start=start, end=end,
-                generate=generate, lines=sim.music_lines(limit=5001),
-                out_dir=out_dir, force_roll=force_roll,
-            )
+            if early_errors[index] is not None:
+                raise early_errors[index]
+            if early_rolls[index] is not None:
+                roll, durations, _ = early_rolls[index]
+            else:
+                roll, durations, _ = process_adjsim_log_v2(
+                    instruments=instruments, note_levels=note_levels,
+                    gen2_output=gen2_output[index][10:],
+                    count=(count if index == 0 else 1), start=start, end=end,
+                    generate=generate, lines=sim.music_lines(limit=5001),
+                    out_dir=out_dir, force_roll=force_roll,
+                )
             output[0] = roll
             output[1] = durations
         except Exception:
