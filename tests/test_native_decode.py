@@ -93,6 +93,128 @@ def test_native_decode_crop_quirk_small_end(tmp_path):
     np.testing.assert_array_equal(dur_n, dur_py)
 
 
+class _FakeLog:
+    def __init__(self, preamble):
+        self.lines = list(preamble)
+        self.path = None
+
+    def flush(self):
+        pass
+
+
+class _FakeSim:
+    """Just enough Sim surface for decode_records_v2 / materialize_records."""
+
+    def __init__(self, preamble, values, ids, servers, kinds):
+        self.log = _FakeLog(preamble)
+        self._pending_records = (
+            np.asarray(values, np.float64), np.asarray(ids, np.int64),
+            np.asarray(servers, np.int32), np.asarray(kinds, np.uint8),
+        )
+        self._pending_offset = 0
+
+    def music_lines(self, limit=None):
+        from gandes_tpu.des.native import materialize_records
+
+        materialize_records(self, limit)
+        return self.log.lines
+
+
+@pytest.mark.skipif(not _native_ready(), reason="native libs unavailable")
+def test_native_decode_regex_and_cleanup_edge_cases(tmp_path):
+    """Hand-crafted records covering every match/no-match and cleanup
+    branch: scientific-notation reprs (<1e-4, >=1e16), negatives, zero
+    times, 'processing'/delayed kinds, None servers, the midi_time<200
+    gate, >200 off-times (removal passes), duplicate note_ons, and the
+    sequence-length / IndexError abort."""
+    from gandes_tpu.music.native_decode import decode_records_v2
+
+    g2tail = np.asarray([0.31, 0.52, 0.73, 0.66, 0.45, 0.38, 0, 0, 0, 0],
+                        np.float32)
+    n = 8
+    instruments = np.arange(n, dtype=np.float64) * 3.0
+    note_levels = (np.arange(n, dtype=np.float64) * 7.0 + 30.0) % 128
+
+    V, I, S, K = [], [], [], []
+
+    def rec(v, i, s, k):
+        V.append(v), I.append(i), S.append(s), K.append(k)
+
+    # matches
+    rec(0.0, 6, 1, 0)            # zero time arrival ('0.0')
+    rec(1.5, 10, 2, 0)           # arrival
+    rec(2.25, 10, 2, 2)          # departure (note pair)
+    # no-match quirks
+    rec(5e-05, 6, 3, 0)          # sci-notation small -> skipped
+    rec(1e16, 6, 3, 0)           # sci-notation large -> skipped
+    rec(-1.0, 6, 3, 0)           # negative -> skipped
+    rec(3.0, 6, 3, 1)            # 'processing' kind -> regex group-4 miss
+    rec(3.0, 6, 3, 3)            # delayed-departure kind -> miss
+    rec(3.5, 6, -1, 0)           # server 'None' -> miss
+    # skip-moduli misses and hits
+    rec(4.0, 7, 4, 0)            # id 7: depends on derived skip moduli
+    rec(5.0, 12, 5, 0)           # id 12
+    rec(6.5, 12, 5, 2)
+    # duplicate note_on on the same node (clean_midi_file dedup)
+    rec(7.0, 10, 2, 0)
+    rec(8.0, 10, 2, 0)
+    # long times: 150 + service pushes off_time past 200 (removal passes)
+    rec(150.0, 20, 6, 0)
+    rec(199.0, 20, 6, 2)
+    # beyond the midi_time < 200 gate
+    rec(230.0, 30, 7, 0)
+    # orphan departure on a never-seen node
+    rec(9.0, 10, 0, 2)
+
+    preamble = ["INFO:root:3 branch method set as shortest queue"]
+    sim_a = _FakeSim(preamble, V, I, S, K)
+    sim_b = _FakeSim(preamble, V, I, S, K)
+
+    native = decode_records_v2(sim_a, instruments, note_levels, g2tail, 100, 150)
+    assert native is not None
+    roll_py, dur_py, beats_py = process_adjsim_log_v2(
+        instruments=instruments, note_levels=note_levels, gen2_output=g2tail,
+        count=1, start=100, end=150, generate=False,
+        lines=sim_b.music_lines(limit=5001), out_dir=str(tmp_path),
+        force_roll=True,
+    )
+    roll_n, dur_n, beats_n = native
+    np.testing.assert_array_equal(roll_n, roll_py)
+    np.testing.assert_array_equal(dur_n, dur_py)
+    np.testing.assert_array_equal(beats_n, beats_py)
+
+
+@pytest.mark.skipif(not _native_ready(), reason="native libs unavailable")
+def test_native_decode_respects_line_budget():
+    """Records past the 5000-line cap (minus preamble) must be ignored,
+    exactly like the Python line loop."""
+    from gandes_tpu.music.native_decode import decode_records_v2
+
+    g2tail = np.asarray([0.31, 0.52, 0.73, 0.66, 0.45, 0.38], np.float32)
+    n = 4
+    instruments = np.zeros(n)
+    note_levels = np.asarray([60.0, 62.0, 64.0, 65.0])
+
+    # preamble of 4998 lines leaves budget for exactly 2 records
+    preamble = ["INFO:root:x"] * 4998
+    V = [1.0, 2.0, 3.0, 4.0]
+    I = [10, 10, 10, 10]
+    S = [1, 1, 2, 2]
+    K = [0, 2, 0, 2]
+    sim_a = _FakeSim(preamble, V, I, S, K)
+    sim_b = _FakeSim(preamble, V, I, S, K)
+
+    native = decode_records_v2(sim_a, instruments, note_levels, g2tail, 100, 150)
+    roll_py, dur_py, _ = process_adjsim_log_v2(
+        instruments=instruments, note_levels=note_levels, gen2_output=g2tail,
+        count=1, start=100, end=150, generate=False,
+        lines=sim_b.music_lines(limit=5001), out_dir=".", force_roll=True,
+    )
+    roll_n, dur_n, _ = native
+    np.testing.assert_array_equal(roll_n, roll_py)
+    np.testing.assert_array_equal(dur_n, dur_py)
+
+
 @pytest.mark.skipif(not _native_ready(), reason="native libs unavailable")
 def test_parallel_force_roll_uses_native_and_matches_python(tmp_path):
     """matrix_to_midi(parallel=N, force_roll=True) rolls are identical
