@@ -18,6 +18,7 @@ import ctypes as C
 import hashlib
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -38,36 +39,56 @@ _lib = None
 _build_failed = False
 
 
-def _build() -> str | None:
-    with open(_SRC, "rb") as f:
+def build_native_lib(src: str, prefix: str,
+                     extra_flags: tuple[str, ...] = ()) -> str | None:
+    """Compile ``src`` to a content-hash-named .so next to it (cached) and
+    return the path, or None on failure. Concurrency-safe: each builder
+    writes a unique tmp (pid-suffixed) and atomically os.replace()s it in,
+    so racing first-use builds from worker threads/processes all end with a
+    complete library. -ffp-contract=off everywhere: FMA contraction changes
+    low float bits vs Python's unfused math, breaking bit parity."""
+    with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(os.path.dirname(_SRC), f"libdes_{digest}.so")
+    out = os.path.join(os.path.dirname(src), f"{prefix}_{digest}.so")
     if os.path.exists(out):
         return out
-    # -ffp-contract=off: FMA contraction changes low bits vs Python's
-    # unfused float math, breaking draw-for-draw parity
-    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
-           "-fPIC", "-std=c++17", "-o", out + ".tmp", _SRC]
+    tmp = f"{out}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+           "-std=c++17", *extra_flags, "-o", tmp, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        os.replace(out + ".tmp", out)
+        os.replace(tmp, out)
         return out
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
+
+
+_BUILD_LOCK = threading.Lock()
 
 
 def get_lib():
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    path = _build()
-    if path is None:
-        _build_failed = True
-        return None
-    lib = C.CDLL(path)
-    lib.des_run.restype = C.c_int
-    lib.des_free_records.restype = None
-    _lib = lib
+    with _BUILD_LOCK:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = build_native_lib(_SRC, "libdes", extra_flags=("-march=native",))
+        if path is None:
+            _build_failed = True
+            return None
+        try:
+            lib = C.CDLL(path)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.des_run.restype = C.c_int
+        lib.des_free_records.restype = None
+        _lib = lib
     return _lib
 
 

@@ -17,48 +17,41 @@ test vectors) matches the Python decoder for any input dtype.
 from __future__ import annotations
 
 import ctypes as C
-import hashlib
 import os
-import subprocess
+import threading
 
 import numpy as np
+
+from gandes_tpu.des.native import build_native_lib
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
                     "native", "midi_decode.cpp")
 
 _lib = None
 _build_failed = False
-
-
-def _build() -> str | None:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(os.path.dirname(_SRC), f"libmidi_{digest}.so")
-    if os.path.exists(out):
-        return out
-    # -ffp-contract=off: keep the tick2second accumulation bit-identical to
-    # CPython's unfused float math
-    cmd = ["g++", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
-           "-std=c++17", "-o", out + ".tmp", _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        os.replace(out + ".tmp", out)
-        return out
-    except Exception:
-        return None
+_BUILD_LOCK = threading.Lock()
 
 
 def get_lib():
+    """Build+load the decoder library once; safe to call concurrently from
+    the parallel bridge's worker threads (lock + unique-tmp atomic build)."""
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    path = _build()
-    if path is None:
-        _build_failed = True
-        return None
-    lib = C.CDLL(path)
-    lib.midi_decode_v2.restype = C.c_int
-    _lib = lib
+    with _BUILD_LOCK:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = build_native_lib(_SRC, "libmidi")
+        if path is None:
+            _build_failed = True
+            return None
+        try:
+            lib = C.CDLL(path)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.midi_decode_v2.restype = C.c_int
+        _lib = lib
     return _lib
 
 
@@ -105,9 +98,20 @@ def decode_records_v2(sim, instruments, note_levels, gen2_output,
     var = int(g[5] * int(126 / 2))
     if var == 0:
         var = 30
+    if base + var <= 0:
+        # python raises ZeroDivisionError/uses signed % here; out of the
+        # decoder's domain — fall back
+        return None
 
     instruments_i = np.asarray([int(x) for x in instruments], np.int64)
     note_levels_i = np.asarray([int(x) for x in note_levels], np.int64)
+    # out-of-range notes make the Python rasterizer IndexError into a
+    # partial roll, and huge instruments overflow int32 — keep both on the
+    # Python path rather than replicating those failure modes in C++
+    if len(note_levels_i) and (note_levels_i.min() < 0 or note_levels_i.max() > 127):
+        return None
+    if len(instruments_i) and (abs(instruments_i).max() >= 2**31):
+        return None
 
     start = int(start)
     end = int(end)

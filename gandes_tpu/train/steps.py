@@ -60,6 +60,34 @@ class GANState:
 # ----------------------------------------------------------------- MM-GAN
 
 
+def _make_mmgan_d_loss(d):
+    """Shared MM-GAN discriminator loss (fake->0, real->1); one definition
+    for the base and surrogate steps so the modes cannot diverge."""
+
+    def d_loss_fn(d_params, real, fake):
+        logits_fake = d.apply({"params": d_params}, fake)
+        logits_real = d.apply({"params": d_params}, real)
+        return bce_with_logits(logits_fake.squeeze(), 0.0) + bce_with_logits(
+            logits_real.squeeze(), 1.0
+        )
+
+    return d_loss_fn
+
+
+def _make_gandes_d_loss(disc):
+    """Shared GAN-DES discriminator loss with the reference's 0.9/0.1 label
+    smoothing over already-sigmoided outputs (SIMNN.py:283-316 quirk)."""
+
+    def d_loss_fn(d_params, real, fake):
+        pred_real = disc.apply({"params": d_params}, real).reshape(-1)
+        pred_fake = disc.apply({"params": d_params}, fake).reshape(-1)
+        return bce_with_logits(pred_real, GAN_DES_REAL_LABEL) + bce_with_logits(
+            pred_fake, GAN_DES_FAKE_LABEL
+        )
+
+    return d_loss_fn
+
+
 def make_mmgan_gen_forward(g1, g2):
     """Jittable G1+G2 forward; returns (adj_matrices, gen2_params, new_stats).
 
@@ -162,12 +190,7 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx):
     distribution. Returns ``(state, s_state, metrics)``.
     """
 
-    def d_loss_fn(d_params, real, fake):
-        logits_fake = d.apply({"params": d_params}, fake)
-        logits_real = d.apply({"params": d_params}, real)
-        return bce_with_logits(logits_fake.squeeze(), 0.0) + bce_with_logits(
-            logits_real.squeeze(), 1.0
-        )
+    d_loss_fn = _make_mmgan_d_loss(d)
 
     def train_step(state: GANState, s_state: SurrogateState, real_roll,
                    fake_roll, mats, vec, noise1, noise2, beats, aux_key):
@@ -233,13 +256,7 @@ def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
     if g_update == "direct" and fake_proxy_fn is None:
         fake_proxy_fn = make_default_fake_proxy(g1, g2)
 
-    def d_loss_fn(d_params, real, fake):
-        logits_fake = d.apply({"params": d_params}, fake)
-        logits_real = d.apply({"params": d_params}, real)
-        loss = bce_with_logits(logits_fake.squeeze(), 0.0) + bce_with_logits(
-            logits_real.squeeze(), 1.0
-        )
-        return loss
+    d_loss_fn = _make_mmgan_d_loss(d)
 
     def train_step(state: GANState, real_roll, fake_roll, noise1=None,
                    noise2=None, beats=None, aux_key=None):
@@ -314,12 +331,7 @@ def make_gandes_train_step(gen, disc, g_tx, d_tx):
     `SIMNN.py:283-316`), then post-update generator loss (zero G grads —
     faithful to the detach at :299)."""
 
-    def d_loss_fn(d_params, real, fake):
-        pred_real = disc.apply({"params": d_params}, real).reshape(-1)
-        pred_fake = disc.apply({"params": d_params}, fake).reshape(-1)
-        return bce_with_logits(pred_real, GAN_DES_REAL_LABEL) + bce_with_logits(
-            pred_fake, GAN_DES_FAKE_LABEL
-        )
+    d_loss_fn = _make_gandes_d_loss(disc)
 
     def train_step(state: GANState, real_mel, fake_mel):
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_mel, fake_mel)
@@ -355,12 +367,7 @@ def make_gandes_train_step_surrogate(gen, disc, s, g_tx, d_tx, s_tx):
     straight-through G update whose gradient flows through the just-updated
     (frozen) surrogate. Returns ``(state, s_state, metrics)``."""
 
-    def d_loss_fn(d_params, real, fake):
-        pred_real = disc.apply({"params": d_params}, real).reshape(-1)
-        pred_fake = disc.apply({"params": d_params}, fake).reshape(-1)
-        return bce_with_logits(pred_real, GAN_DES_REAL_LABEL) + bce_with_logits(
-            pred_fake, GAN_DES_FAKE_LABEL
-        )
+    d_loss_fn = _make_gandes_d_loss(disc)
 
     def train_step(state: GANState, s_state: SurrogateState, real_mel,
                    fake_mel, mats, noise):

@@ -29,6 +29,11 @@ def _toy_batch(B=4, T=50, seed=0):
     rng = np.random.RandomState(seed)
     g1 = rng.rand(B, 1, 64, 64).astype(np.float32)
     g2 = rng.rand(B, 20).astype(np.float32)
+    # wall budgets are machine-speed dependent (CLAUDE.md invariant: never
+    # assert across truncation points); pin every sim to the full 1.0 s cap
+    # and a small customer count so runs end deterministically on the count
+    g2[:, 5] = 0.999
+    g2[:, 6] = 0.1
     return g1, g2
 
 
@@ -52,9 +57,11 @@ def test_force_roll_matches_generate_roll(tmp_path):
     assert failed_gen == failed_force
     for a, b in zip(rolls_gen, rolls_force):
         np.testing.assert_array_equal(a, b)
-    # generate=True writes generation.mid; force_roll writes nothing
+    # generate=True writes generation.mid; force_roll never does (a sample
+    # whose line count lands on the %100 save gate may still write
+    # simulation.mid — that gate is reference behavior, not force_roll's)
     assert (gen_dir / "generation.mid").exists()
-    assert not force_dir.exists() or not any(force_dir.iterdir())
+    assert not (force_dir / "generation.mid").exists()
     # the rolls must be non-trivial for the surrogate to have a target
     assert any(np.asarray(r).any() for r in rolls_force)
 
