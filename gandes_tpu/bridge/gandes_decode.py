@@ -175,16 +175,19 @@ def matrix_to_wav(
             )
             sim.run(number_of_customers=number_of_customers)
 
-            file_path = process_adjsim_log_v1(
+            file_path, mid = process_adjsim_log_v1(
                 instruments=instruments, note_levels=note_levels,
                 lines=sim.music_lines(),
                 out_path=os.path.join(out_dir, "midi", "output.mid"),
+                return_mid=True,
             )
 
             # bucketed (pow2) render, kept on device: the dynamic-hop mel
             # reuses one compiled program per bucket, and the audio only
-            # crosses to the host if the WAV artifact is wanted
-            audio_dev, true_len = render_midi(file_path, sr=sample_rate, as_jax=True)
+            # crosses to the host if the WAV artifact is wanted; render from
+            # the in-memory MidiFile (== the just-written file) to skip the
+            # re-parse
+            audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True)
             if write_wav:
                 output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
                 os.makedirs(os.path.dirname(output_file), exist_ok=True)
@@ -240,12 +243,13 @@ def _matrix_to_wav_parallel(matrices, size, num_aug, use_same_instrument,
     spectrograms = []
     for index, sim in enumerate(sims):
         instruments, note_levels = metas[index]
-        file_path = process_adjsim_log_v1(
+        file_path, mid = process_adjsim_log_v1(
             instruments=instruments, note_levels=note_levels,
             lines=sim.music_lines(limit=5001),
             out_path=os.path.join(out_dir, "midi", "output.mid"),
+            return_mid=True,
         )
-        audio_dev, true_len = render_midi(file_path, sr=sample_rate, as_jax=True)
+        audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True)
         if write_wav:
             output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
             os.makedirs(os.path.dirname(output_file), exist_ok=True)

@@ -347,9 +347,13 @@ def process_adjsim_log_v1(
     log_file="./logs/simulation.log",
     out_path="./adj_sim_outputs/midi/output.mid",
     generator_cls=MidiGeneratorV1,
+    return_mid=False,
 ):
     """GAN-DES log->MIDI driver (`GAN_DES/sim_log_process_music.py:159-185`):
-    read <= 5000 lines, stage/emit notes, save, return the file path."""
+    read <= 5000 lines, stage/emit notes, save, return the file path.
+    ``return_mid=True`` additionally returns the in-memory MidiFile (encode
+    and re-parse are inverse for these tracks, so rendering from it equals
+    rendering from the written file — skipping the re-parse)."""
     if note_levels is None:
         note_levels = _DEFAULT_NOTE_LEVELS
     log_processor = LogLineProcessor(MUSIC_LINE_REGEX)
@@ -366,6 +370,8 @@ def process_adjsim_log_v1(
             midi_generator.process_line(processed)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     midi_generator.save_midi(filename=out_path)
+    if return_mid:
+        return out_path, midi_generator.mid
     return out_path
 
 

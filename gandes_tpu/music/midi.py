@@ -259,6 +259,38 @@ def merge_tracks(tracks):
     return MidiTrack(_to_reltime(messages))
 
 
+def iter_seconds(midi: "MidiFile"):
+    """Yield ``(msg, delta_seconds)`` over a MidiFile's merged message
+    stream — semantically identical to ``for msg in midi`` (same tempo-map
+    application, same tick2second floats) but without the three
+    message-copy passes ``merge_tracks`` makes, for the common case of a
+    single track with non-negative deltas and no interior end_of_track
+    (every file/track the generators produce). Falls back to the full merge
+    iteration otherwise. The hot host loops (synth event extraction, roll
+    rasterization) are bound by this iteration cost."""
+    fast = len(midi.tracks) == 1
+    if fast:
+        track = midi.tracks[0]
+        last = len(track) - 1
+        for i, m in enumerate(track):
+            if m.time < 0 or (m.type == "end_of_track" and i != last):
+                fast = False
+                break
+    if fast:
+        tempo = DEFAULT_TEMPO
+        for msg in midi.tracks[0]:
+            if msg.time > 0:
+                delta = tick2second(msg.time, midi.ticks_per_beat, tempo)
+            else:
+                delta = 0
+            yield msg, delta
+            if msg.type == "set_tempo":
+                tempo = msg.tempo
+    else:
+        for msg in midi:
+            yield msg, msg.time
+
+
 class MidiFile:
     """SMF container; ``tracks`` of ``MidiTrack``; iteration yields
     seconds-domain messages (tempo map applied)."""

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from gandes_tpu.music.beats import get_beats
-from gandes_tpu.music.midi import MidiFile
+from gandes_tpu.music.midi import MidiFile, iter_seconds
 
 
 def midi_to_events(midi: MidiFile, max_steps: int | None = None):
@@ -43,8 +43,8 @@ def midi_to_events(midi: MidiFile, max_steps: int | None = None):
     note_on_time = np.zeros(128)
     open_idx = {}
     my_time = 0.0
-    for msg in midi:
-        my_time += msg.time
+    for msg, delta in iter_seconds(midi):
+        my_time += delta
         step = int(round(my_time))
         if max_steps is not None and step >= max_steps:
             break
@@ -93,8 +93,8 @@ def generate_piano_roll(midi_input, sequence_length=100, beats_length=50, start=
     try:
         my_time = 0.0
         note_on_time = np.zeros(128)
-        for msg in midi:
-            my_time += msg.time
+        for msg, delta in iter_seconds(midi):
+            my_time += delta
             time_step = int(round(my_time))
             if time_step >= sequence_length:
                 break

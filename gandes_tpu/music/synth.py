@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from gandes_tpu.data.audio import save_wav
-from gandes_tpu.music.midi import MidiFile
+from gandes_tpu.music.midi import MidiFile, iter_seconds
 
 N_HARMONICS = 6
 ATTACK_S = 0.005
@@ -53,8 +53,8 @@ def midi_to_event_arrays(midi: MidiFile, max_events: int):
     open_ev: dict[tuple, int] = {}
     program = 0
     t = 0.0
-    for msg in midi:
-        t += msg.time
+    for msg, delta in iter_seconds(midi):
+        t += delta
         if msg.type == "program_change":
             program = msg.program
         elif msg.type == "note_on" and msg.velocity > 0:

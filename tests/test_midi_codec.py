@@ -120,3 +120,61 @@ def test_reference_artifact_reencode_stable():
         mid.save(q)
         again = MidiFile(q)
     assert [list(t) for t in again.tracks] == [list(t) for t in mid.tracks]
+
+
+def test_iter_seconds_fast_path_equals_merge(tmp_path):
+    """iter_seconds' single-track fast path must yield byte-identical
+    (message, delta) streams to full merge iteration, including tempo-map
+    application; multi-track and interior-EOT files take the merge path."""
+    from gandes_tpu.music.midi import iter_seconds
+
+    mid = MidiFile()
+    t = MidiTrack()
+    mid.tracks.append(t)
+    t.append(MetaMessage("set_tempo", tempo=123456, time=0))
+    t.append(Message("program_change", program=7, time=3))
+    t.append(Message("note_on", note=60, velocity=64, time=480))
+    t.append(MetaMessage("set_tempo", tempo=1000000, time=480))
+    t.append(Message("note_off", note=60, velocity=64, time=480))
+    t.append(MetaMessage("end_of_track", time=0))
+
+    merge = [(m.type, m.time) for m in mid]
+    fast = [(m.type, d) for m, d in iter_seconds(mid)]
+    assert fast == merge  # exact float equality required
+
+    # multi-track file -> falls back to merge (same stream either way)
+    a, b = MidiTrack(), MidiTrack()
+    a.append(Message("note_on", note=60, time=10))
+    a.append(MetaMessage("end_of_track", time=5))
+    b.append(Message("note_off", note=60, time=4))
+    mid2 = MidiFile()
+    mid2.tracks = [a, b]
+    assert [(m.type, d) for m, d in iter_seconds(mid2)] == [
+        (m.type, m.time) for m in mid2
+    ]
+
+
+def test_render_from_memory_equals_render_from_file(tmp_path):
+    """A v1-generator MidiFile renders identically whether passed in memory
+    or re-parsed from the file it just saved (encode/parse are inverse for
+    these tracks) — the basis for the bridge's skip-the-reparse fast path."""
+    import numpy as np
+
+    from gandes_tpu.music.generators import process_adjsim_log_v1
+    from gandes_tpu.music.synth import midi_to_event_arrays
+
+    lines = []
+    for i in range(60):
+        lines.append(f"INFO:root:{float(i) + 0.25!r} - {3 * i} - {i % 4} - arrival")
+        lines.append(f"INFO:root:{float(i) + 0.75!r} - {3 * i} - {i % 4} - departure")
+    out = str(tmp_path / "output.mid")
+    path, mid = process_adjsim_log_v1(
+        instruments=np.arange(4), note_levels=np.asarray([60, 62, 64, 65]),
+        lines=lines, out_path=out, return_mid=True,
+    )
+    ev_mem = midi_to_event_arrays(mid, 256)
+    ev_file = midi_to_event_arrays(MidiFile(path), 256)
+    for a, b in zip(ev_mem[:5], ev_file[:5]):
+        np.testing.assert_array_equal(a, b)
+    assert ev_mem[5] == ev_file[5] and ev_mem[6] == ev_file[6]
+    assert ev_mem[5] > 0  # non-trivial
