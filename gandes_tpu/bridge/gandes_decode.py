@@ -243,13 +243,27 @@ def _matrix_to_wav_parallel(matrices, size, num_aug, use_same_instrument,
     spectrograms = []
     for index, sim in enumerate(sims):
         instruments, note_levels = metas[index]
-        file_path, mid = process_adjsim_log_v1(
-            instruments=instruments, note_levels=note_levels,
-            lines=sim.music_lines(limit=5001),
-            out_path=os.path.join(out_dir, "midi", "output.mid"),
-            return_mid=True,
+        # native record-array decode first (writes the same output.mid
+        # bytes and returns the synth event arrays directly); Python
+        # generator fallback when the sim didn't run natively
+        from gandes_tpu.music.native_decode import decode_records_v1
+        from gandes_tpu.music.synth import render_events
+
+        res = decode_records_v1(
+            sim, instruments, note_levels,
+            os.path.join(out_dir, "midi", "output.mid"),
         )
-        audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True)
+        if res is not None:
+            file_path, events = res
+            audio_dev, true_len = render_events(events, sr=sample_rate, as_jax=True)
+        else:
+            file_path, mid = process_adjsim_log_v1(
+                instruments=instruments, note_levels=note_levels,
+                lines=sim.music_lines(limit=5001),
+                out_path=os.path.join(out_dir, "midi", "output.mid"),
+                return_mid=True,
+            )
+            audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True)
         if write_wav:
             output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
             os.makedirs(os.path.dirname(output_file), exist_ok=True)

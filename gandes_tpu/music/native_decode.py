@@ -51,12 +51,77 @@ def get_lib():
             _build_failed = True
             return None
         lib.midi_decode_v2.restype = C.c_int
+        lib.midi_decode_v1.restype = C.c_int
         _lib = lib
     return _lib
 
 
 def native_decode_available() -> bool:
     return get_lib() is not None
+
+
+def decode_records_v1(sim, instruments, note_levels, out_path,
+                      program_change_per_note=False, max_events=1024):
+    """Native v1/v0 decode: the engine's raw records -> the ``output.mid``
+    SMF bytes (byte-identical to ``process_adjsim_log_v1``'s file, which is
+    written to ``out_path``) plus the synth event arrays (bit-identical to
+    ``midi_to_event_arrays`` over that file). Returns
+    ``(out_path, events_tuple)`` or ``None`` when ineligible."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pend = getattr(sim, "_pending_records", None)
+    if pend is None or getattr(sim, "_pending_offset", 0) != 0:
+        return None
+
+    values, ids, servers, kinds = pend
+    n_nodes = len(note_levels)
+    if len(instruments) != n_nodes:
+        return None
+    if len(servers) and int(servers.max()) >= n_nodes:
+        return None
+    instruments_i = np.asarray([int(x) for x in instruments], np.int64)
+    note_levels_i = np.asarray([int(x) for x in note_levels], np.int64)
+    if len(note_levels_i) and (note_levels_i.min() < 0 or note_levels_i.max() > 127):
+        return None
+    if len(instruments_i) and (abs(instruments_i).max() >= 2**31):
+        return None
+
+    values = np.ascontiguousarray(values, np.float64)
+    ids = np.ascontiguousarray(ids, np.int64)
+    servers = np.ascontiguousarray(servers, np.int32)
+    kinds = np.ascontiguousarray(kinds, np.uint8)
+
+    smf_cap = 1 << 18
+    smf = np.zeros(smf_cap, np.uint8)
+    smf_len = C.c_int64(0)
+    ev_notes = np.zeros(max_events, np.int32)
+    ev_vels = np.zeros(max_events, np.float32)
+    ev_ons = np.zeros(max_events, np.float32)
+    ev_offs = np.zeros(max_events, np.float32)
+    ev_progs = np.zeros(max_events, np.int32)
+    ev_n = C.c_int64(0)
+    ev_end = C.c_double(0.0)
+    ptr = lambda a: a.ctypes.data_as(C.c_void_p)
+
+    rc = lib.midi_decode_v1(
+        ptr(values), ptr(ids), ptr(servers), ptr(kinds),
+        C.c_int64(len(values)), C.c_int64(len(sim.log.lines)),
+        ptr(instruments_i), ptr(note_levels_i), C.c_int32(n_nodes),
+        C.c_int32(1 if program_change_per_note else 0), C.c_int32(max_events),
+        ptr(smf), C.c_int64(smf_cap), C.byref(smf_len),
+        ptr(ev_notes), ptr(ev_vels), ptr(ev_ons), ptr(ev_offs),
+        ptr(ev_progs), C.byref(ev_n), C.byref(ev_end),
+    )
+    if rc != 0:
+        return None
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(smf[: smf_len.value].tobytes())
+    events = (ev_notes, ev_vels, ev_ons, ev_offs, ev_progs,
+              int(ev_n.value), float(ev_end.value))
+    return out_path, events
 
 
 def decode_records_v2(sim, instruments, note_levels, gen2_output,

@@ -159,12 +159,22 @@ def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
     ``pad_to_bucket`` the returned audio keeps the bucketed pow2 length
     (zero tail) so downstream dynamic-hop mels also reuse one compiled
     program per bucket."""
+    midi = MidiFile(midi_input) if isinstance(midi_input, str) else midi_input
+    events = midi_to_event_arrays(midi, max_events)
+    return render_events(events, sr=sr, max_events=max_events,
+                         min_seconds=min_seconds, tail=tail,
+                         pad_to_bucket=pad_to_bucket, as_jax=as_jax)
+
+
+def render_events(events, sr: int = 44100, max_events: int = 1024,
+                  min_seconds: float = 0.5, tail: float = 0.3,
+                  pad_to_bucket: bool = False, as_jax: bool = False):
+    """Render pre-extracted event arrays (the ``midi_to_event_arrays``
+    tuple — or the native decoder's identical output) — same bucketing and
+    return conventions as :func:`render_midi`."""
     import jax as _jax
 
-    midi = MidiFile(midi_input) if isinstance(midi_input, str) else midi_input
-    notes_l, vels_l, ons_l, offs_l, progs_l, n, end = midi_to_event_arrays(
-        midi, max_events
-    )
+    notes_l, vels_l, ons_l, offs_l, progs_l, n, end = events
     n = min(n, max_events)
     length_s = max(float(end) + tail, min_seconds)
     L = _pow2(int(length_s * sr))

@@ -90,6 +90,190 @@ inline bool msg_eq(const Msg &a, const Msg &b) {
 
 }  // namespace
 
+namespace {
+
+inline void put_varlen(std::vector<uint8_t> &out, i64 value) {
+  // music/midi.py::_encode_varlen with the save-path max(0, int(time)) clamp
+  if (value < 0) value = 0;
+  uint8_t buf[10];
+  int n = 0;
+  buf[n++] = value & 0x7F;
+  value >>= 7;
+  while (value) {
+    buf[n++] = (value & 0x7F) | 0x80;
+    value >>= 7;
+  }
+  for (int i = n - 1; i >= 0; i--) out.push_back(buf[i]);
+}
+
+}  // namespace
+
+// v1/v0 decoder (GAN-DES / standalone-simulator MidiGenerator,
+// GAN_DES/sim_log_process_music.py:10-143 and
+// SIMULATOR/simulation_to_wav.py:107-226): arrivals stage note params,
+// departures emit note_on+note_off pairs (v0 additionally program_change
+// around each); no time gates, no cleanup passes. Emits BOTH the encoded
+// SMF bytes (byte-identical to MidiFile.save of the Python generator's
+// track — the output.mid artifact) and the synth event arrays
+// (music/synth.py::midi_to_event_arrays semantics: absolute seconds under
+// the default 500000/480 tempo map, float32-cast at the boundary).
+extern "C" int midi_decode_v1(
+    const double *rec_values, const i64 *rec_ids, const int32_t *rec_servers,
+    const uint8_t *rec_kinds, i64 n_records, i64 n_preamble,
+    const i64 *instruments, const i64 *note_levels, int32_t n_nodes,
+    int32_t program_change_per_note, int32_t max_events,
+    uint8_t *smf_out, i64 smf_cap, i64 *smf_len,
+    int32_t *ev_notes, float *ev_vels, float *ev_ons, float *ev_offs,
+    int32_t *ev_progs, i64 *ev_n, double *ev_end) {
+  if (n_nodes <= 0) return 1;
+
+  struct Msg {
+    uint8_t type;  // 0 note_on, 1 note_off, 2 program
+    int32_t note, velocity, program;
+    i64 time;
+  };
+  std::vector<Msg> track;
+  track.reserve(1024);
+
+  std::vector<i64> queue_lengths(n_nodes, 0);
+  std::vector<uint8_t> queue_seen(n_nodes, 0);
+  struct FE { i64 time, velocity, service; };
+  std::vector<FE> fe(n_nodes);
+  std::vector<uint8_t> fe_valid(n_nodes, 0);
+
+  i64 budget = 5000 - n_preamble;
+  if (budget < 0) budget = 0;
+  const i64 n = std::min<i64>(n_records, budget);
+
+  for (i64 r = 0; r < n; r++) {
+    const uint8_t kind = rec_kinds[r];
+    if (kind != 0 && kind != 2) continue;
+    const int32_t s = rec_servers[r];
+    if (s < 0 || s >= n_nodes) continue;
+    const double v = rec_values[r];
+    if (!repr_matches_decimal(v)) continue;
+    const i64 id = rec_ids[r];
+    if (id < 0) continue;
+    // fixed skip moduli 3/5/7 (sim_log_process_music.py:120,137)
+    if (!(id % 3 == 0 || id % 5 == 0 || id % 7 == 0)) continue;
+
+    i64 midi_time = (i64)v;
+    if (midi_time < 0) midi_time = 0;
+
+    if (kind == 0) {  // arrival: stage only (:120-135)
+      queue_lengths[s] += 1;
+      queue_seen[s] = 1;
+      const i64 ql = fold_queue_length(queue_lengths[s]);
+      const i64 max_ci = std::max<i64>(1, pymod(30 + ql, 127));
+      i64 ci = id;
+      if (ci >= max_ci && ci < 2 * max_ci) {
+        ci = std::min(max_ci, std::max<i64>(0, 2 * max_ci - ci));
+      } else if (ci >= 2 * max_ci) {
+        ci = std::min(max_ci, std::max<i64>(0, pymod(ci, max_ci)));
+      }
+      fe[s] = {midi_time, 60 + pymod(ci, 67), ql};
+      fe_valid[s] = 1;
+    } else {  // departure: emit the pair (:137-155)
+      if (fe_valid[s]) {
+        const i64 on_time = std::max<i64>(0, fe[s].time);
+        const i64 off_time = std::max<i64>(
+            0, fe[s].time + (midi_time - fe[s].time) + std::max<i64>(0, fe[s].service));
+        const int32_t note = (int32_t)note_levels[s];
+        const int32_t vel = (int32_t)fe[s].velocity;
+        if (program_change_per_note)
+          track.push_back({2, 0, 0, (int32_t)instruments[s], on_time});
+        track.push_back({0, note, vel, 0, on_time});
+        if (program_change_per_note)
+          track.push_back({2, 0, 0, (int32_t)instruments[s], off_time});
+        track.push_back({1, note, vel, 0, off_time});
+      }
+      if (queue_seen[s]) {
+        queue_lengths[s] -= 1;
+      } else {
+        queue_lengths[s] = 0;
+        queue_seen[s] = 1;
+      }
+    }
+  }
+
+  // ---- SMF encode (MidiFile.save: type 1, 1 track, tpb 480) --------------
+  std::vector<uint8_t> body;
+  body.reserve(track.size() * 8 + 8);
+  for (const Msg &m : track) {
+    put_varlen(body, m.time);
+    if (m.type == 2) {
+      body.push_back(0xC0);
+      body.push_back((uint8_t)(m.program & 0x7F));
+    } else {
+      body.push_back(m.type == 0 ? 0x90 : 0x80);
+      body.push_back((uint8_t)(m.note & 0x7F));
+      body.push_back((uint8_t)(m.velocity & 0x7F));
+    }
+  }
+  // trailing end_of_track appended by save_midi (time 0)
+  put_varlen(body, 0);
+  body.push_back(0xFF);
+  body.push_back(0x2F);
+  body.push_back(0x00);
+
+  const i64 total = 14 + 8 + (i64)body.size();
+  if (total > smf_cap) return 2;
+  uint8_t *p = smf_out;
+  auto be32 = [&](uint32_t x) { *p++ = x >> 24; *p++ = x >> 16; *p++ = x >> 8; *p++ = x; };
+  auto be16 = [&](uint16_t x) { *p++ = x >> 8; *p++ = x; };
+  std::memcpy(p, "MThd", 4); p += 4;
+  be32(6); be16(1); be16(1); be16(480);
+  std::memcpy(p, "MTrk", 4); p += 4;
+  be32((uint32_t)body.size());
+  std::memcpy(p, body.data(), body.size());
+  *smf_len = total;
+
+  // ---- event arrays (midi_to_event_arrays over the same stream) ----------
+  // tempo map: no set_tempo in the track -> constant default 500000/480;
+  // each stored time acts as a delta tick (merge quirk)
+  double t = 0.0;
+  i64 cnt = 0;
+  double end_max = 0.0;
+  // open_ev keyed by note: v1 pairs are adjacent so a stack depth of 1 per
+  // note suffices; mirror the dict semantics anyway
+  i64 open_idx[128];
+  for (int i = 0; i < 128; i++) open_idx[i] = -1;
+  std::vector<double> offs_all;  // doubles; float32 cast at the boundary
+  offs_all.reserve(512);
+  std::vector<double> ons_all;
+  ons_all.reserve(512);
+  int32_t program = 0;
+  for (const Msg &m : track) {
+    t += (double)(m.time * (i64)500000) * 1e-6 / 480.0;
+    if (m.type == 2) {
+      program = m.program;
+    } else if (m.type == 0 && m.velocity > 0) {
+      if (cnt < (i64)max_events) {
+        ev_notes[cnt] = m.note;
+        ev_vels[cnt] = (float)m.velocity;
+        ev_ons[cnt] = (float)t;
+        ev_offs[cnt] = (float)(t + 0.25);  // until matched (held default)
+        ev_progs[cnt] = program;
+      }
+      open_idx[m.note & 127] = cnt;
+      ons_all.push_back(t);
+      offs_all.push_back(t + 0.25);
+      cnt++;
+    } else if (m.type == 1 || m.type == 0) {
+      const i64 oi = open_idx[m.note & 127];
+      if (oi >= 0) {
+        if (oi < (i64)max_events) ev_offs[oi] = (float)t;
+        offs_all[oi] = t;
+        open_idx[m.note & 127] = -1;
+      }
+    }
+  }
+  for (double o : offs_all) end_max = std::max(end_max, o);
+  *ev_n = cnt;
+  *ev_end = end_max;
+  return 0;
+}
+
 extern "C" int midi_decode_v2(
     const double *rec_values, const i64 *rec_ids, const int32_t *rec_servers,
     const uint8_t *rec_kinds, i64 n_records, i64 n_preamble,

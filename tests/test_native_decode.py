@@ -252,3 +252,78 @@ def test_parallel_force_roll_uses_native_and_matches_python(tmp_path):
     for a, b in zip(rolls_native, rolls_py):
         np.testing.assert_array_equal(a, b)
     assert any(np.asarray(r).any() for r in rolls_native)
+
+
+@pytest.mark.skipif(not _native_ready(), reason="native libs unavailable")
+@pytest.mark.parametrize("pcn,tag", [(False, "v1"), (True, "v0")])
+def test_native_v1_decode_matches_python(tmp_path, pcn, tag):
+    """midi_decode_v1: SMF bytes byte-identical to process_adjsim_log_v1/v0's
+    file, event arrays bit-identical to midi_to_event_arrays, over random
+    GAN-DES sims."""
+    from gandes_tpu.bridge.gandes_decode import _decode_gandes_sample
+    from gandes_tpu.music.generators import (
+        process_adjsim_log_v0,
+        process_adjsim_log_v1,
+    )
+    from gandes_tpu.music.native_decode import decode_records_v1
+    from gandes_tpu.music.synth import midi_to_event_arrays
+
+    procfn = process_adjsim_log_v0 if pcn else process_adjsim_log_v1
+    checked = 0
+    for seed in range(4):
+        np.random.seed(seed)
+        mat = np.abs(np.random.rand(20, 20)).astype(np.float32)
+        sm, dists, instr, notes = _decode_gandes_sample(mat, 20, 5, None)
+        np.random.seed(np.random.randint(0, 99999, size=1))
+        seeds = np.random.randint(0, 99999, size=1)
+        sim = Sim(sm, dists, [254] * 15, seeds=seeds, generate_log=True,
+                  logging_mode="Music", max_sim_time=0.5, engine="native",
+                  log_path=str(tmp_path) + "/")
+        sim.log.path = None
+        sim.run(number_of_customers=1000)
+
+        p_nat = str(tmp_path / f"nat_{seed}_{tag}.mid")
+        res = decode_records_v1(sim, instr, notes, p_nat,
+                                program_change_per_note=pcn)
+        assert res is not None
+        _, ev_nat = res
+
+        p_py = str(tmp_path / f"py_{seed}_{tag}.mid")
+        _, mid = procfn(instruments=instr, note_levels=notes,
+                        lines=sim.music_lines(limit=5001), out_path=p_py,
+                        return_mid=True)
+        assert open(p_nat, "rb").read() == open(p_py, "rb").read()
+        ev_py = midi_to_event_arrays(mid, 1024)
+        for a, b in zip(ev_nat[:5], ev_py[:5]):
+            np.testing.assert_array_equal(a, b)
+        assert ev_nat[5] == ev_py[5] and ev_nat[6] == ev_py[6]
+        if ev_nat[5] > 0:
+            checked += 1
+    assert checked > 0
+
+
+@pytest.mark.skipif(not _native_ready(), reason="native libs unavailable")
+def test_matrix_to_wav_parallel_native_v1_matches_fallback(tmp_path, monkeypatch):
+    """matrix_to_wav(parallel=N) mels are identical whether the v1 decode
+    runs natively or through the Python generator fallback."""
+    import gandes_tpu.music.native_decode as nd
+    from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(7)
+    mats = rng.rand(3, 20, 20).astype(np.float32)
+
+    np.random.seed(13)
+    a = np.asarray(matrix_to_wav(mats, size=20, start=0, end=216, parallel=3,
+                                 write_wav=False, number_of_customers=400,
+                                 max_sim_time=2.0))
+    real = nd.decode_records_v1
+    nd.decode_records_v1 = lambda *args, **kw: None
+    try:
+        np.random.seed(13)
+        b = np.asarray(matrix_to_wav(mats, size=20, start=0, end=216, parallel=3,
+                                     write_wav=False, number_of_customers=400,
+                                     max_sim_time=2.0))
+    finally:
+        nd.decode_records_v1 = real
+    np.testing.assert_array_equal(a, b)
