@@ -24,7 +24,9 @@ def _cmd_pickle_dataset(args):
     from gandes_tpu.data.datasets import build_window_pickle
 
     n = build_window_pickle(args.midi_root, args.out, sample_size=args.sample_size,
-                            sequence_length=args.sequence_length, verbose=True)
+                            sequence_length=args.sequence_length, verbose=True,
+                            workers=args.workers,
+                            device_rasterize=args.device_rasterize)
     print(f"wrote {n} windows -> {args.out}")
 
 
@@ -153,6 +155,10 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--sample-size", type=int, default=300)
     sp.add_argument("--sequence-length", type=int, default=50)
+    sp.add_argument("--workers", type=int, default=None,
+                    help="parse files on a process pool (fast path)")
+    sp.add_argument("--device-rasterize", action="store_true",
+                    help="rasterize rolls with the batched device kernel")
     sp.set_defaults(fn=_cmd_pickle_dataset)
 
     sp = sub.add_parser("train-mmgan", help="train the MM-GAN")

@@ -148,8 +148,10 @@ def generate_piano_roll_with_total(midi_input, sequence_length=300, beats_length
     total_time = 0
     my_time = 0.0
     note_on_time = np.zeros(128)
-    for msg in midi:
-        my_time += msg.time
+    from gandes_tpu.music.midi import iter_seconds
+
+    for msg, delta in iter_seconds(midi):
+        my_time += delta
         time_step = int(round(my_time))
         total_time = time_step
         if time_step >= sequence_length:
@@ -169,30 +171,129 @@ def generate_piano_roll_with_total(midi_input, sequence_length=300, beats_length
     return piano_roll, durations, beats, total_time
 
 
+def _extract_file_events(args):
+    """Worker: parse one MIDI into (events, total_time, beats) — numpy-only
+    (no jax) so it runs in a plain process pool."""
+    midi_name, sample_size, beats_length = args
+    from gandes_tpu.music.piano_roll import midi_to_events
+
+    midi = MidiFile(midi_name)
+    notes, ons, offs, vels, total = midi_to_events(
+        midi, max_steps=sample_size, return_total=True
+    )
+    beats = get_beats(midi)
+    if len(beats) < beats_length:
+        beats = np.pad(beats, (0, beats_length - len(beats)))
+    else:
+        beats = beats[:beats_length]
+    return notes, ons, offs, vels, int(total), beats.astype(np.float32)
+
+
+def _rasterize_file_batch(extracted, sample_size, chunk=8):
+    """Batched device rasterization of per-file event arrays: fixed chunk
+    size + pow2 event padding keep the compiled-shape count small. Yields
+    one (2, 128, sample_size) float array per file, in order."""
+    from gandes_tpu.music.piano_roll import rasterize_events_jax
+
+    for i in range(0, len(extracted), chunk):
+        grp = extracted[i:i + chunk]
+        max_n = max((len(e[0]) for e in grp), default=0)
+        E = max(8, 1 << max(0, max_n - 1).bit_length())
+        notes = np.full((chunk, E), -1, np.int32)
+        ons = np.zeros((chunk, E), np.int32)
+        offs = np.zeros((chunk, E), np.int32)
+        vels = np.zeros((chunk, E), np.int32)
+        for j, (n_, o_, f_, v_, _t, _b) in enumerate(grp):
+            k = len(n_)
+            notes[j, :k] = n_
+            ons[j, :k] = o_
+            offs[j, :k] = f_
+            vels[j, :k] = v_
+        out = np.asarray(
+            rasterize_events_jax(notes, ons, offs, vels,
+                                 num_steps=sample_size, start=0)
+        )
+        for j in range(len(grp)):
+            yield out[j]
+
+
 def build_window_pickle(midi_root, out_path, sample_size=300, sequence_length=50,
-                        beats_length=50, verbose=False):
+                        beats_length=50, verbose=False, workers=None,
+                        device_rasterize=False):
     """Offline pickler == notebook cell 11: slice each file's
     ``sample_size``-step roll into ``sequence_length`` windows (window 0
-    skipped), attach the file's beat vector to every window."""
+    skipped), attach the file's beat vector to every window.
+
+    Scaling knobs (output identical to the sequential host path, pinned by
+    ``tests/test_training_loops.py::test_pickler_fast_paths_match``):
+
+    * ``workers=N`` — parse/extract files on a process pool (the host parse
+      is the throughput bound for MAESTRO-scale corpora). Worker startup is
+      not free (a sitecustomize that imports heavy deps is paid once per
+      worker), so this wins on real corpora, not toy ones; callers must be
+      spawn-safe (guarded ``__main__`` — the CLI is).
+    * ``device_rasterize=True`` — same fast path with a single worker.
+
+    Either flag switches rasterization to the batched device scatter kernel
+    (``rasterize_events_jax``) over per-file event arrays, replacing the
+    per-file host message loop.
+    """
     if os.path.isdir(midi_root):
         file_list = sorted(glob.glob(os.path.join(midi_root, "**", "*.mid*"), recursive=True))
     else:
         file_list = sorted(glob.glob(midi_root, recursive=True))
     preprocessed = []
-    for idx, midi_name in enumerate(file_list):
-        if verbose and idx % 50 == 0:
-            print(f"Loading and preprocessing data for index {idx}")
-        roll, durations, beats, total_time = generate_piano_roll_with_total(
-            midi_name, sample_size, beats_length
-        )
-        n_samples = int(np.floor(total_time / sequence_length))
-        for i in range(n_samples):
-            start = i * sequence_length
-            rs = roll[:, start:start + sequence_length]
-            ds = durations[:, start:start + sequence_length]
-            if rs.shape[1] == sequence_length and ds.shape[1] == sequence_length and i != 0:
-                preprocessed.append((rs.astype(np.float32), ds.astype(np.float32),
-                                     beats.astype(np.float32)))
+
+    if workers or device_rasterize:
+        jobs = [(f, sample_size, beats_length) for f in file_list]
+        if workers and workers > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            # spawn, not fork: the parent usually has jax's thread pools
+            # running, and forking a multithreaded process can deadlock.
+            # Workers stay jax-free (they only parse/extract), so spawn
+            # startup is cheap.
+            try:
+                with ProcessPoolExecutor(max_workers=workers,
+                                         mp_context=mp.get_context("spawn")) as pool:
+                    extracted = list(pool.map(_extract_file_events, jobs, chunksize=4))
+            except Exception:
+                # spawn needs an importable __main__ (breaks under stdin
+                # scripts / some REPLs) — degrade to in-process extraction
+                print("pickle-dataset: process pool unavailable, extracting in-process")
+                extracted = [_extract_file_events(j) for j in jobs]
+        else:
+            extracted = [_extract_file_events(j) for j in jobs]
+
+        rolls = _rasterize_file_batch(extracted, sample_size)
+        for idx, ((_n, _o, _f, _v, total, beats), pair) in enumerate(zip(extracted, rolls)):
+            if verbose and idx % 50 == 0:
+                print(f"Loading and preprocessing data for index {idx}")
+            roll, durations = pair[0], pair[1]
+            n_samples = int(np.floor(total / sequence_length))
+            for i in range(n_samples):
+                start = i * sequence_length
+                rs = roll[:, start:start + sequence_length]
+                ds = durations[:, start:start + sequence_length]
+                if rs.shape[1] == sequence_length and ds.shape[1] == sequence_length and i != 0:
+                    preprocessed.append((rs.astype(np.float32), ds.astype(np.float32),
+                                         beats.astype(np.float32)))
+    else:
+        for idx, midi_name in enumerate(file_list):
+            if verbose and idx % 50 == 0:
+                print(f"Loading and preprocessing data for index {idx}")
+            roll, durations, beats, total_time = generate_piano_roll_with_total(
+                midi_name, sample_size, beats_length
+            )
+            n_samples = int(np.floor(total_time / sequence_length))
+            for i in range(n_samples):
+                start = i * sequence_length
+                rs = roll[:, start:start + sequence_length]
+                ds = durations[:, start:start + sequence_length]
+                if rs.shape[1] == sequence_length and ds.shape[1] == sequence_length and i != 0:
+                    preprocessed.append((rs.astype(np.float32), ds.astype(np.float32),
+                                         beats.astype(np.float32)))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "wb") as f:
         pickle.dump(preprocessed, f)

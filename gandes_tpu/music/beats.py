@@ -16,17 +16,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from gandes_tpu.music.midi import MidiFile
+from gandes_tpu.music.midi import MidiFile, iter_seconds
 
 
-def _tempo_changes(midi: MidiFile):
-    """(times_sec, bpm) arrays, initial default 120 bpm at t=0 unless a
-    tempo is set at t=0 (pretty_midi.get_tempo_changes semantics)."""
+def _tempo_changes_and_end(midi: MidiFile):
+    """(times_sec, bpm) arrays (pretty_midi.get_tempo_changes semantics:
+    default 120 bpm at t=0 unless a tempo is set there) plus the end time,
+    in ONE merge-free pass (this is the pickler's per-file hot loop)."""
     times = [0.0]
     tempi = [120.0]
     elapsed = 0.0
-    for msg in midi:
-        elapsed += msg.time
+    for msg, delta in iter_seconds(midi):
+        elapsed += delta
         if msg.type == "set_tempo":
             bpm = 6e7 / msg.tempo
             if elapsed == 0.0:
@@ -34,7 +35,12 @@ def _tempo_changes(midi: MidiFile):
             else:
                 times.append(elapsed)
                 tempi.append(bpm)
-    return np.asarray(times), np.asarray(tempi)
+    return np.asarray(times), np.asarray(tempi), elapsed
+
+
+def _tempo_changes(midi: MidiFile):
+    times, tempi, _end = _tempo_changes_and_end(midi)
+    return times, tempi
 
 
 def get_end_time(midi: MidiFile) -> float:
@@ -44,8 +50,7 @@ def get_end_time(midi: MidiFile) -> float:
 def get_beats(midi: MidiFile | None, start_time: float = 0.0) -> np.ndarray:
     if midi is None:
         return np.array([])
-    tempo_change_times, tempi = _tempo_changes(midi)
-    end_time = get_end_time(midi)
+    tempo_change_times, tempi, end_time = _tempo_changes_and_end(midi)
     if end_time <= start_time:
         return np.array([])
     beats = [start_time]

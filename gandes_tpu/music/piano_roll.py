@@ -29,7 +29,8 @@ from gandes_tpu.music.beats import get_beats
 from gandes_tpu.music.midi import MidiFile, iter_seconds
 
 
-def midi_to_events(midi: MidiFile, max_steps: int | None = None):
+def midi_to_events(midi: MidiFile, max_steps: int | None = None,
+                   return_total: bool = False):
     """Stream a MidiFile into (note, on_step, off_step, velocity) arrays.
 
     Mirrors the reference message loop (datasets.py:32-45): absolute seconds
@@ -37,15 +38,19 @@ def midi_to_events(midi: MidiFile, max_steps: int | None = None):
     an orphan note_off paints a duration span from step 0 (the reference's
     zero-initialized ``note_on_time``) — emitted here as a synthetic event
     with ``velocity = -1`` so the velocity channel ignores it.
-    Returns int32 arrays in message order.
+    Returns int32 arrays in message order; with ``return_total`` also the
+    last step index seen (including the one that breaks the loop — the
+    pickler's ``total_time`` semantics, notebook cell 10).
     """
     notes, ons, offs, vels = [], [], [], []
     note_on_time = np.zeros(128)
     open_idx = {}
     my_time = 0.0
+    total = 0
     for msg, delta in iter_seconds(midi):
         my_time += delta
         step = int(round(my_time))
+        total = step
         if max_steps is not None and step >= max_steps:
             break
         if msg.type == "note_on":
@@ -63,12 +68,13 @@ def midi_to_events(midi: MidiFile, max_steps: int | None = None):
                 ons.append(int(round(note_on_time[msg.note])))
                 offs.append(step)
                 vels.append(-1)
-    return (
+    out = (
         np.asarray(notes, dtype=np.int32),
         np.asarray(ons, dtype=np.int32),
         np.asarray(offs, dtype=np.int32),
         np.asarray(vels, dtype=np.int32),
     )
+    return out + (total,) if return_total else out
 
 
 def generate_piano_roll(midi_input, sequence_length=100, beats_length=50, start=0, end=50):

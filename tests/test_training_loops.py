@@ -59,6 +59,31 @@ def test_build_window_pickle_and_dataset(midi_fixture_dir, tmp_path):
     assert r.shape == (2, 128, 50)
 
 
+def test_pickler_fast_paths_match(midi_fixture_dir, tmp_path):
+    """workers/device_rasterize fast paths produce byte-identical pickles
+    to the sequential host pickler."""
+    base = str(tmp_path / "base.pkl")
+    dev = str(tmp_path / "dev.pkl")
+    pooled = str(tmp_path / "pooled.pkl")
+    n0 = build_window_pickle(str(midi_fixture_dir), base, sample_size=300,
+                             sequence_length=50)
+    n1 = build_window_pickle(str(midi_fixture_dir), dev, sample_size=300,
+                             sequence_length=50, device_rasterize=True)
+    n2 = build_window_pickle(str(midi_fixture_dir), pooled, sample_size=300,
+                             sequence_length=50, workers=2)
+    assert n0 == n1 == n2 and n0 > 0
+    with open(base, "rb") as f:
+        a = pickle.load(f)
+    for path in (dev, pooled):
+        with open(path, "rb") as f:
+            b = pickle.load(f)
+        assert len(a) == len(b)
+        for (r0, d0, b0), (r1, d1, b1) in zip(a, b):
+            np.testing.assert_array_equal(r0, r1)
+            np.testing.assert_array_equal(d0, d1)
+            np.testing.assert_array_equal(b0, b1)
+
+
 def test_maestro_midi_dataset(midi_fixture_dir):
     ds = MaestroDatasetMidi(str(midi_fixture_dir), sequence_length=40)
     assert len(ds) >= 3
