@@ -130,6 +130,68 @@ def _cmd_sim_to_wav(args):
     print("\n".join(outs))
 
 
+def _cmd_eval_metrics(args):
+    import json
+
+    import numpy as np
+
+    from gandes_tpu.data.datasets import MaestroDatasetPickle
+    from gandes_tpu.eval.metrics import (
+        compare_distributions,
+        pitch_class_histogram,
+        roll_metrics,
+    )
+
+    ds = MaestroDatasetPickle(args.data, data_dir=".")
+    take = min(args.n, len(ds))
+    real = np.stack([np.stack([ds[i][0], ds[i][1]]) for i in range(take)])
+    rm = roll_metrics(real)
+    rm = dict(rm, pitch_classes=pitch_class_histogram(real))
+
+    out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()
+                    if k != "pitch_classes"}, "n_real": take}
+    if args.checkpoint or args.torch_checkpoint:
+        import jax
+
+        from gandes_tpu.train import checkpoint as ckpt
+        from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
+        from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+
+        cfg = MMGANConfig()
+        state, (g1, g2, d), _ = init_state_for_config(cfg, batch_size=take)
+        if args.torch_checkpoint:
+            from gandes_tpu.train.torch_import import load_mmgan_torch_checkpoint
+
+            state = load_mmgan_torch_checkpoint(args.torch_checkpoint, state)
+        else:
+            state = ckpt.restore_state(args.checkpoint, state)
+        key = jax.random.key(args.seed)
+        noise1 = jax.random.normal(jax.random.fold_in(key, 0), (take, cfg.noise_dim))
+        noise2 = jax.random.normal(jax.random.fold_in(key, 1), (take, cfg.noise_dim))
+        beats = np.stack([ds[i][2] for i in range(take)])
+        mats = g1.apply({"params": state.g_params["g1"],
+                         "batch_stats": state.g_stats["g1"]},
+                        noise1, None, False, rngs={"aux": jax.random.key(0)})
+        vec = g2.apply({"params": state.g_params["g2"],
+                        "batch_stats": state.g_stats["g2"]},
+                       noise2, np.asarray(beats, np.float32), False)
+        np.random.seed(args.seed)
+        rolls, failed = matrix_to_midi(
+            np.asarray(mats)[:, None], np.asarray(vec), adj_size=cfg.adj_size,
+            instrument=cfg.instrument, start=cfg.start,
+            end=cfg.start + cfg.sequence_length, force_roll=True,
+            parallel=args.des_parallel,
+        )
+        fake = np.stack(rolls)
+        fm = roll_metrics(fake)
+        fm = dict(fm, pitch_classes=pitch_class_histogram(fake))
+        out["generated"] = {k: float(np.mean(np.asarray(v))) for k, v in fm.items()
+                            if k != "pitch_classes"}
+        out["gaps"] = compare_distributions(rm, fm)
+        out["failed_sims"] = failed
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
 def _cmd_bench(args):
     import bench
 
@@ -217,6 +279,16 @@ def main(argv=None):
     sp.add_argument("--out-dir", default="adj_sim_outputs")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=_cmd_sim_to_wav)
+
+    sp = sub.add_parser("eval-metrics",
+                        help="music-quality statistics: dataset vs generated")
+    sp.add_argument("--data", required=True, help="windowed roll pickle")
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--torch-checkpoint", default=None)
+    sp.add_argument("--n", type=int, default=16)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--des-parallel", type=int, default=None)
+    sp.set_defaults(fn=_cmd_eval_metrics)
 
     sp = sub.add_parser("bench", help="run the headline benchmark")
     sp.set_defaults(fn=_cmd_bench)

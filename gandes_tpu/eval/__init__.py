@@ -4,3 +4,9 @@ from gandes_tpu.eval.visualize import (
     visualize_piano_roll,
     plot_spectrogram,
 )
+from gandes_tpu.eval.metrics import (
+    compare_distributions,
+    mel_metrics,
+    pitch_class_histogram,
+    roll_metrics,
+)
