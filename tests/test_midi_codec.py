@@ -106,6 +106,12 @@ def test_parse_reference_artifacts():
             assert 0 <= m.note < 128 and 0 <= m.velocity < 128
         # seconds-domain iteration terminates and is non-negative
         assert all(m.time >= 0 for m in mid)
+        # the merge-free fast iterator is exactly equivalent on real files
+        from gandes_tpu.music.midi import iter_seconds
+
+        merge = [(m.type, m.time) for m in mid]
+        fast = [(m.type, d) for m, d in iter_seconds(mid)]
+        assert fast == merge, p
     assert total_notes > 50
 
 
