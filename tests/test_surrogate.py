@@ -243,3 +243,22 @@ def test_train_mmgan_surrogate_mode_end_to_end(tmp_path, monkeypatch):
     ckpts = os.listdir(tmp_path / "models")
     assert any(c.endswith("_surrogate") for c in ckpts)
     assert any(not c.endswith("_surrogate") for c in ckpts)
+
+    # resume: epoch-1 checkpoints (incl. the surrogate state) restore and a
+    # second epoch trains + checkpoints both states again
+    import gandes_tpu.train.checkpoint as ckpt_mod
+
+    restored_paths = []
+    real_restore = ckpt_mod.restore_state
+
+    def spy(path, template):
+        restored_paths.append(os.path.basename(path))
+        return real_restore(path, template)
+
+    monkeypatch.setattr(ckpt_mod, "restore_state", spy)
+    cfg2 = MMGANConfig(**{**cfg.__dict__, "num_epochs": 2, "resume": True})
+    state, history = train_mmgan(dataset, cfg2, max_batches=2)
+    assert "mmgan_64_64_epoch_1" in restored_paths
+    assert "mmgan_64_64_epoch_1_surrogate" in restored_paths
+    ckpts = os.listdir(tmp_path / "models")
+    assert "mmgan_64_64_epoch_2_surrogate" in ckpts
