@@ -132,6 +132,9 @@ def bench_torch_cpu(iters: int = 20) -> float:
 
 
 def main():
+    from gandes_tpu.core.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # best-of-3 on both sides: the TPU is behind a shared relay and the CPU
     # baseline is load-sensitive — the max is the least-noisy estimator of
     # each side's attainable rate

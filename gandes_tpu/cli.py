@@ -209,6 +209,10 @@ def main(argv=None):
         except Exception:
             pass
 
+    from gandes_tpu.core.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser(prog="gandes_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

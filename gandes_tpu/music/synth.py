@@ -44,6 +44,7 @@ SUSTAIN = 0.75
 DECAY_S = 0.08
 MAX_NOTE_S = 2.0     # rendered note tail cap (envelope ~silent past this)
 EVENT_BLOCK = 32     # events per scatter-add block
+RENDER_L_MAX = 1 << 23  # fixed non-CPU render buffer (~190 s @ 44.1 kHz)
 
 
 def midi_to_event_arrays(midi: MidiFile, max_events: int):
@@ -183,14 +184,23 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
         max_dur = min(MAX_NOTE_S, float(np.max(offs_l[:n] - ons_l[:n]))) if n else 0.25
         W = _pow2(int((max_dur + RELEASE_S + ATTACK_S) * sr) + 1)
         E = max(_pow2(n), EVENT_BLOCK)
+        L_render = L
     else:
         W = _pow2(int((MAX_NOTE_S + RELEASE_S + ATTACK_S) * sr) + 1)
         E = max_events
+        # ONE compiled render for every length bucket: the remote compile
+        # costs ~85 s per distinct L while the run cost is L-independent
+        # (sparse per-event windows), so render into the max-length buffer
+        # and slice. Bit-identical to a per-L render: event content and the
+        # peak normalization are unaffected by the trailing zeros.
+        L_render = RENDER_L_MAX if L <= RENDER_L_MAX else L
     audio = _render(
         jnp.asarray(notes_l[:E]), jnp.asarray(vels_l[:E]), jnp.asarray(ons_l[:E]),
         jnp.asarray(offs_l[:E]), jnp.asarray(progs_l[:E]), jnp.int32(n),
-        L, W, sr,
+        L_render, W, sr,
     )
+    if L_render != L:
+        audio = audio[:L]
     if as_jax:
         # device-resident (bucketed length); .true_samples carries the crop
         return audio, int(length_s * sr)

@@ -62,6 +62,9 @@ class GanDesConfig:
 
 def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None):
     """``dataloader`` yields (B, 128, 216) mel batches (my_collate output)."""
+    from gandes_tpu.core.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     gen = DCGANGenerator(noise_dim=cfg.z_dim)
     disc = MelDiscriminator()
     g_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)

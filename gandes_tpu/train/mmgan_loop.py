@@ -115,6 +115,9 @@ def init_state_for_config(cfg: MMGANConfig, steps_per_epoch: int = 1,
 def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                 max_batches=None):
     """Returns (state, history). ``dataset`` yields (roll, dur, beats)."""
+    from gandes_tpu.core.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     loader = DataLoader(dataset, cfg.batch_size, shuffle=False, drop_last=True)
     steps_per_epoch = steps_per_epoch or max(1, len(loader))
 

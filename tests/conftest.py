@@ -27,6 +27,10 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from gandes_tpu.core.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 

@@ -203,3 +203,26 @@ def test_sim_to_wav_midi_parity(tmp_path, monkeypatch):
     # and the wav artifact is real audio
     w, sr = load_wav("adj_sim_outputs_ours/wav/output_0.wav")
     assert sr == 44100 and len(w) > 0
+
+
+def test_render_fixed_buffer_slice_equals_per_length():
+    """The non-CPU single-program render (max-length buffer + slice) must be
+    bit-identical to a per-length render — checked here by comparing
+    _render(L)[:] with _render(L_big)[:L] on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from gandes_tpu.music.synth import _render
+
+    E, W, sr = 64, 4096, 8000
+    rng = np.random.RandomState(0)
+    notes = jnp.asarray(rng.randint(40, 90, E), jnp.int32)
+    vels = jnp.asarray(rng.randint(1, 127, E), jnp.float32)
+    ons = jnp.asarray(rng.rand(E) * 1.2, jnp.float32)
+    offs = ons + jnp.asarray(rng.rand(E) * 0.4, jnp.float32)
+    progs = jnp.asarray(rng.randint(0, 100, E), jnp.int32)
+
+    L = 1 << 14
+    a = _render(notes, vels, ons, offs, progs, jnp.int32(E), L, W, sr)
+    b = _render(notes, vels, ons, offs, progs, jnp.int32(E), 1 << 16, W, sr)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:L])
