@@ -1,27 +1,31 @@
-"""Persistent XLA compilation cache (best effort).
+"""Persistent XLA compilation cache — OPT-IN ONLY on this platform.
 
-On the remote-attached TPU, a single program compile costs ~12-25 s and the
-GAN-DES audio path compiles one render + one mel program per pow2
-length bucket — several minutes of one-time work PER PROCESS without a
-persistent cache. Enabling jax's compilation cache cuts warm process
-startup to ~1 s/program (verified on this relay). Entries are keyed by
-platform/flags/program, so CPU test runs and TPU runs coexist safely.
+Measured trap on the 'axon' (experimental, relay-attached) TPU backend:
+executables loaded from jax's persistent compilation cache run
+catastrophically slower than freshly compiled ones (the synth render:
+0.3 ms fresh vs 1.36 s deserialized — ~4500x), silently poisoning every
+subsequent process. Until the backend serializes executables faithfully,
+the cache must stay off by default; compile cost is instead bounded by
+design (single fixed-length render program, capped mel bucket space).
+
+Set ``GANDES_JAX_CACHE=/path`` to opt in (e.g. on a real Cloud TPU runtime
+where the cache behaves).
 """
 
 from __future__ import annotations
 
 import os
 
-_DEFAULT = os.path.expanduser("~/.cache/gandes_tpu/jax")
-
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
-    """Point jax at a persistent on-disk compilation cache. Returns the
-    cache path, or None when unavailable (older jax, read-only fs) — always
-    safe to call."""
+    """Enable jax's persistent compilation cache IFF explicitly requested
+    via ``path`` or the ``GANDES_JAX_CACHE`` env var. Returns the cache path
+    when enabled, else None. Safe to call anywhere."""
+    path = path or os.environ.get("GANDES_JAX_CACHE")
+    if not path:
+        return None
     import jax
 
-    path = path or os.environ.get("GANDES_JAX_CACHE", _DEFAULT)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

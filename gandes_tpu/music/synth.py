@@ -44,7 +44,15 @@ SUSTAIN = 0.75
 DECAY_S = 0.08
 MAX_NOTE_S = 2.0     # rendered note tail cap (envelope ~silent past this)
 EVENT_BLOCK = 32     # events per scatter-add block
-RENDER_L_MAX = 1 << 23  # fixed non-CPU render buffer (~190 s @ 44.1 kHz)
+# Timeline cap: the SMF/mido quirk treats the generators' ABSOLUTE note
+# times as deltas, so a decoded timeline's length grows with the cumsum of
+# event times — pathological logs imply hours of (almost entirely silent)
+# audio, unbounded pow2 length buckets (one ~85 s remote compile each), and
+# ultimately buffer blow-ups. The synth is this framework's instrument
+# model (it replaces FluidSynth, it does not emulate it), so it bounds the
+# rendered timeline; events past the cap are dropped by the scatter mask.
+RENDER_MAX_S = 190.0
+RENDER_L_MAX = 1 << 23  # == _pow2(RENDER_MAX_S * 44100)
 
 
 def midi_to_event_arrays(midi: MidiFile, max_events: int):
@@ -177,7 +185,7 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
 
     notes_l, vels_l, ons_l, offs_l, progs_l, n, end = events
     n = min(n, max_events)
-    length_s = max(float(end) + tail, min_seconds)
+    length_s = min(max(float(end) + tail, min_seconds), RENDER_MAX_S)
     L = _pow2(int(length_s * sr))
     on_cpu = _jax.devices()[0].platform == "cpu"
     if on_cpu:
@@ -192,7 +200,9 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
         # costs ~85 s per distinct L while the run cost is L-independent
         # (sparse per-event windows), so render into the max-length buffer
         # and slice. Bit-identical to a per-L render: event content and the
-        # peak normalization are unaffected by the trailing zeros.
+        # peak normalization are unaffected by the trailing zeros. The
+        # RENDER_MAX_S timeline cap bounds the bucket space, so every
+        # sample reuses this single program (at sr <= 44.1 kHz).
         L_render = RENDER_L_MAX if L <= RENDER_L_MAX else L
     audio = _render(
         jnp.asarray(notes_l[:E]), jnp.asarray(vels_l[:E]), jnp.asarray(ons_l[:E]),
