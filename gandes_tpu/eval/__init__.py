@@ -1,4 +1,5 @@
 from gandes_tpu.eval.visualize import (
+    display_images,
     plot_input_matrix,
     simulation_log_to_gif,
     visualize_piano_roll,

@@ -32,6 +32,32 @@ def visualize_piano_roll(piano_roll, show=False, save_path=None):
     plt.close(fig)
 
 
+def display_images(image_tensor, num_images=25, size=(1, 28, 28), nrow=5,
+                   padding=2, show=False, save_path=None):
+    """Image-grid display (reference `GAN_DES/SIMNN.py:30-35`): flatten to
+    ``(-1, *size)``, tile the first ``num_images`` into a ``nrow``-column
+    grid (torchvision ``make_grid`` layout: 2px padding, row-major), imshow.
+    """
+    imgs = np.asarray(image_tensor, dtype=float).reshape(-1, *size)[:num_images]
+    n, (c, h, w) = len(imgs), size
+    cols = min(nrow, n)
+    rows = (n + cols - 1) // cols
+    grid = np.zeros((c, padding + rows * (h + padding),
+                     padding + cols * (w + padding)), dtype=imgs.dtype)
+    for k, img in enumerate(imgs):
+        r, col = divmod(k, cols)
+        y, x = padding + r * (h + padding), padding + col * (w + padding)
+        grid[:, y:y + h, x:x + w] = img
+    fig = plt.figure()
+    plt.imshow(np.transpose(grid, (1, 2, 0)).squeeze())
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return grid
+
+
 def plot_input_matrix(matrix, sources, servers, show=False, save_path=None):
     """Routing-matrix heatmap with source/server diagonal overlay
     (`matrix_sim_process.py:202-245`)."""

@@ -130,3 +130,50 @@ class SimNN:
 
     def apply(self, variables, x):
         return self.module.apply(variables, x)
+
+    @staticmethod
+    def create_model(n: int) -> "SimNN":
+        """== reference ``SimNN.create_model`` (GAN_DES/SIMNN.py:171-173)."""
+        return SimNN(n)
+
+    def pretrain_model(self, variables, pretrain_data, num_epochs: int = 5,
+                       lr: float = 1e-3):
+        """Working version of reference ``SimNN.pretrain_model``
+        (GAN_DES/SIMNN.py:175-191): MSE-regress the 5 heads onto target
+        arrays over ``pretrain_data`` batches of ``(spectrograms, targets)``
+        with Adam. The reference's loop is a dead placeholder (it calls
+        ``error_system.simulate`` on a function and regresses onto ``None``);
+        this is the only runnable semantics. Returns ``(variables, losses)``.
+        """
+        import jax
+        import optax
+
+        tx = optax.adam(lr)
+        opt_state = tx.init(variables["params"])
+
+        @jax.jit
+        def step(params, opt_state, x, targets):
+            def loss_fn(p):
+                outs = self.module.apply({"params": p}, x)
+                return sum(jnp.mean((o - t) ** 2) for o, t in zip(outs, targets))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, losses = variables["params"], []
+        for _ in range(num_epochs):
+            for spectrograms, targets in pretrain_data:
+                params, opt_state, loss = step(params, opt_state,
+                                               jnp.asarray(spectrograms),
+                                               tuple(map(jnp.asarray, targets)))
+                losses.append(float(loss))
+        return {"params": params}, losses
+
+    @staticmethod
+    def error_system(output):
+        """== reference ``SimNN.error_system`` (GAN_DES/SIMNN.py:193-198): an
+        acknowledged placeholder — returns ``None`` (the reference also runs
+        ``matrix_to_wav([output])`` on an incompatible head slice, which can
+        only crash; nothing ever calls it)."""
+        return None

@@ -22,10 +22,13 @@ _EXPORTS = {
     "process_adjsim_log_v1": "gandes_tpu.music.generators",
     "process_adjsim_log_v2": "gandes_tpu.music.generators",
     "melspectrogram_db": "gandes_tpu.music.mel",
+    "melspectrogram_db_from_file": "gandes_tpu.music.mel",
+    "melspectrogram_db_ref_max": "gandes_tpu.music.mel",
     "melspectrogram_db_tensor": "gandes_tpu.music.mel",
     "melspectrogram_db_tensor_from_file": "gandes_tpu.music.mel",
     "melspectrogram_power_tensor": "gandes_tpu.music.mel",
     "FluidSynth": "gandes_tpu.music.synth",
+    "midi_to_audio_fluidsynth": "gandes_tpu.music.synth",
     "render_midi": "gandes_tpu.music.synth",
 }
 

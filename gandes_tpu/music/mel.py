@@ -172,6 +172,25 @@ def melspectrogram_db_ref_max(wav, sr=44100, n_fft=2048, hop_length=512, n_mels=
                        ref="max", top_db=top_db)
 
 
+def melspectrogram_db_from_file(file_path, sr=44100, n_fft=2048, hop_length=512,
+                                n_mels=128, fmin=20, fmax=8300, top_db=80):
+    """== reference ``get_melspectrogram_db_from_file`` (util.py:28-34):
+    load mono at ``sr`` (polyphase resample when the file rate differs —
+    librosa.load resamples too), slaney mel, power_to_db(ref=max)."""
+    from gandes_tpu.data.audio import load_wav
+
+    wav, file_sr = load_wav(file_path, normalize=True, mono=True)
+    if sr is not None and file_sr != sr:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(int(sr), int(file_sr))
+        wav = resample_poly(np.asarray(wav), int(sr) // g, int(file_sr) // g)
+    return melspectrogram_db_ref_max(wav, sr or file_sr, n_fft, hop_length,
+                                     n_mels, fmin, fmax, top_db)
+
+
 # ------------------------------------------------------ torchaudio variants
 
 

@@ -229,3 +229,11 @@ class FluidSynth:
     def midi_to_audio(self, midi_path: str, wav_path: str):
         audio = render_midi(midi_path, sr=self.sample_rate)
         save_wav(wav_path, audio, self.sample_rate)
+
+
+def midi_to_audio_fluidsynth(midi_file_path, audio_file_path, sound_font_path=None):
+    """== reference ``midi_to_audio_fluidsynth`` (MMGAN_MIDI_DES/util.py:123-127):
+    render at 22 050 Hz through the synth facade."""
+    FluidSynth(sound_font_path, sample_rate=22050).midi_to_audio(
+        midi_file_path, audio_file_path
+    )

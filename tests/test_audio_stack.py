@@ -119,6 +119,38 @@ def test_mel_variants_quirks():
     assert silent.max() == silent.min()
 
 
+def test_melspectrogram_db_from_file(tmp_path):
+    from gandes_tpu.music.mel import melspectrogram_db_from_file, melspectrogram_db_ref_max
+
+    sr = 44100
+    wav = (0.5 * np.sin(2 * np.pi * 440 * np.arange(2 * sr) / sr)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    save_wav(p, wav, sr)
+    mel = np.asarray(melspectrogram_db_from_file(p, sr=sr))
+    loaded, _ = load_wav(p)
+    np.testing.assert_allclose(mel, np.asarray(melspectrogram_db_ref_max(loaded, sr)),
+                               atol=1e-5)
+    assert mel.shape[0] == 128 and mel.max() <= 0.0 + 1e-6  # ref=max dB
+
+    # resampling branch (file at 22050, requested 44100): frame count doubles
+    save_wav(str(tmp_path / "t22.wav"), wav[::2], 22050)
+    mel2 = np.asarray(melspectrogram_db_from_file(str(tmp_path / "t22.wav"), sr=sr))
+    assert mel2.shape[0] == 128
+    assert abs(mel2.shape[1] - mel.shape[1]) <= 1
+
+
+def test_midi_to_audio_fluidsynth(tmp_path):
+    from gandes_tpu.music.synth import midi_to_audio_fluidsynth
+
+    midi_path = str(tmp_path / "tone.mid")
+    _tone_midi().save(midi_path)
+    wav_path = str(tmp_path / "tone22.wav")
+    midi_to_audio_fluidsynth(midi_path, wav_path, "FluidR3_GM.sf2")
+    audio, sr = load_wav(wav_path)
+    assert sr == 22050  # the reference wrapper renders at 22050 (util.py:126)
+    assert len(audio) > sr // 2 and np.abs(audio).max() > 1e-3
+
+
 def test_matrix_to_wav_shapes_and_determinism(tmp_path, monkeypatch):
     from gandes_tpu.bridge import matrix_to_wav
 

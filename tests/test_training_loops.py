@@ -186,6 +186,23 @@ def test_simnn_heads():
     assert a1.shape == a2.shape == a3.shape == a4.shape == (2, 10)
 
 
+def test_simnn_create_and_pretrain():
+    from gandes_tpu.models.composite import SimNN
+
+    model = SimNN.create_model(4)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 1, 32, 32).astype(np.float32)
+    targets = (rng.randn(2, 4, 4).astype(np.float32),
+               *(rng.randn(2, 4).astype(np.float32) for _ in range(4)))
+    v = model.init(jax.random.key(0), x)
+    v2, losses = model.pretrain_model(v, [(x, targets)] * 4, num_epochs=3)
+    assert len(losses) == 12
+    assert losses[-1] < losses[0]  # MSE regression actually trains
+    out = model.apply(v2, x)
+    assert out[0].shape == (2, 4, 4)
+    assert SimNN.error_system(out[0]) is None  # reference placeholder parity
+
+
 def test_cli_sim_to_wav(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
     r = subprocess.run(
