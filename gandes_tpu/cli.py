@@ -30,6 +30,14 @@ def _cmd_pickle_dataset(args):
     print(f"wrote {n} windows -> {args.out}")
 
 
+def _mesh(spec: str | None):
+    """'dp,tp' or 'dp' -> mesh_shape tuple (None passes through)."""
+    if not spec:
+        return None
+    parts = [int(p) for p in spec.split(",")]
+    return (parts[0], parts[1] if len(parts) > 1 else 1)
+
+
 def _cmd_train_mmgan(args):
     from gandes_tpu.data.datasets import MaestroDatasetPickle
     from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
@@ -38,7 +46,7 @@ def _cmd_train_mmgan(args):
                       start=args.start, sequence_length=args.sequence_length,
                       models_dir=args.models_dir, losses_dir=args.losses_dir,
                       faithful=args.faithful, g_update=args.g_update,
-                      des_parallel=args.des_parallel)
+                      des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh))
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -51,7 +59,8 @@ def _cmd_train_gandes(args):
     dataset = MaestroDatasetGanDes(batch_size=args.batch_size, input_folder=args.midi_root)
     loader = DataLoader(dataset, batch_size=1, shuffle=True, collate_fn=my_collate)
     cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir,
-                       g_update=args.g_update, des_parallel=args.des_parallel)
+                       g_update=args.g_update, des_parallel=args.des_parallel,
+                       mesh_shape=_mesh(args.mesh))
     state, history = train_gandes(loader, cfg, max_steps=args.steps)
     print(f"done: {len(history['disc'])} steps")
 
@@ -241,6 +250,9 @@ def main(argv=None):
                     default="none",
                     help="'none' = reference semantics (G gets zero gradient); "
                          "'direct'/'surrogate' = opt-in straight-through G training")
+    sp.add_argument("--mesh", default=None,
+                    help="'dp,tp' sharded training mesh (e.g. '4,2'); "
+                         "default single-device")
     sp.add_argument("--des-parallel", type=int, default=None,
                     help="run the batch's DES sims on N threads (fast mode)")
     sp.set_defaults(fn=_cmd_train_mmgan)
@@ -253,6 +265,9 @@ def main(argv=None):
     sp.add_argument("--g-update", choices=["none", "surrogate"], default="none",
                     help="'none' = reference semantics (G gets zero gradient); "
                          "'surrogate' = opt-in learned matrix->mel surrogate")
+    sp.add_argument("--mesh", default=None,
+                    help="'dp,tp' sharded training mesh (e.g. '4,2'); "
+                         "default single-device")
     sp.add_argument("--des-parallel", type=int, default=None,
                     help="run the batch's DES sims on N threads (fast mode)")
     sp.set_defaults(fn=_cmd_train_gandes)

@@ -78,9 +78,13 @@ def shard_state(state, mesh: Mesh, min_tp_dim: int = 256):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard array leading axes over dp (batch parallel)."""
+    """Shard array leading axes over dp (batch parallel). Leading axes not
+    divisible by dp (e.g. GAN-DES's variable my_collate batches) replicate —
+    correct math, just no batch-split for that batch."""
+    dp = mesh.shape["dp"]
+
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0:
             return jax.device_put(x, NamedSharding(mesh, P("dp")))
         return jax.device_put(x, NamedSharding(mesh, P()))
 

@@ -57,6 +57,9 @@ class GanDesConfig:
     # matrix->mel surrogate fitted online to the real pipeline output)
     g_update: str = "none"
     surrogate_lr: float = 1e-3
+    # (dp, tp) device mesh for sharded training; None = single device.
+    # my_collate batches vary in size — non-divisible batches replicate.
+    mesh_shape: tuple | None = None
     seed: int = 0
 
 
@@ -72,6 +75,13 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
     state = init_gandes_state(gen, disc, jax.random.key(cfg.seed),
                               batch_size=cfg.batch_size, z_dim=cfg.z_dim,
                               mel_shape=cfg.mel_shape, g_tx=g_tx, d_tx=d_tx)
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from gandes_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+
+        dp, tp = cfg.mesh_shape
+        mesh = make_mesh(dp=dp, tp=tp, n_devices=dp * tp)
+        state = shard_state(state, mesh)
     gen_forward = jax.jit(make_gandes_gen_forward(gen))
     s_state = None
     if cfg.g_update == "surrogate":
@@ -86,6 +96,8 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
         s_state = init_surrogate_state(s_model, jax.random.key(cfg.seed + 2),
                                        batch_size=cfg.batch_size,
                                        adj_size=(20, 20), s_tx=s_tx)
+        if mesh is not None:
+            s_state = shard_state(s_state, mesh)
         train_step = jax.jit(
             make_gandes_train_step_surrogate(gen, disc, s_model, g_tx, d_tx, s_tx)
         )
@@ -105,6 +117,8 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                 jax.random.fold_in(jax.random.key(cfg.seed + 1), cur_step),
                 (cur_batch_size, cfg.z_dim),
             )
+            if mesh is not None:
+                real, noise = shard_batch((real, noise), mesh)
             fake_mats, new_stats = gen_forward(state, noise)
             state = state.__class__(**{**state.__dict__, "g_stats": new_stats})
 
@@ -115,12 +129,14 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                 max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
                 write_wav=cfg.write_wav,
             )
+            fake = jnp.asarray(fake)
+            if mesh is not None:
+                fake = shard_batch(fake, mesh)
             if cfg.g_update == "surrogate":
                 state, s_state, metrics = train_step(state, s_state, real,
-                                                     jnp.asarray(fake),
-                                                     fake_mats, noise)
+                                                     fake, fake_mats, noise)
             else:
-                state, metrics = train_step(state, real, jnp.asarray(fake))
+                state, metrics = train_step(state, real, fake)
             disc_losses.append(float(metrics["d_loss"]))
             gen_losses.append(float(metrics["g_loss"]))
 

@@ -76,6 +76,10 @@ class MMGANConfig:
     # >1: concurrent native DES sims per batch (fast mode — deterministic
     # but a different RNG stream than the reference's sequential coupling)
     des_parallel: int | None = None
+    # (dp, tp) device mesh for sharded training: batch over dp (grad psum
+    # over ICI via sharded autodiff; BN batch stats sync the same way),
+    # large kernels column-parallel over tp. None = single device.
+    mesh_shape: tuple | None = None
     models_dir: str = "models"
     losses_dir: str = "losses"
     log_path: str = "logs/"
@@ -123,6 +127,15 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
 
     state, (g1, g2, d), (g_tx, d_tx) = init_state_for_config(cfg, steps_per_epoch)
 
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from gandes_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+
+        dp, tp = cfg.mesh_shape
+        mesh = make_mesh(dp=dp, tp=tp, n_devices=dp * tp)
+        if cfg.batch_size % dp:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+
     start_epoch = 0
     if cfg.resume:
         path, epoch = ckpt.latest_epoch_checkpoint(
@@ -134,6 +147,9 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             print(f"Loaded model from {path}")
         else:
             print("No saved model found, starting training from scratch")
+
+    if mesh is not None:
+        state = shard_state(state, mesh)
 
     gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
     s_state = None
@@ -158,6 +174,8 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             )
             if os.path.isdir(s_path):
                 s_state = ckpt.restore_state(s_path, s_state)
+        if mesh is not None:
+            s_state = shard_state(s_state, mesh)
         train_step = jax.jit(
             make_mmgan_train_step_surrogate(g1, g2, d, s_model, g_tx, d_tx, s_tx)
         )
@@ -189,6 +207,8 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             force_roll=cfg.g_update == "surrogate",
         )
         fake = jnp.asarray(np.stack(rolls), jnp.float32)
+        if mesh is not None:
+            fake = shard_batch(fake, mesh)
         return fake, failed, new_stats, mats, vec
 
     for epoch in range(start_epoch, cfg.num_epochs):
@@ -202,6 +222,9 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (cfg.batch_size, cfg.noise_dim))
             beats_j = jnp.asarray(beats, jnp.float32)
             real = jnp.stack([jnp.asarray(piano_roll), jnp.asarray(durations)], axis=1)
+            if mesh is not None:
+                noise1, noise2, beats_j, real = shard_batch(
+                    (noise1, noise2, beats_j, real), mesh)
 
             fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
             state = GANState(**{**state.__dict__, "g_stats": new_stats})
