@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gandes_tpu.train.losses import bce_with_logits
 from gandes_tpu.train.steps import GANState
