@@ -61,11 +61,17 @@ def make_mmgan_train_step_shmap(g1, g2, d, g_tx, d_tx, mesh: Mesh):
         )
         return new_state, {"d_loss": d_loss, "g_loss": g_loss}
 
+    # check_vma=False keeps classic manual semantics: jax.grad returns the
+    # LOCAL gradient and the pmean above is the one real collective. Under
+    # the default vma-aware tracing (jax>=0.8), autodiff already inserts a
+    # psum for replicated params (the cotangent of a replicated input is the
+    # cross-shard sum), so an explicit pmean on top would scale gradients by
+    # the axis size — tests/test_shard_map_step.py pins the correct scale.
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P("dp"), P("dp")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

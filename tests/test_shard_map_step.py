@@ -19,7 +19,11 @@ def test_shard_map_step_matches_single_device():
     g1 = MLPGenerator(adj_size=(64, 64))
     g2 = BeatGenerator(output_dim=20)
     d = DiscriminatorCNN(roll_size=(2, 128, 50))
-    g_tx, d_tx = optax.adam(0.01), optax.adam(0.01)
+    # SGD, not Adam: Adam's update is lr*g/(|g|+eps), so for near-zero
+    # gradient elements the pmean association noise gets amplified to O(lr)
+    # and post-step params are irreproducible across reduction orders by
+    # construction. SGD is linear in the gradient — a sharp equivalence test.
+    g_tx, d_tx = optax.sgd(0.01), optax.sgd(0.01)
     state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=16,
                              z_dim=50, beat_dim=50, roll_size=(2, 128, 50),
                              g_tx=g_tx, d_tx=d_tx)
@@ -39,8 +43,10 @@ def test_shard_map_step_matches_single_device():
     # association (~1 ulp)
     np.testing.assert_allclose(float(sh_metrics["d_loss"]),
                                float(ref_metrics["d_loss"]), rtol=1e-6)
+    # g_loss here is near-zero (~1e-5), so association noise is relatively
+    # large; 1e-4 still pins mean-of-means == full-batch mean semantics
     np.testing.assert_allclose(float(sh_metrics["g_loss"]),
-                               float(ref_metrics["g_loss"]), rtol=1e-5)
+                               float(ref_metrics["g_loss"]), rtol=1e-4)
     leaves_ref = jax.tree.leaves(ref_state.d_params)
     leaves_sh = jax.tree.leaves(sh_state.d_params)
     for a, b in zip(leaves_ref, leaves_sh):
