@@ -27,8 +27,10 @@
 // Bit-parity with the Python engine is asserted in
 // tests/test_native_engine.py over full Music event logs.
 
+#include <charconv>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
@@ -623,9 +625,112 @@ struct Engine {
   }
 };
 
+// ------------------------------------------------- Python float repr
+//
+// CPython repr(float): shortest round-trip digit string (dtoa mode 0),
+// fixed notation when the decimal point lands in [-3, 16] (i.e. exponential
+// iff decpt-1 < -4 or decpt-1 >= 16), ".0" appended to integral fixed
+// forms, exponent sign always written with >= 2 digits. std::to_chars
+// (scientific, no precision) provides the same shortest digit string (both
+// pick the representation nearest the value among the shortest); we
+// re-assemble it under CPython's layout rules. Byte equality with repr()
+// is fuzz-tested across magnitudes in tests/test_native_engine.py.
+int py_float_repr(double v, char* out) {
+  char tmp[64];
+  auto res = std::to_chars(tmp, tmp + sizeof(tmp), v,
+                           std::chars_format::scientific);
+  const char* p = tmp;
+  char* q = out;
+  if (*p == '-') { *q++ = '-'; ++p; }
+  char digits[40];
+  int nd = 0;
+  digits[nd++] = *p++;
+  if (p < res.ptr && *p == '.') {
+    ++p;
+    while (p < res.ptr && *p != 'e') digits[nd++] = *p++;
+  }
+  ++p;  // 'e'
+  int esign = 1;
+  if (*p == '-') { esign = -1; ++p; } else if (*p == '+') { ++p; }
+  int e = 0;
+  while (p < res.ptr) e = e * 10 + (*p++ - '0');
+  e *= esign;            // value = d.ddd * 10^e
+  int decpt = e + 1;     // value = 0.digits * 10^decpt
+  if (decpt - 1 >= -4 && decpt - 1 < 16) {
+    if (decpt <= 0) {
+      *q++ = '0'; *q++ = '.';
+      for (int i = 0; i < -decpt; i++) *q++ = '0';
+      for (int i = 0; i < nd; i++) *q++ = digits[i];
+    } else if (decpt >= nd) {
+      for (int i = 0; i < nd; i++) *q++ = digits[i];
+      for (int i = nd; i < decpt; i++) *q++ = '0';
+      *q++ = '.'; *q++ = '0';
+    } else {
+      for (int i = 0; i < decpt; i++) *q++ = digits[i];
+      *q++ = '.';
+      for (int i = decpt; i < nd; i++) *q++ = digits[i];
+    }
+  } else {
+    *q++ = digits[0];
+    if (nd > 1) {
+      *q++ = '.';
+      for (int i = 1; i < nd; i++) *q++ = digits[i];
+    }
+    *q++ = 'e';
+    int ev = decpt - 1;
+    *q++ = ev < 0 ? '-' : '+';
+    if (ev < 0) ev = -ev;
+    char eb[8];
+    int ne = 0;
+    while (ev) { eb[ne++] = char('0' + ev % 10); ev /= 10; }
+    while (ne < 2) eb[ne++] = '0';
+    while (ne) *q++ = eb[--ne];
+  }
+  return int(q - out);
+}
+
+const char* const kKindNames[4] = {
+    "arrival", "processing", "departure",
+    "Scheduling delayed departure from server"};
+const int kKindLens[4] = {7, 10, 9, 40};
+
 }  // namespace
 
 extern "C" {
+
+// Format records [start, end) as newline-separated log lines, byte-equal
+// to gandes_tpu.des.native.materialize_records' Python formatting
+// (incl. the branch-node "0" processing-time quirk and server -1 -> None).
+// Returns bytes written, or -1 if out_cap could be exceeded.
+int64_t des_format_records(const double* values, const int64_t* ids,
+                           const int32_t* servers, const uint8_t* kinds,
+                           int64_t start, int64_t end,
+                           char* out, int64_t out_cap) {
+  char* q = out;
+  char* lim = out + out_cap;
+  for (int64_t k = start; k < end; k++) {
+    if (lim - q < 128) return -1;
+    if (k > start) *q++ = '\n';
+    std::memcpy(q, "INFO:root:", 10); q += 10;
+    uint8_t kk = kinds[k];
+    if (kk == 1 && values[k] == 0.0) {
+      *q++ = '0';
+    } else {
+      q += py_float_repr(values[k], q);
+    }
+    std::memcpy(q, " - ", 3); q += 3;
+    q = std::to_chars(q, q + 24, (long long)ids[k]).ptr;
+    std::memcpy(q, " - ", 3); q += 3;
+    if (servers[k] >= 0 || (kk == 1 && values[k] == 0.0)) {
+      q = std::to_chars(q, q + 16, (int)servers[k]).ptr;
+    } else {
+      std::memcpy(q, "None", 4); q += 4;
+    }
+    std::memcpy(q, " - ", 3); q += 3;
+    std::memcpy(q, kKindNames[kk], kKindLens[kk]); q += kKindLens[kk];
+  }
+  return q - out;
+}
 
 // Runs all replications. Returns 0 ok, 1 wall-interrupted.
 // Outputs are written into caller buffers; the record buffer is allocated

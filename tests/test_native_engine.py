@@ -168,6 +168,56 @@ def test_route_to_source_falls_back_to_python():
         sim.run(number_of_customers=200)
 
 
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_native_log_formatting_matches_python_repr():
+    """The C++ record formatter (des_format_records) must be byte-equal to
+    the Python engine's f-string/repr() formatting — fuzz the float repr
+    across magnitudes plus every layout edge (fixed/exp boundary, integral
+    .0 suffix, subnormals, exponent widths, the int-0 processing quirk,
+    server None)."""
+    import ctypes as C
+
+    from gandes_tpu.des.native import get_lib
+
+    rng = np.random.RandomState(0)
+    edge = np.array([
+        0.0, -0.0, 1.0, -1.0, 0.1, 1 / 3, 123456.0, 1e15, 1e16, 1e17,
+        9999999999999998.0, 1e-4, -1e-4, 1e-5, 2.5e-5, 6.9e-05, 5e-324,
+        2.2250738585072014e-308, 1.7976931348623157e308, 0.30000000000000004,
+        1234567890123456.7, 1e100, -3e-200,
+    ])
+    fuzz = (rng.randn(20000) * np.exp(rng.uniform(-300, 300, 20000) * np.log(10)
+                                      ).clip(1e-307, 1e307))
+    plain = rng.standard_exponential(20000) * 10  # typical event times
+    values = np.ascontiguousarray(np.concatenate([edge, fuzz, plain]))
+    m = len(values)
+    ids = np.arange(m, dtype=np.int64)
+    servers = np.ascontiguousarray(
+        rng.randint(-1, 5, m).astype(np.int32))
+    kinds = np.ascontiguousarray(rng.randint(0, 3, m).astype(np.uint8))
+    kinds[:2] = 1  # 0.0/-0.0 with kind 'processing': -0.0 == 0.0 hits the quirk
+
+    lib = get_lib()
+    ptr = lambda a: a.ctypes.data_as(C.c_void_p)
+    buf = C.create_string_buffer(128 * m)
+    nb = lib.des_format_records(ptr(values), ptr(ids), ptr(servers), ptr(kinds),
+                                C.c_int64(0), C.c_int64(m), buf, C.c_int64(len(buf)))
+    assert nb >= 0
+    got = buf.raw[:nb].decode("ascii").split("\n")
+
+    names = ("arrival", "processing", "departure")
+    expected = []
+    for v, i, s, kk in zip(values.tolist(), ids.tolist(), servers.tolist(),
+                           kinds.tolist()):
+        if kk == 1 and v == 0.0:
+            expected.append(f"INFO:root:0 - {i} - {s} - processing")
+        elif s >= 0:
+            expected.append(f"INFO:root:{v!r} - {i} - {s} - {names[kk]}")
+        else:
+            expected.append(f"INFO:root:{v!r} - {i} - None - {names[kk]}")
+    assert got == expected
+
+
 def test_engine_fallback_for_unsupported_configs():
     adj = np.array([[1.0, 1.0], [0.0, -1.0]])
     dists = [["discrete", [0.5, 1.5], [0.5, 0.5]], ["exponential", 0.5]]
