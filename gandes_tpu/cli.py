@@ -34,7 +34,12 @@ def _mesh(spec: str | None):
     """'dp,tp' or 'dp' -> mesh_shape tuple (None passes through)."""
     if not spec:
         return None
-    parts = [int(p) for p in spec.split(",")]
+    try:
+        parts = [int(p) for p in spec.split(",")]
+        if len(parts) not in (1, 2) or any(p < 1 for p in parts):
+            raise ValueError
+    except ValueError:
+        raise SystemExit(f"--mesh expects 'dp' or 'dp,tp' positive ints, got {spec!r}")
     return (parts[0], parts[1] if len(parts) > 1 else 1)
 
 

@@ -126,10 +126,6 @@ def native_eligible(sim) -> bool:
     return native_available()
 
 
-_KIND_NAMES = ("arrival", "processing", "departure",
-               "Scheduling delayed departure from server")
-
-
 def materialize_records(sim, limit: int | None = None) -> None:
     """Format pending native records into log lines, up to ``limit`` total
     records — in C++ (``des_format_records``): Python-repr-exact floats

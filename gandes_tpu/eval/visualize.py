@@ -40,6 +40,8 @@ def display_images(image_tensor, num_images=25, size=(1, 28, 28), nrow=5,
     """
     imgs = np.asarray(image_tensor, dtype=float).reshape(-1, *size)[:num_images]
     n, (c, h, w) = len(imgs), size
+    if c == 1:  # make_grid expands single-channel to gray RGB
+        imgs, c = np.repeat(imgs, 3, axis=1), 3
     cols = min(nrow, n)
     rows = (n + cols - 1) // cols
     grid = np.zeros((c, padding + rows * (h + padding),

@@ -145,9 +145,6 @@ class SimNN:
         ``error_system.simulate`` on a function and regresses onto ``None``);
         this is the only runnable semantics. Returns ``(variables, losses)``.
         """
-        import jax
-        import optax
-
         tx = optax.adam(lr)
         opt_state = tx.init(variables["params"])
 

@@ -175,10 +175,14 @@ def melspectrogram_db_ref_max(wav, sr=44100, n_fft=2048, hop_length=512, n_mels=
 def melspectrogram_db_from_file(file_path, sr=44100, n_fft=2048, hop_length=512,
                                 n_mels=128, fmin=20, fmax=8300, top_db=80):
     """== reference ``get_melspectrogram_db_from_file`` (util.py:28-34):
-    load mono at ``sr`` (polyphase resample when the file rate differs —
-    librosa.load resamples too), slaney mel, power_to_db(ref=max)."""
+    load mono at ``sr``, slaney mel, power_to_db(ref=max). QUIRK preserved:
+    the reference accepts ``top_db`` but never passes it on — librosa's
+    default 80 always applies. Resampling when the file rate differs is
+    polyphase (librosa.load uses soxr; functionally equivalent, not
+    bit-identical)."""
     from gandes_tpu.data.audio import load_wav
 
+    del top_db  # accepted but unused, like the reference
     wav, file_sr = load_wav(file_path, normalize=True, mono=True)
     if sr is not None and file_sr != sr:
         from math import gcd
@@ -188,7 +192,7 @@ def melspectrogram_db_from_file(file_path, sr=44100, n_fft=2048, hop_length=512,
         g = gcd(int(sr), int(file_sr))
         wav = resample_poly(np.asarray(wav), int(sr) // g, int(file_sr) // g)
     return melspectrogram_db_ref_max(wav, sr or file_sr, n_fft, hop_length,
-                                     n_mels, fmin, fmax, top_db)
+                                     n_mels, fmin, fmax)
 
 
 # ------------------------------------------------------ torchaudio variants

@@ -122,8 +122,9 @@ def test_display_images_grid(tmp_path):
     imgs = np.random.RandomState(1).rand(7, 1, 20, 20)
     grid = display_images(imgs, num_images=25, size=(1, 20, 20),
                           save_path=str(tmp_path / "grid.png"))
-    # 7 images, 5 columns -> 2 rows; make_grid layout: 2px padding all around
-    assert grid.shape == (1, 2 + 2 * 22, 2 + 5 * 22)
+    # 7 images, 5 columns -> 2 rows; make_grid layout: 2px padding all
+    # around, single-channel expanded to gray RGB like torchvision
+    assert grid.shape == (3, 2 + 2 * 22, 2 + 5 * 22)
     np.testing.assert_array_equal(grid[0, 2:22, 2:22], imgs[0, 0])
     np.testing.assert_array_equal(grid[0, 24:44, 2:22], imgs[5, 0])
     assert os.path.exists(tmp_path / "grid.png")
