@@ -135,6 +135,37 @@ def _cmd_generate_gandes(args):
     print(f"generated {args.n} song(s): WAVs + spectrogram.png in {args.out_dir}/")
 
 
+def _cmd_export_torch(args):
+    """Export an orbax checkpoint trained here as a reference-loadable torch
+    state_dict (the inverse of --torch-checkpoint import)."""
+    from gandes_tpu.train import checkpoint as ckpt
+
+    if args.model == "mmgan":
+        from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
+        from gandes_tpu.train.torch_import import export_mmgan_torch_checkpoint
+
+        state, _, _ = init_state_for_config(MMGANConfig(), batch_size=1)
+        state = ckpt.restore_state(args.checkpoint, state)
+        export_mmgan_torch_checkpoint(state, args.out)
+    else:
+        import jax
+        import optax
+
+        from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+        from gandes_tpu.train.gandes_loop import GanDesConfig
+        from gandes_tpu.train.steps import init_gandes_state
+        from gandes_tpu.train.torch_import import export_gandes_torch_checkpoint
+
+        cfg = GanDesConfig()
+        tx = optax.adam(cfg.lr, b1=0.5)
+        state = init_gandes_state(DCGANGenerator(noise_dim=cfg.z_dim),
+                                  MelDiscriminator(), jax.random.key(0),
+                                  batch_size=1, z_dim=cfg.z_dim, g_tx=tx, d_tx=tx)
+        state = ckpt.restore_state(args.checkpoint, state)
+        export_gandes_torch_checkpoint(state, args.out)
+    print(f"exported {args.model} torch state_dict -> {args.out}")
+
+
 def _cmd_sim_to_wav(args):
     from gandes_tpu.bridge.sim_demo import sim_to_wav
 
@@ -296,6 +327,14 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out-dir", default="adj_sim_outputs")
     sp.set_defaults(fn=_cmd_generate_gandes)
+
+    sp = sub.add_parser("export-torch",
+                        help="export an orbax checkpoint as a reference-"
+                             "loadable torch state_dict")
+    sp.add_argument("--model", choices=["mmgan", "gandes"], required=True)
+    sp.add_argument("--checkpoint", required=True, help="orbax checkpoint dir")
+    sp.add_argument("--out", required=True, help="output .pth/.pt path")
+    sp.set_defaults(fn=_cmd_export_torch)
 
     sp = sub.add_parser("sim-to-wav", help="random queueing network -> WAV demo")
     sp.add_argument("--size", type=int, default=32)

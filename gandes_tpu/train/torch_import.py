@@ -97,6 +97,78 @@ def load_mmgan_torch_checkpoint(path, state):
     })
 
 
+def _t(a):
+    import torch
+
+    # copy: jax arrays export as non-writable buffers, which torch rejects
+    return torch.from_numpy(np.array(a, copy=True))
+
+
+def _export_mlp_generator(sd, prefix, params, stats, step):
+    import torch
+
+    for i in range(4):
+        blk_p, blk_s = params[f"_GenBlock_{i}"], stats[f"_GenBlock_{i}"]
+        sd[f"{prefix}.gen.{i}.0.weight"] = _t(np.asarray(blk_p["Dense_0"]["kernel"]).T)
+        sd[f"{prefix}.gen.{i}.0.bias"] = _t(blk_p["Dense_0"]["bias"])
+        sd[f"{prefix}.gen.{i}.1.weight"] = _t(blk_p["BatchNorm_0"]["scale"])
+        sd[f"{prefix}.gen.{i}.1.bias"] = _t(blk_p["BatchNorm_0"]["bias"])
+        sd[f"{prefix}.gen.{i}.1.running_mean"] = _t(blk_s["BatchNorm_0"]["mean"])
+        sd[f"{prefix}.gen.{i}.1.running_var"] = _t(blk_s["BatchNorm_0"]["var"])
+        sd[f"{prefix}.gen.{i}.1.num_batches_tracked"] = torch.tensor(step,
+                                                                     dtype=torch.int64)
+
+
+def export_mmgan_torch_checkpoint(state, path):
+    """Inverse of :func:`load_mmgan_torch_checkpoint`: write a reference-
+    loadable ``MultiModalGAN`` state_dict (.pth) — the same 62 keys/shapes
+    as the author's committed checkpoints, so models trained here load into
+    the reference's torch classes (`network_tests.py:240-245`) unchanged.
+    Round-trip identity is pinned in tests/test_torch_import.py."""
+    import torch
+
+    step = int(state.step)
+    sd = {}
+    _export_mlp_generator(sd, "generator1", state.g_params["g1"],
+                          state.g_stats["g1"], step)
+    _export_mlp_generator(sd, "generator2", state.g_params["g2"],
+                          state.g_stats["g2"], step)
+    for i, name in enumerate(["conv1", "conv2"]):
+        k = np.asarray(state.d_params[f"Conv_{i}"]["kernel"])  # (kh,kw,in,out)
+        sd[f"discriminator.{name}.weight"] = _t(k.transpose(3, 2, 0, 1))
+        sd[f"discriminator.{name}.bias"] = _t(state.d_params[f"Conv_{i}"]["bias"])
+    k = np.asarray(state.d_params["Dense_0"]["kernel"])  # (h*w*c, out), NHWC flatten
+    c, h = 32, 32
+    w = k.shape[0] // (c * h)
+    out = k.shape[1]
+    sd["discriminator.fc.weight"] = _t(
+        k.reshape(h, w, c, out).transpose(3, 2, 0, 1).reshape(out, c * h * w))
+    sd["discriminator.fc.bias"] = _t(state.d_params["Dense_0"]["bias"])
+    torch.save(sd, path)
+    return sd
+
+
+def export_gandes_torch_checkpoint(state, path):
+    """Inverse of :func:`load_gandes_torch_checkpoint`: write a reference-
+    loadable GAN-DES generator state_dict (.pt) — generator only, like the
+    reference's own ``torch.save(gen.state_dict())`` (SIMNN.py:344-347)."""
+    import torch
+
+    sd = {}
+    for i, name in enumerate(["conv1", "conv2", "conv3", "conv4"]):
+        k = np.asarray(state.g_params[f"ConvTranspose_{i}"]["kernel"])
+        sd[f"{name}.weight"] = _t(k[::-1, ::-1].transpose(2, 3, 0, 1))
+    for i, name in enumerate(["batch_norm1", "batch_norm2", "batch_norm3"]):
+        sd[f"{name}.weight"] = _t(state.g_params[f"BatchNorm_{i}"]["scale"])
+        sd[f"{name}.bias"] = _t(state.g_params[f"BatchNorm_{i}"]["bias"])
+        sd[f"{name}.running_mean"] = _t(state.g_stats[f"BatchNorm_{i}"]["mean"])
+        sd[f"{name}.running_var"] = _t(state.g_stats[f"BatchNorm_{i}"]["var"])
+        sd[f"{name}.num_batches_tracked"] = torch.tensor(int(state.step),
+                                                         dtype=torch.int64)
+    torch.save(sd, path)
+    return sd
+
+
 def load_gandes_torch_checkpoint(path, state):
     """Load a reference GAN-DES generator ``state_dict`` (.pt) into a
     GANState (generator only — the reference saves only `gen`)."""

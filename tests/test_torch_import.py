@@ -27,6 +27,71 @@ GANDES_CKPTS = sorted(glob.glob("/root/reference/GAN_DES/models/*.pt"))
 
 
 @pytest.mark.skipif(not os.path.exists(MMGAN_CKPT), reason="checkpoint not committed")
+def test_export_mmgan_torch_checkpoint_roundtrip(tmp_path):
+    """export -> import round-trips to identical trees, and the exported
+    file carries exactly the reference checkpoint's key/shape layout (so a
+    strict torch load_state_dict into the reference classes succeeds)."""
+    import torch
+
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
+    from gandes_tpu.train.torch_import import (
+        export_mmgan_torch_checkpoint,
+        load_mmgan_torch_checkpoint,
+    )
+
+    cfg = MMGANConfig(start=100, sequence_length=50, seed=7)
+    state, _, _ = init_state_for_config(cfg, batch_size=2)
+    out = str(tmp_path / "exported.pth")
+    export_mmgan_torch_checkpoint(state, out)
+
+    ref_sd = torch.load(MMGAN_CKPT, map_location="cpu", weights_only=True)
+    got_sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert set(got_sd) == set(ref_sd)
+    for k in ref_sd:
+        assert got_sd[k].shape == ref_sd[k].shape, k
+        assert got_sd[k].dtype == ref_sd[k].dtype, k
+
+    state2, _, _ = init_state_for_config(MMGANConfig(seed=0), batch_size=2)
+    state2 = load_mmgan_torch_checkpoint(out, state2)
+    for a, b in zip(jax.tree.leaves((state.g_params, state.g_stats, state.d_params)),
+                    jax.tree.leaves((state2.g_params, state2.g_stats, state2.d_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not GANDES_CKPTS, reason="checkpoint not committed")
+def test_export_gandes_torch_checkpoint_roundtrip(tmp_path):
+    import torch
+
+    from gandes_tpu.train.gandes_loop import GanDesConfig
+    from gandes_tpu.train.steps import init_gandes_state
+    from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+    from gandes_tpu.train.torch_import import (
+        export_gandes_torch_checkpoint,
+        load_gandes_torch_checkpoint,
+    )
+
+    cfg = GanDesConfig()
+    tx = optax.adam(cfg.lr)
+    state = init_gandes_state(DCGANGenerator(), MelDiscriminator(),
+                              jax.random.key(3), batch_size=2, g_tx=tx, d_tx=tx)
+    out = str(tmp_path / "exported.pt")
+    export_gandes_torch_checkpoint(state, out)
+
+    ref_sd = torch.load(GANDES_CKPTS[0], map_location="cpu", weights_only=True)
+    got_sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert set(got_sd) == set(ref_sd)
+    for k in ref_sd:
+        assert got_sd[k].shape == ref_sd[k].shape, k
+
+    state2 = init_gandes_state(DCGANGenerator(), MelDiscriminator(),
+                               jax.random.key(0), batch_size=2, g_tx=tx, d_tx=tx)
+    state2 = load_gandes_torch_checkpoint(out, state2)
+    for a, b in zip(jax.tree.leaves((state.g_params, state.g_stats)),
+                    jax.tree.leaves((state2.g_params, state2.g_stats))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not os.path.exists(MMGAN_CKPT), reason="checkpoint not committed")
 def test_import_mmgan_checkpoint_forward_equivalence():
     import torch
     from torch import nn as tnn
