@@ -167,6 +167,43 @@ def test_steplr_schedule():
     assert sched(60 * 337) == pytest.approx(0.0001)
 
 
+def test_sequence_length_is_a_config_axis():
+    """Longer piano rolls than the reference's T=50 compile through the
+    same step factories — the sequence axis is static config, not a
+    hardcoded shape (the reference requires re-pickling the dataset and
+    editing literals, network_tests.py:219)."""
+    for T in (96, 128):
+        state, fwd, step = _mmgan_setup(batch=4, T=T)
+        real = jax.random.uniform(jax.random.key(1), (4, 2, 128, T))
+        fake = jnp.zeros((4, 2, 128, T))
+        new_state, metrics = step(state, real, fake)
+        assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["g_loss"])
+        # the surrogate step takes the same axis
+        from gandes_tpu.models.surrogate import RollSurrogate
+        from gandes_tpu.train.steps import (
+            init_surrogate_state,
+            make_mmgan_train_step_surrogate,
+        )
+
+        g1 = MLPGenerator(adj_size=(64, 64))
+        g2 = BeatGenerator(output_dim=20)
+        d = DiscriminatorCNN(roll_size=(2, 128, T))
+        s = RollSurrogate(roll_size=(2, 128, T), vec_dim=20)
+        tx = optax.adam(0.01)
+        st = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=4,
+                              z_dim=50, beat_dim=50, roll_size=(2, 128, T),
+                              g_tx=tx, d_tx=tx)
+        ss = init_surrogate_state(s, jax.random.key(2), batch_size=4,
+                                  adj_size=(64, 64), vec_dim=20, s_tx=tx)
+        sstep = jax.jit(make_mmgan_train_step_surrogate(g1, g2, d, s, tx, tx, tx))
+        mats = jnp.zeros((4, 64, 64))
+        vec = jnp.zeros((4, 20))
+        n1 = jax.random.normal(jax.random.key(3), (4, 50))
+        st2, ss2, m = sstep(st, ss, real, fake, mats, vec, n1, n1,
+                            jnp.zeros((4, 50)), jax.random.key(4))
+        assert np.isfinite(m["s_loss"])
+
+
 def test_multichip_sharded_step():
     """Full MM-GAN train step over a (4, 2) dp x tp mesh (8 virtual CPU
     devices, see conftest)."""
