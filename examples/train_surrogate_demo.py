@@ -1,0 +1,148 @@
+"""End-to-end TPU training demo with measurable generator learning.
+
+The reference's generators receive exactly zero gradient (SURVEY.md §5.1),
+so its training can only drift. This script demonstrates the framework's
+flagship improvement — ``g_update='surrogate'`` (a learned differentiable
+DES surrogate fitted online, routing straight-through gradients to G) —
+actually *reducing* the real-vs-generated distribution gap, end to end on
+TPU with the DES in the loop:
+
+1. synthesize a dataset of DES-generated MIDI (24 random queueing networks
+   -> sim-to-wav -> 50-step piano-roll windows, no external data needed);
+2. measure the initial real-vs-generated gap (eval/metrics.py);
+3. train MM-GAN in surrogate mode;
+4. re-measure and report.
+
+Usage:  python examples/train_surrogate_demo.py [workdir] [epochs] [n_nets]
+Writes workdir/RESULTS.json and prints a summary. Numbers from a real run
+are recorded in docs/RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_dataset(workdir: str, n_nets: int = 24) -> str:
+    from gandes_tpu.bridge.sim_demo import sim_to_wav
+    from gandes_tpu.data.datasets import build_window_pickle
+
+    midi_dir = os.path.join(workdir, "midis")
+    os.makedirs(midi_dir, exist_ok=True)
+    for seed in range(n_nets):
+        np.random.seed(seed)
+        out_dir = os.path.join(workdir, f"net_{seed}")
+        sim_to_wav(matrices=[None], size=32, use_same_instrument=seed % 16,
+                   log_path=os.path.join(workdir, "logs") + "/",
+                   out_dir=out_dir)
+        os.replace(os.path.join(out_dir, "midi", "output.mid"),
+                   os.path.join(midi_dir, f"net_{seed}.mid"))
+    pkl = os.path.join(workdir, "windows.pkl")
+    n = build_window_pickle(midi_dir, pkl, sequence_length=50)
+    print(f"dataset: {n} windows from {n_nets} simulated networks")
+    return pkl
+
+
+def generated_rolls(state, cfg, batch: int, seed: int, workdir: str):
+    """Eval-mode G1/G2 -> DES (force_roll: decode past the save gate, no
+    artifacts) -> (B, 2, 128, 50) rolls."""
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+    from gandes_tpu.train.mmgan_loop import build_mmgan
+
+    g1, g2, _ = build_mmgan(cfg)
+    k = jax.random.key(seed)
+    noise1 = jax.random.normal(jax.random.fold_in(k, 0), (batch, cfg.noise_dim))
+    noise2 = jax.random.normal(jax.random.fold_in(k, 1), (batch, cfg.noise_dim))
+    beats = jnp.zeros((batch, cfg.max_beat_length))
+    out1 = g1.apply({"params": state.g_params["g1"], "batch_stats": state.g_stats["g1"]},
+                    noise1, None, False, rngs={"aux": jax.random.key(0)})
+    out2 = g2.apply({"params": state.g_params["g2"], "batch_stats": state.g_stats["g2"]},
+                    noise2, beats, False)
+    rolls, failed = matrix_to_midi(
+        np.asarray(out1)[:, None], np.asarray(out2), adj_size=cfg.adj_size,
+        instrument=cfg.instrument, start=cfg.start,
+        end=cfg.start + cfg.sequence_length, force_roll=True,
+        log_path=os.path.join(workdir, "logs") + "/",
+        out_dir=os.path.join(workdir, "eval_midi"), parallel=16,
+    )
+    return np.stack(rolls), failed
+
+
+def gap(real_rolls, fake_rolls):
+    from gandes_tpu.eval.metrics import (
+        compare_distributions,
+        pitch_class_histogram,
+        roll_metrics,
+    )
+
+    rm = dict(roll_metrics(real_rolls)); rm["pitch_classes"] = pitch_class_histogram(real_rolls)
+    fm = dict(roll_metrics(fake_rolls)); fm["pitch_classes"] = pitch_class_histogram(fake_rolls)
+    return {k: float(v) for k, v in compare_distributions(rm, fm).items()}
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "surrogate_demo"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    n_nets = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    os.makedirs(os.path.join(workdir, "logs"), exist_ok=True)
+
+    from gandes_tpu.data.datasets import MaestroDatasetPickle
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config, train_mmgan
+
+    pkl = build_dataset(workdir, n_nets)
+    ds = MaestroDatasetPickle(pkl, data_dir=".")
+    real = np.stack([np.stack([r, d]) for r, d, _ in
+                     (ds[i] for i in range(min(64, len(ds))))])
+
+    cfg = MMGANConfig(
+        batch_size=16, start=0, sequence_length=50, num_epochs=epochs,
+        g_update="surrogate", des_parallel=16, resume=False,
+        # the reference's lr=0.01 collapses the game within ~30 steps once G
+        # is live (PARITY.md); 1e-3 keeps D/G balanced on this small set
+        lr=1e-3, surrogate_lr=1e-3,
+        models_dir=os.path.join(workdir, "models"),
+        losses_dir=os.path.join(workdir, "losses"),
+        log_path=os.path.join(workdir, "logs") + "/",
+        midi_out_dir=os.path.join(workdir, "midi"),
+        seed=0,
+    )
+
+    state0, _, _ = init_state_for_config(cfg)
+    fake0, failed0 = generated_rolls(state0, cfg, 64, seed=99, workdir=workdir)
+    gap0 = gap(real, fake0)
+    print("initial gap:", json.dumps(gap0, indent=None))
+
+    np.random.seed(0)
+    state, history = train_mmgan(ds, cfg)
+
+    fake1, failed1 = generated_rolls(state, cfg, 64, seed=99, workdir=workdir)
+    gap1 = gap(real, fake1)
+    print("final gap:  ", json.dumps(gap1, indent=None))
+
+    results = {
+        "epochs": epochs,
+        "steps": sum(len(e) for e in history["disc"]),
+        "disc_loss_first_epoch": float(np.mean(history["disc"][0])),
+        "disc_loss_last_epoch": float(np.mean(history["disc"][-1])),
+        "gen_loss_first_epoch": float(np.mean(history["gen"][0])),
+        "gen_loss_last_epoch": float(np.mean(history["gen"][-1])),
+        "gap_initial": gap0,
+        "gap_final": gap1,
+        "failed_sims_eval": [int(failed0), int(failed1)],
+    }
+    with open(os.path.join(workdir, "RESULTS.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    improved = sum(gap1[k] < gap0[k] for k in gap0)
+    print(f"gap improved on {improved}/{len(gap0)} metrics "
+          f"-> {workdir}/RESULTS.json")
+
+
+if __name__ == "__main__":
+    main()
