@@ -83,19 +83,25 @@ def _cmd_generate_mmgan(args):
     elif args.checkpoint:
         state = ckpt.restore_state(args.checkpoint, state)
     rng = np.random.RandomState(args.seed)
-    noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
-    noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
-    beats = np.zeros((1, cfg.max_beat_length), np.float32)
-    np.random.seed(args.seed)
-    rolls = generate_midi(state, cfg, noise1, noise2, beats, out_dir=args.out_dir)
-    print(f"generated roll sum={rolls[0].sum():.1f} -> {args.out_dir}/generation.mid")
-    if args.wav:
-        from gandes_tpu.data.audio import save_wav
-        from gandes_tpu.music.synth import render_midi
+    for i in range(args.n):
+        noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+        noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+        beats = np.zeros((1, cfg.max_beat_length), np.float32)
+        np.random.seed(args.seed + i)
+        rolls = generate_midi(state, cfg, noise1, noise2, beats, out_dir=args.out_dir)
+        name = "generation.mid" if args.n == 1 else f"generation_{i}.mid"
+        if args.n > 1:
+            os.replace(os.path.join(args.out_dir, "generation.mid"),
+                       os.path.join(args.out_dir, name))
+        print(f"generated roll sum={rolls[0].sum():.1f} -> {args.out_dir}/{name}")
+        if args.wav:
+            from gandes_tpu.data.audio import save_wav
+            from gandes_tpu.music.synth import render_midi
 
-        audio = render_midi(os.path.join(args.out_dir, "generation.mid"))
-        save_wav(os.path.join(args.out_dir, "generation.wav"), audio)
-        print(f"wrote {args.out_dir}/generation.wav")
+            audio = render_midi(os.path.join(args.out_dir, name))
+            wav_name = name.replace(".mid", ".wav")
+            save_wav(os.path.join(args.out_dir, wav_name), audio)
+            print(f"wrote {args.out_dir}/{wav_name}")
 
 
 def _cmd_generate_gandes(args):
@@ -316,6 +322,8 @@ def main(argv=None):
     sp.add_argument("--sequence-length", type=int, default=50)
     sp.add_argument("--out-dir", default="./adj_sim_outputs/midi")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--n", type=int, default=1,
+                    help=">1: batch-serve n samples (generation_<i>.mid)")
     sp.add_argument("--wav", action="store_true", help="also synthesize WAV")
     sp.set_defaults(fn=_cmd_generate_mmgan)
 
