@@ -29,8 +29,7 @@ def bench_jax(iters: int = 100) -> float:
     from gandes_tpu.models import BeatGenerator, DiscriminatorCNN, MLPGenerator
     from gandes_tpu.train.steps import (
         init_mmgan_state,
-        make_mmgan_gen_forward,
-        make_mmgan_train_step,
+        make_mmgan_step_and_next_forward,
     )
 
     g1 = MLPGenerator(adj_size=(ADJ, ADJ))
@@ -41,8 +40,12 @@ def bench_jax(iters: int = 100) -> float:
                              z_dim=ZDIM, beat_dim=50, roll_size=(2, 128, T),
                              g_tx=g_tx, d_tx=d_tx)
 
-    gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
-    train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
+    # D update (batch N) + G1/G2 forward (batch N+1) share one launch — the
+    # loop's dispatch-adjacent pair (see make_mmgan_step_and_next_forward);
+    # per step this is still the full device math: both BCE terms, D grads +
+    # Adam, post-update G loss, G1+G2 forward with BN stat mutation.
+    one = jax.jit(make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx),
+                  donate_argnums=(0,))
 
     key = jax.random.key(1)
     noise1 = jax.random.normal(key, (BATCH, ZDIM))
@@ -51,19 +54,18 @@ def bench_jax(iters: int = 100) -> float:
     real = jax.random.uniform(key, (BATCH, 2, 128, T)) * 100.0
     fake = jax.random.uniform(key, (BATCH, 2, 128, T)) * 100.0
 
-    def one(state):
-        mats, vec, stats = gen_forward(state, noise1, noise2, beats)
-        state, metrics = train_step(state, real, fake)
-        return state, mats, metrics
+    def fresh():
+        import jax as _jax
+        return _jax.tree.map(jnp.copy, state)
 
     # warmup/compile
-    state2, mats, metrics = one(state)
-    jax.block_until_ready((state2.d_params, mats, metrics))
+    s, mats, vec, metrics = one(fresh(), real, fake, noise1, noise2, beats)
+    jax.block_until_ready((s.d_params, mats, metrics))
 
+    s = fresh()
     t0 = time.perf_counter()
-    s = state
     for _ in range(iters):
-        s, mats, metrics = one(s)
+        s, mats, vec, metrics = one(s, real, fake, noise1, noise2, beats)
     jax.block_until_ready((s.d_params, mats, metrics))
     dt = time.perf_counter() - t0
     return iters / dt

@@ -51,7 +51,8 @@ def _cmd_train_mmgan(args):
                       start=args.start, sequence_length=args.sequence_length,
                       models_dir=args.models_dir, losses_dir=args.losses_dir,
                       faithful=args.faithful, g_update=args.g_update,
-                      des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh))
+                      des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh),
+                      fused_io=args.fused_io)
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -297,6 +298,9 @@ def main(argv=None):
                          "default single-device")
     sp.add_argument("--des-parallel", type=int, default=None,
                     help="run the batch's DES sims on N threads (fast mode)")
+    sp.add_argument("--fused-io", action="store_true",
+                    help="single-launch steps: G forward + DES io_callback + "
+                         "D update as one compiled program per batch")
     sp.set_defaults(fn=_cmd_train_mmgan)
 
     sp = sub.add_parser("train-gandes", help="train the GAN-DES spectrogram GAN")

@@ -73,6 +73,11 @@ class MMGANConfig:
     # improvements; the reference's G trains under none of them
     g_update: str = "none"
     surrogate_lr: float = 1e-3
+    # single-launch steps: the whole train step (G forward + DES as an
+    # ordered io_callback + D update) is ONE compiled XLA program per batch
+    # (train/fused_callback.py). Identical semantics to the two-phase path;
+    # requires g_update='none', faithful=False, mesh_shape=None.
+    fused_io: bool = False
     # >1: concurrent native DES sims per batch (fast mode — deterministic
     # but a different RNG stream than the reference's sequential coupling)
     des_parallel: int | None = None
@@ -151,6 +156,21 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
     if mesh is not None:
         state = shard_state(state, mesh)
 
+    full_step = None
+    if cfg.fused_io:
+        if cfg.g_update != "none" or cfg.faithful or cfg.mesh_shape is not None:
+            raise ValueError(
+                "fused_io requires g_update='none', faithful=False and no mesh"
+            )
+        from gandes_tpu.train.fused_callback import make_mmgan_full_step_io
+
+        full_step = jax.jit(make_mmgan_full_step_io(
+            g1, g2, d, g_tx, d_tx, batch_size=cfg.batch_size,
+            sequence_length=cfg.sequence_length, adj_size=cfg.adj_size,
+            instrument=cfg.instrument, start=cfg.start, log_path=cfg.log_path,
+            out_dir=cfg.midi_out_dir, des_parallel=cfg.des_parallel,
+        ))
+
     gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
     s_state = None
     if cfg.g_update == "surrogate":
@@ -225,6 +245,25 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             if mesh is not None:
                 noise1, noise2, beats_j, real = shard_batch(
                     (noise1, noise2, beats_j, real), mesh)
+
+            if full_step is not None:
+                state, _, _, metrics = full_step(
+                    state, real, noise1, noise2, beats_j,
+                    jnp.int32(count), jax.random.key(count))
+                failed = int(metrics["failed_simulations"])
+                g_loss = metrics["g_loss"]
+                total_failures += failed
+                total_seen += cfg.batch_size
+                disc_losses.append(metrics["d_loss"])
+                gen_losses.append(g_loss)
+                if i % cfg.print_interval == 0:
+                    print(
+                        f"Epoch {epoch + 1}/{cfg.num_epochs}, Batch {i}/{steps_per_epoch}, "
+                        f"Avg Disc Loss: {np.mean(jax.device_get(disc_losses))}, "
+                        f"Avg Gen Loss: {np.mean(jax.device_get(gen_losses))}"
+                    )
+                    print("Total failures:", total_failures, "Total seen:", total_seen)
+                continue
 
             fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
             state = GANState(**{**state.__dict__, "g_stats": new_stats})

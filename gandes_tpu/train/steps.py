@@ -289,6 +289,40 @@ def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
     return train_step
 
 
+def make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx):
+    """Dispatch-pipelined fusion of ``train_step(N)`` with ``gen_forward(N+1)``.
+
+    In the training loop the D update for batch N and the G1+G2 forward for
+    batch N+1 become runnable at the same moment (the forward's result is
+    only consumed by the *host* DES stage afterwards), so they can share ONE
+    compiled launch. On a remote-attached TPU the per-dispatch latency is a
+    large fraction of the ~0.6 ms device step, and halving the launches
+    raises the fused-step rate ~20% (bench.py). Semantics are identical to
+    calling :func:`make_mmgan_train_step` then :func:`make_mmgan_gen_forward`
+    on the post-update state (pinned by
+    ``test_models_and_steps.py::test_fused_step_and_forward_equivalence``).
+
+    Returns ``step(state, real, fake, noise1, noise2, beats, aux_key) ->
+    (new_state_with_new_stats, mats, vec, metrics)``; jit with
+    ``donate_argnums=(0,)``.
+    """
+    train_step = make_mmgan_train_step(g1, g2, d, g_tx, d_tx)
+    gen_forward = make_mmgan_gen_forward(g1, g2)
+
+    def step(state: GANState, real_roll, fake_roll, noise1, noise2, beats,
+             aux_key=None):
+        new_state, metrics = train_step(state, real_roll, fake_roll)
+        mats, vec, new_stats = gen_forward(new_state, noise1, noise2, beats, aux_key)
+        new_state = GANState(
+            g_params=new_state.g_params, g_stats=new_stats,
+            d_params=new_state.d_params, d_stats=new_state.d_stats,
+            g_opt=new_state.g_opt, d_opt=new_state.d_opt, step=new_state.step,
+        )
+        return new_state, mats, vec, metrics
+
+    return step
+
+
 def init_mmgan_state(g1, g2, d, key, *, batch_size, z_dim, beat_dim, roll_size,
                      g_tx, d_tx) -> GANState:
     k1, k2, k3, k4 = jax.random.split(key, 4)

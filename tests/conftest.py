@@ -36,3 +36,26 @@ REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 def reference_available() -> bool:
     return (REFERENCE_ROOT / "SIMULATOR" / "simulation_v3.py").exists()
+
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def midi_fixture_dir(tmp_path_factory):
+    """A few MIDI files generated through the simulator demo pipeline."""
+    d = tmp_path_factory.mktemp("midi_fixtures")
+    cwd = os.getcwd()
+    os.chdir(d)
+    try:
+        os.makedirs("logs", exist_ok=True)
+        from gandes_tpu.bridge.sim_demo import sim_to_wav
+
+        np.random.seed(42)
+        for i in range(3):
+            sim_to_wav(matrices=[None], size=32, use_same_instrument=i,
+                       out_dir=f"out_{i}")
+    finally:
+        os.chdir(cwd)
+    return d

@@ -1,0 +1,125 @@
+"""Single-launch io_callback training step == the two-phase path, bitwise.
+
+The fused step (train/fused_callback.py) runs G forward + host DES +
+D update as one compiled program; these tests pin it against calling
+gen_forward / matrix_to_midi / train_step separately with identical seeds,
+and run the training loop end to end with ``fused_io=True``.
+
+The gen2 wall-budget quirk (SURVEY.md §5.7) doesn't threaten determinism
+here: a fresh G emits budgets ~0.5 s and the native engine finishes the
+~1000-customer sims by count well inside that, so both paths decode
+identical logs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gandes_tpu.models import BeatGenerator, DiscriminatorCNN, MLPGenerator
+from gandes_tpu.train.steps import (
+    GANState,
+    init_mmgan_state,
+    make_mmgan_gen_forward,
+    make_mmgan_train_step,
+)
+
+
+def _setup(batch=2, T=50):
+    g1 = MLPGenerator(adj_size=(64, 64))
+    g2 = BeatGenerator(output_dim=20)
+    d = DiscriminatorCNN(roll_size=(2, 128, T))
+    g_tx, d_tx = optax.adam(0.01), optax.adam(0.01)
+    state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=batch,
+                             z_dim=50, beat_dim=50, roll_size=(2, 128, T),
+                             g_tx=g_tx, d_tx=d_tx)
+    return (g1, g2, d), (g_tx, d_tx), state
+
+
+def test_fused_io_step_matches_two_phase(tmp_path, monkeypatch):
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+    from gandes_tpu.train.fused_callback import make_mmgan_full_step_io
+
+    (g1, g2, d), (g_tx, d_tx), state = _setup()
+    B, T = 2, 50
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    os.makedirs("adj_sim_outputs/midi", exist_ok=True)
+
+    k = jax.random.key(3)
+    noise1 = jax.random.normal(jax.random.fold_in(k, 0), (B, 50))
+    noise2 = jax.random.normal(jax.random.fold_in(k, 1), (B, 50))
+    beats = jnp.zeros((B, 50))
+    real = jax.random.uniform(jax.random.fold_in(k, 2), (B, 2, 128, T)) * 100
+    aux = jax.random.key(5)
+
+    # two-phase reference path
+    fwd = jax.jit(make_mmgan_gen_forward(g1, g2))
+    step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
+    mats, vec, new_stats = fwd(state, noise1, noise2, beats, aux)
+    rolls, ref_failed = matrix_to_midi(
+        np.asarray(mats)[:, None], np.asarray(vec), adj_size=(64, 64),
+        instrument=0, start=100, end=150, count=7,
+        log_path="logs/", out_dir="./adj_sim_outputs/midi",
+    )
+    ref_fake = np.stack(rolls).astype(np.float32)
+    ref_state, ref_metrics = step(
+        GANState(**{**state.__dict__, "g_stats": new_stats}), real,
+        jnp.asarray(ref_fake))
+
+    # fused single-launch path, same seeds/count
+    full_step = jax.jit(make_mmgan_full_step_io(
+        g1, g2, d, g_tx, d_tx, batch_size=B, sequence_length=T,
+        adj_size=(64, 64), instrument=0, start=100,
+        log_path="logs/", out_dir="./adj_sim_outputs/midi",
+    ))
+    new_state, f_mats, f_vec, metrics = full_step(
+        state, real, noise1, noise2, beats, jnp.int32(7), aux)
+
+    np.testing.assert_array_equal(np.asarray(f_mats), np.asarray(mats))
+    np.testing.assert_array_equal(np.asarray(f_vec), np.asarray(vec))
+    assert int(metrics["failed_simulations"]) == ref_failed
+    for name in ("d_loss", "g_loss"):
+        np.testing.assert_array_equal(np.asarray(metrics[name]),
+                                      np.asarray(ref_metrics[name]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        new_state.d_params, ref_state.d_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        new_state.g_stats, ref_state.g_stats)
+
+
+def test_fused_io_training_loop(midi_fixture_dir, tmp_path, monkeypatch):
+    from gandes_tpu.data.datasets import MaestroDatasetPickle, build_window_pickle
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
+                      models_dir=str(tmp_path / "models"),
+                      losses_dir=str(tmp_path / "losses"), seed=1,
+                      fused_io=True)
+    np.random.seed(0)
+    state, history = train_mmgan(ds, cfg, max_batches=2)
+    assert len(history["disc"][0]) == 2
+    assert all(np.isfinite(v) for v in history["disc"][0])
+    assert all(np.isfinite(v) for v in history["gen"][0])
+    assert os.path.isdir(tmp_path / "models" / "mmgan_64_64_epoch_1")
+
+
+def test_fused_io_rejects_incompatible_modes(tmp_path):
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    cfg = MMGANConfig(fused_io=True, g_update="direct")
+    with pytest.raises(ValueError, match="fused_io"):
+        train_mmgan([], cfg)

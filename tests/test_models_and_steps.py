@@ -112,6 +112,48 @@ def test_mmgan_train_step_semantics():
     assert int(new_state.step) == 1
 
 
+def test_fused_step_and_forward_equivalence():
+    """make_mmgan_step_and_next_forward == train_step then gen_forward
+    (one launch vs two), bitwise on params, stats, matrices and metrics."""
+    from gandes_tpu.train.steps import make_mmgan_step_and_next_forward
+
+    g1 = MLPGenerator(adj_size=(64, 64))
+    g2 = BeatGenerator(output_dim=20)
+    d = DiscriminatorCNN(roll_size=(2, 128, 50))
+    g_tx, d_tx = optax.adam(0.01), optax.adam(0.01)
+    state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=4,
+                             z_dim=50, beat_dim=50, roll_size=(2, 128, 50),
+                             g_tx=g_tx, d_tx=d_tx)
+    fwd = jax.jit(make_mmgan_gen_forward(g1, g2))
+    step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
+    fused = jax.jit(make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx))
+
+    k = jax.random.key(7)
+    noise1 = jax.random.normal(jax.random.fold_in(k, 0), (4, 50))
+    noise2 = jax.random.normal(jax.random.fold_in(k, 1), (4, 50))
+    beats = jnp.zeros((4, 50))
+    real = jax.random.uniform(jax.random.fold_in(k, 2), (4, 2, 128, 50)) * 100
+    fake = jax.random.uniform(jax.random.fold_in(k, 3), (4, 2, 128, 50)) * 100
+    aux = jax.random.key(11)
+
+    ref_state, ref_metrics = step(state, real, fake)
+    ref_mats, ref_vec, ref_stats = fwd(ref_state, noise1, noise2, beats, aux)
+
+    new_state, mats, vec, metrics = fused(state, real, fake, noise1, noise2,
+                                          beats, aux)
+
+    np.testing.assert_array_equal(np.asarray(mats), np.asarray(ref_mats))
+    np.testing.assert_array_equal(np.asarray(vec), np.asarray(ref_vec))
+    for name in ("d_loss", "g_loss"):
+        np.testing.assert_array_equal(np.asarray(metrics[name]),
+                                      np.asarray(ref_metrics[name]))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 new_state.d_params, ref_state.d_params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 new_state.g_stats, ref_stats)
+    assert int(new_state.step) == int(ref_state.step)
+
+
 def test_mmgan_direct_g_update_moves_generators():
     """Improved mode: the straight-through surrogate gives G1/G2 real
     gradients (the reference's generators receive exactly zero)."""

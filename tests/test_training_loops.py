@@ -20,23 +20,7 @@ from gandes_tpu.data.datasets import (
 )
 
 
-@pytest.fixture(scope="module")
-def midi_fixture_dir(tmp_path_factory):
-    """Generate a few MIDI files through the simulator demo pipeline."""
-    d = tmp_path_factory.mktemp("midi_fixtures")
-    cwd = os.getcwd()
-    os.chdir(d)
-    try:
-        os.makedirs("logs", exist_ok=True)
-        from gandes_tpu.bridge.sim_demo import sim_to_wav
-
-        np.random.seed(42)
-        for i in range(3):
-            sim_to_wav(matrices=[None], size=32, use_same_instrument=i,
-                       out_dir=f"out_{i}")
-    finally:
-        os.chdir(cwd)
-    return d
+# midi_fixture_dir comes from conftest.py (session-scoped)
 
 
 def test_build_window_pickle_and_dataset(midi_fixture_dir, tmp_path):
