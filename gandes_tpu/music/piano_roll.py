@@ -132,7 +132,8 @@ def generate_piano_roll(midi_input, sequence_length=100, beats_length=50, start=
 # --------------------------------------------------------------------- TPU
 
 
-def rasterize_events_jax(notes, ons, offs, vels, *, num_steps: int, start: int = 0):
+def rasterize_events_jax(notes, ons, offs, vels, *, num_steps: int, start: int = 0,
+                         impl: str | None = None):
     """Batched piano-roll rasterization on device.
 
     Args:
@@ -152,8 +153,22 @@ def rasterize_events_jax(notes, ons, offs, vels, *, num_steps: int, start: int =
     (note*T + t) cell ids — pass 1 finds the highest event index touching
     each cell, pass 2 takes that event's value. Everything is static-shape
     (B, E, T) work that XLA fuses; no host loop, no dynamic shapes.
+
+    ``impl``: ``None`` auto-selects — the Pallas kernel
+    (`ops/pallas_roll.py`, sequential per-sample event walk, 5.3x the
+    scatter formulation on v5e, bit-equal) on TPU backends, the XLA scatter
+    path on CPU; ``'xla'``/``'pallas'`` force one.
     """
+    import jax
     import jax.numpy as jnp
+
+    if impl is None:
+        impl = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+    if impl == "pallas":
+        from gandes_tpu.ops.pallas_roll import rasterize_events_pallas
+
+        return rasterize_events_pallas(notes, ons, offs, vels,
+                                       num_steps=num_steps, start=start)
 
     notes = jnp.asarray(notes, dtype=jnp.int32)
     ons = jnp.asarray(ons, dtype=jnp.int32)

@@ -1,0 +1,58 @@
+"""Pallas piano-roll rasterizer == the XLA scatter path, bitwise.
+
+The kernel (ops/pallas_roll.py) walks each sample's event list sequentially
+(last-writer-wins by construction); the XLA path resolves write order with
+segment-max passes. Both must agree bit-for-bit — and with the host
+reference rasterizer, which test_music_pipeline already pins against the
+XLA path.
+"""
+
+import numpy as np
+
+from gandes_tpu.music.piano_roll import rasterize_events_jax
+from gandes_tpu.ops.pallas_roll import rasterize_events_pallas
+
+
+def _random_events(rng, B, E, T, start):
+    notes = rng.randint(-1, 128, (B, E)).astype(np.int32)
+    ons = rng.randint(0, T + start + 10, (B, E)).astype(np.int32)
+    offs = (ons + rng.randint(-2, 20, (B, E))).astype(np.int32)
+    vels = rng.randint(-1, 127, (B, E)).astype(np.int32)
+    return notes, ons, offs, vels
+
+
+def test_pallas_rasterizer_matches_xla_random():
+    rng = np.random.RandomState(0)
+    for B, E, T, start in [(3, 32, 50, 5), (2, 128, 50, 100), (1, 16, 96, 0)]:
+        notes, ons, offs, vels = _random_events(rng, B, E, T, start)
+        ref = np.asarray(rasterize_events_jax(notes, ons, offs, vels,
+                                              num_steps=T, start=start, impl="xla"))
+        got = np.asarray(rasterize_events_pallas(notes, ons, offs, vels,
+                                                 num_steps=T, start=start))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_rasterizer_last_writer_wins():
+    """Deliberate conflicts: same (note, t) cells written by several events —
+    the latest event must win in both channels, including a later zero
+    velocity erasing an earlier nonzero one."""
+    T = 50
+    notes = np.array([[60, 60, 60, 60, 64, 64]], np.int32)
+    ons = np.array([[10, 10, 10, 10, 5, 5]], np.int32)
+    offs = np.array([[30, 20, 15, 12, 40, 8]], np.int32)
+    vels = np.array([[100, 90, 0, -1, 70, 0]], np.int32)
+    ref = np.asarray(rasterize_events_jax(notes, ons, offs, vels,
+                                          num_steps=T, start=0, impl="xla"))
+    got = np.asarray(rasterize_events_pallas(notes, ons, offs, vels,
+                                             num_steps=T, start=0))
+    np.testing.assert_array_equal(got, ref)
+    # the -1-velocity (duration-only) event leaves channel 0's previous write
+    assert ref[0, 0, 60, 10] == 0.0  # vel 0 wrote over 100/90 before the -1
+    assert ref[0, 1, 60, 10] == 2.0  # durations: last event's off-on = 2
+
+
+def test_pallas_rasterizer_empty_and_full_pad():
+    notes = np.full((2, 8), -1, np.int32)
+    z = np.zeros((2, 8), np.int32)
+    out = np.asarray(rasterize_events_pallas(notes, z, z, z, num_steps=50))
+    assert out.shape == (2, 2, 128, 50) and not out.any()
