@@ -142,6 +142,15 @@ def _cmd_generate_gandes(args):
     print(f"generated {args.n} song(s): WAVs + spectrogram.png in {args.out_dir}/")
 
 
+def _cmd_serve(args):
+    from gandes_tpu.serve import run_server
+
+    run_server(model=args.model, checkpoint=args.checkpoint,
+               torch_checkpoint=args.torch_checkpoint, host=args.host,
+               port=args.port, warmup=not args.no_warmup, start=args.start,
+               sequence_length=args.sequence_length)
+
+
 def _cmd_export_torch(args):
     """Export an orbax checkpoint trained here as a reference-loadable torch
     state_dict (the inverse of --torch-checkpoint import)."""
@@ -339,6 +348,18 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out-dir", default="adj_sim_outputs")
     sp.set_defaults(fn=_cmd_generate_gandes)
+
+    sp = sub.add_parser("serve", help="warm-model HTTP generation server")
+    sp.add_argument("--model", choices=["mmgan", "gandes"], default="mmgan")
+    sp.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="a reference .pth/.pt state_dict")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8472)
+    sp.add_argument("--no-warmup", action="store_true")
+    sp.add_argument("--start", type=int, default=100)
+    sp.add_argument("--sequence-length", type=int, default=50)
+    sp.set_defaults(fn=_cmd_serve)
 
     sp = sub.add_parser("export-torch",
                         help="export an orbax checkpoint as a reference-"

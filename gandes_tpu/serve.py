@@ -1,0 +1,222 @@
+"""Warm-model serving: HTTP generation endpoint over the trained GANs.
+
+The reference's only inference surface is `demo.ipynb` (reload the
+checkpoint, run cells, play files — `demo.ipynb` cells 7-10, 25-28). This
+module is the production-serving equivalent: load a checkpoint ONCE, keep
+the jitted generator graphs warm, and serve generation requests over HTTP
+with JSON/base64 payloads and latency accounting.
+
+Endpoints (JSON in/out):
+  GET  /healthz
+       -> {"status": "ok", "model": "mmgan", "requests": N,
+           "avg_latency_s": ...}
+  POST /generate/mmgan   {"n": 1, "seed": 0, "wav": false}
+       -> {"midi_b64": [...], "roll_sums": [...], "wav_b64": [...]?,
+           "latency_s": ...}
+  POST /generate/gandes  {"n": 1, "seed": 0}
+       -> {"wav_b64": [...], "mel_shape": [...], "latency_s": ...}
+
+Requests are serialized with a lock: generation couples the device forward
+to the host DES stage, which seeds the global numpy RNG for reference
+parity (`matrix_sim_process.py:114-115` semantics) — concurrent requests
+would interleave those streams. Scale-out is process-level (one server per
+chip), matching the framework's host-plane parallelism story
+(docs/SCALING.md).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class GenerationService:
+    """Loads checkpoints once; serves repeated generation requests warm.
+
+    ``model``: 'mmgan' (matrix+params -> DES -> MIDI) or 'gandes'
+    (matrix -> DES -> MIDI -> synth WAV -> mel). ``checkpoint`` is an orbax
+    dir trained here; ``torch_checkpoint`` a reference state_dict.
+    """
+
+    def __init__(self, model: str = "mmgan", checkpoint: str | None = None,
+                 torch_checkpoint: str | None = None, start: int = 100,
+                 sequence_length: int = 50):
+        if model not in ("mmgan", "gandes"):
+            raise ValueError(f"unknown model {model!r}")
+        self.model = model
+        self._lock = threading.Lock()
+        self.requests = 0
+        self._latency_sum = 0.0
+
+        if model == "mmgan":
+            from gandes_tpu.train import checkpoint as ckpt
+            from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
+
+            self.cfg = MMGANConfig(start=start, sequence_length=sequence_length)
+            self.state, _, _ = init_state_for_config(self.cfg, batch_size=1)
+            if torch_checkpoint:
+                from gandes_tpu.train.torch_import import load_mmgan_torch_checkpoint
+
+                self.state = load_mmgan_torch_checkpoint(torch_checkpoint, self.state)
+            elif checkpoint:
+                self.state = ckpt.restore_state(checkpoint, self.state)
+        else:
+            import jax
+            import optax
+
+            from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+            from gandes_tpu.train import checkpoint as ckpt
+            from gandes_tpu.train.gandes_loop import GanDesConfig
+            from gandes_tpu.train.steps import init_gandes_state
+
+            self.cfg = GanDesConfig()
+            self.gen = DCGANGenerator(noise_dim=self.cfg.z_dim)
+            tx = optax.adam(self.cfg.lr, b1=0.5)
+            self.state = init_gandes_state(
+                self.gen, MelDiscriminator(), jax.random.key(0), batch_size=1,
+                z_dim=self.cfg.z_dim, g_tx=tx, d_tx=tx)
+            if torch_checkpoint:
+                from gandes_tpu.train.torch_import import load_gandes_torch_checkpoint
+
+                self.state = load_gandes_torch_checkpoint(torch_checkpoint, self.state)
+            elif checkpoint:
+                self.state = ckpt.restore_state(checkpoint, self.state)
+
+    # ------------------------------------------------------------ handlers
+
+    def healthz(self) -> dict:
+        n = self.requests
+        return {
+            "status": "ok",
+            "model": self.model,
+            "requests": n,
+            "avg_latency_s": round(self._latency_sum / n, 4) if n else None,
+        }
+
+    def generate(self, n: int = 1, seed: int = 0, wav: bool = False) -> dict:
+        with self._lock:
+            t0 = time.perf_counter()
+            if self.model == "mmgan":
+                out = self._generate_mmgan(n, seed, wav)
+            else:
+                out = self._generate_gandes(n, seed)
+            dt = time.perf_counter() - t0
+            self.requests += 1
+            self._latency_sum += dt
+            out["latency_s"] = round(dt, 4)
+            return out
+
+    def _generate_mmgan(self, n, seed, wav) -> dict:
+        from gandes_tpu.train.mmgan_loop import generate_midi
+
+        cfg = self.cfg
+        rng = np.random.RandomState(seed)
+        midi_b64, wav_b64, roll_sums = [], [], []
+        with tempfile.TemporaryDirectory() as tmp:
+            for i in range(n):
+                noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+                noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+                beats = np.zeros((1, cfg.max_beat_length), np.float32)
+                np.random.seed(seed + i)  # DES routing stream (parity with the CLI)
+                rolls = generate_midi(self.state, cfg, noise1, noise2, beats,
+                                      out_dir=tmp)
+                roll_sums.append(float(np.sum(rolls[0])))
+                path = os.path.join(tmp, "generation.mid")
+                with open(path, "rb") as f:
+                    midi_bytes = f.read()
+                midi_b64.append(base64.b64encode(midi_bytes).decode())
+                if wav:
+                    from gandes_tpu.data.audio import save_wav
+                    from gandes_tpu.music.synth import render_midi
+
+                    audio = render_midi(path)
+                    wpath = os.path.join(tmp, "generation.wav")
+                    save_wav(wpath, audio)
+                    with open(wpath, "rb") as f:
+                        wav_b64.append(base64.b64encode(f.read()).decode())
+        out = {"midi_b64": midi_b64, "roll_sums": roll_sums}
+        if wav:
+            out["wav_b64"] = wav_b64
+        return out
+
+    def _generate_gandes(self, n, seed) -> dict:
+        import jax
+
+        from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+
+        noise = jax.random.normal(jax.random.key(seed), (n, self.cfg.z_dim))
+        mats = self.gen.apply(
+            {"params": self.state.g_params, "batch_stats": self.state.g_stats},
+            noise, False)
+        np.random.seed(seed)
+        wav_b64 = []
+        with tempfile.TemporaryDirectory() as tmp:
+            specs = matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
+                                  out_dir=tmp)
+            for i in range(n):
+                with open(os.path.join(tmp, "wav", f"output_{i}.wav"), "rb") as f:
+                    wav_b64.append(base64.b64encode(f.read()).decode())
+        return {"wav_b64": wav_b64, "mel_shape": list(np.asarray(specs).shape)}
+
+
+def make_http_server(service: GenerationService, host: str = "127.0.0.1",
+                     port: int = 8472) -> ThreadingHTTPServer:
+    """Returns an unstarted ThreadingHTTPServer bound to (host, port);
+    call ``serve_forever()`` (and ``shutdown()`` from another thread)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; the service keeps stats
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.healthz())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != f"/generate/{service.model}":
+                self._reply(404, {"error": f"unknown path {self.path}; "
+                                           f"serving /generate/{service.model}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(length) or b"{}")
+                out = service.generate(
+                    n=int(req.get("n", 1)), seed=int(req.get("seed", 0)),
+                    wav=bool(req.get("wav", False)))
+                self._reply(200, out)
+            except Exception as e:  # surface the error to the client
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
+               host="127.0.0.1", port=8472, warmup=True, start=100,
+               sequence_length=50):
+    service = GenerationService(model=model, checkpoint=checkpoint,
+                                torch_checkpoint=torch_checkpoint, start=start,
+                                sequence_length=sequence_length)
+    if warmup:  # compile + first DES round trip before accepting traffic
+        service.generate(n=1, seed=0)
+        print(f"warmup done in {service._latency_sum:.2f}s")
+    server = make_http_server(service, host, port)
+    print(f"serving {model} on http://{host}:{port} "
+          f"(POST /generate/{model}, GET /healthz)")
+    server.serve_forever()

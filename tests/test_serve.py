@@ -1,0 +1,97 @@
+"""HTTP generation server: real socket round trips on an ephemeral port.
+
+The service loads models once and serves repeated requests warm; these
+tests drive it exactly as a client would — POST JSON over HTTP, decode the
+base64 MIDI/WAV payloads, check they are real SMF/RIFF files.
+"""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mmgan_server(tmp_path_factory):
+    from gandes_tpu.serve import GenerationService, make_http_server
+
+    service = GenerationService(model="mmgan", start=0, sequence_length=50)
+    server = make_http_server(service, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", service
+    server.shutdown()
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_serve_healthz_and_generate(mmgan_server, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # DES writes logs/ relative to cwd
+    base, service = mmgan_server
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["model"] == "mmgan"
+
+    status, out = _post(base + "/generate/mmgan", {"n": 2, "seed": 3})
+    assert status == 200
+    assert len(out["midi_b64"]) == 2 and len(out["roll_sums"]) == 2
+    for b64 in out["midi_b64"]:
+        midi = base64.b64decode(b64)
+        assert midi[:4] == b"MThd"  # a real SMF file
+    assert out["latency_s"] > 0
+
+    # warm second request: stats accumulate, determinism per seed
+    status2, out2 = _post(base + "/generate/mmgan", {"n": 2, "seed": 3})
+    assert status2 == 200
+    assert out2["midi_b64"] == out["midi_b64"]  # same seed -> same bytes
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        health2 = json.loads(r.read())
+    assert health2["requests"] == health["requests"] + 2
+
+
+def test_serve_wav_and_errors(mmgan_server, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    base, service = mmgan_server
+
+    status, out = _post(base + "/generate/mmgan", {"n": 1, "seed": 1, "wav": True})
+    assert status == 200
+    wav = base64.b64decode(out["wav_b64"][0])
+    assert wav[:4] == b"RIFF"
+
+    # wrong endpoint -> 404 with a hint
+    req = urllib.request.Request(base + "/generate/gandes", data=b"{}")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 404
+
+    # malformed body -> 500 JSON error, server stays alive
+    req = urllib.request.Request(
+        base + "/generate/mmgan", data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 500
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_serve_gandes_service(tmp_path, monkeypatch):
+    """GAN-DES service without HTTP: WAV payloads decode, mel shape right."""
+    from gandes_tpu.serve import GenerationService
+
+    monkeypatch.chdir(tmp_path)
+    service = GenerationService(model="gandes")
+    out = service.generate(n=1, seed=0)
+    wav = base64.b64decode(out["wav_b64"][0])
+    assert wav[:4] == b"RIFF"
+    assert out["mel_shape"] == [1, 128, 216]
