@@ -72,17 +72,11 @@ def _cmd_train_gandes(args):
 
 
 def _cmd_generate_mmgan(args):
-    from gandes_tpu.train import checkpoint as ckpt
-    from gandes_tpu.train.mmgan_loop import MMGANConfig, generate_midi, init_state_for_config
+    from gandes_tpu.train.loading import load_mmgan_state
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, generate_midi
 
     cfg = MMGANConfig(start=args.start, sequence_length=args.sequence_length)
-    state, _, _ = init_state_for_config(cfg, batch_size=1)
-    if args.torch_checkpoint:
-        from gandes_tpu.train.torch_import import load_mmgan_torch_checkpoint
-
-        state = load_mmgan_torch_checkpoint(args.torch_checkpoint, state)
-    elif args.checkpoint:
-        state = ckpt.restore_state(args.checkpoint, state)
+    state = load_mmgan_state(cfg, args.checkpoint, args.torch_checkpoint)
     rng = np.random.RandomState(args.seed)
     for i in range(args.n):
         noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
@@ -107,27 +101,15 @@ def _cmd_generate_mmgan(args):
 
 def _cmd_generate_gandes(args):
     import jax
-    import optax
 
-    from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
-    from gandes_tpu.train import checkpoint as ckpt
-    from gandes_tpu.train.gandes_loop import GanDesConfig
-    from gandes_tpu.train.steps import init_gandes_state
     from gandes_tpu.bridge.gandes_decode import matrix_to_wav
     from gandes_tpu.eval.visualize import plot_spectrogram
+    from gandes_tpu.train.gandes_loop import GanDesConfig
+    from gandes_tpu.train.loading import load_gandes_state
 
     cfg = GanDesConfig()
-    gen = DCGANGenerator(noise_dim=cfg.z_dim)
-    disc = MelDiscriminator()
-    tx = optax.adam(cfg.lr, b1=0.5)
-    state = init_gandes_state(gen, disc, jax.random.key(0), batch_size=args.n,
-                              z_dim=cfg.z_dim, g_tx=tx, d_tx=tx)
-    if args.torch_checkpoint:
-        from gandes_tpu.train.torch_import import load_gandes_torch_checkpoint
-
-        state = load_gandes_torch_checkpoint(args.torch_checkpoint, state)
-    elif args.checkpoint:
-        state = ckpt.restore_state(args.checkpoint, state)
+    state, gen = load_gandes_state(cfg, args.checkpoint, args.torch_checkpoint,
+                                   batch_size=args.n)
     noise = jax.random.normal(jax.random.key(args.seed), (args.n, cfg.z_dim))
     mats = gen.apply({"params": state.g_params, "batch_stats": state.g_stats},
                      noise, False)

@@ -157,13 +157,17 @@ def rasterize_events_jax(notes, ons, offs, vels, *, num_steps: int, start: int =
     ``impl``: ``None`` auto-selects — the Pallas kernel
     (`ops/pallas_roll.py`, sequential per-sample event walk, 5.3x the
     scatter formulation on v5e, bit-equal) on TPU backends, the XLA scatter
-    path on CPU; ``'xla'``/``'pallas'`` force one.
+    path on CPU and for event counts past the kernel's measured SMEM
+    capacity; ``'xla'``/``'pallas'`` force one.
     """
     import jax
     import jax.numpy as jnp
 
     if impl is None:
-        impl = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        from gandes_tpu.ops.pallas_roll import PALLAS_MAX_EVENTS
+
+        on_cpu = jax.devices()[0].platform == "cpu"
+        impl = "xla" if on_cpu or np.shape(notes)[-1] > PALLAS_MAX_EVENTS else "pallas"
     if impl == "pallas":
         from gandes_tpu.ops.pallas_roll import rasterize_events_pallas
 

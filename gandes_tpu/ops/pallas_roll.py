@@ -14,8 +14,13 @@ VMEM-resident output block. No scatters, no (E, T) intermediates, no HBM
 traffic beyond one stream of events in and one roll out; the grid is
 (B,) with each program owning one sample's (2, 128, T) block.
 
-Bit-equal to the XLA path (tests/test_pallas_roll.py pins both the
-interpreter and the compiled kernel against it).
+Bit-equal to the XLA path. Coverage note: the CI suite runs on the CPU
+backend, so tests/test_pallas_roll.py exercises the *interpreter*; the
+compiled kernel was verified bit-equal against the XLA path on a real v5e
+for E in {512, 1024, 2048, 4096, 8192, 16384} (the capacity probe behind
+``PALLAS_MAX_EVENTS``) — re-run that check when touching the kernel:
+    PYTHONPATH=. python -c "see tests/test_pallas_roll.py::_random_events"
+on a TPU-attached machine with both impls.
 """
 
 from __future__ import annotations
@@ -26,6 +31,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
+
+# Largest per-sample event count the compiled kernel has been verified at
+# (4 x E x 4 B of SMEM event blocks; E=16384 = 256 KB compiled and matched
+# the XLA path bit-for-bit on v5e). The auto-select in
+# music.piano_roll.rasterize_events_jax falls back to the XLA scatter path
+# above this rather than risk an SMEM overflow on denser inputs.
+PALLAS_MAX_EVENTS = 16384
 
 
 def _kernel(notes_ref, ons_ref, offs_ref, vels_ref, out_ref, *, E, T):

@@ -47,47 +47,28 @@ class GenerationService:
 
     def __init__(self, model: str = "mmgan", checkpoint: str | None = None,
                  torch_checkpoint: str | None = None, start: int = 100,
-                 sequence_length: int = 50):
+                 sequence_length: int = 50, max_n: int = 64):
         if model not in ("mmgan", "gandes"):
             raise ValueError(f"unknown model {model!r}")
         self.model = model
+        self.max_n = max_n
         self._lock = threading.Lock()
         self.requests = 0
         self._latency_sum = 0.0
 
         if model == "mmgan":
-            from gandes_tpu.train import checkpoint as ckpt
-            from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
+            from gandes_tpu.train.loading import load_mmgan_state
+            from gandes_tpu.train.mmgan_loop import MMGANConfig
 
             self.cfg = MMGANConfig(start=start, sequence_length=sequence_length)
-            self.state, _, _ = init_state_for_config(self.cfg, batch_size=1)
-            if torch_checkpoint:
-                from gandes_tpu.train.torch_import import load_mmgan_torch_checkpoint
-
-                self.state = load_mmgan_torch_checkpoint(torch_checkpoint, self.state)
-            elif checkpoint:
-                self.state = ckpt.restore_state(checkpoint, self.state)
+            self.state = load_mmgan_state(self.cfg, checkpoint, torch_checkpoint)
         else:
-            import jax
-            import optax
-
-            from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
-            from gandes_tpu.train import checkpoint as ckpt
             from gandes_tpu.train.gandes_loop import GanDesConfig
-            from gandes_tpu.train.steps import init_gandes_state
+            from gandes_tpu.train.loading import load_gandes_state
 
             self.cfg = GanDesConfig()
-            self.gen = DCGANGenerator(noise_dim=self.cfg.z_dim)
-            tx = optax.adam(self.cfg.lr, b1=0.5)
-            self.state = init_gandes_state(
-                self.gen, MelDiscriminator(), jax.random.key(0), batch_size=1,
-                z_dim=self.cfg.z_dim, g_tx=tx, d_tx=tx)
-            if torch_checkpoint:
-                from gandes_tpu.train.torch_import import load_gandes_torch_checkpoint
-
-                self.state = load_gandes_torch_checkpoint(torch_checkpoint, self.state)
-            elif checkpoint:
-                self.state = ckpt.restore_state(checkpoint, self.state)
+            self.state, self.gen = load_gandes_state(self.cfg, checkpoint,
+                                                     torch_checkpoint)
 
     # ------------------------------------------------------------ handlers
 
@@ -101,6 +82,8 @@ class GenerationService:
         }
 
     def generate(self, n: int = 1, seed: int = 0, wav: bool = False) -> dict:
+        if not 1 <= n <= self.max_n:
+            raise ValueError(f"n must be in [1, {self.max_n}], got {n}")
         with self._lock:
             t0 = time.perf_counter()
             if self.model == "mmgan":
@@ -119,6 +102,7 @@ class GenerationService:
         cfg = self.cfg
         rng = np.random.RandomState(seed)
         midi_b64, wav_b64, roll_sums = [], [], []
+        failed = 0
         with tempfile.TemporaryDirectory() as tmp:
             for i in range(n):
                 noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
@@ -129,6 +113,14 @@ class GenerationService:
                                       out_dir=tmp)
                 roll_sums.append(float(np.sum(rolls[0])))
                 path = os.path.join(tmp, "generation.mid")
+                # a failed/timed-out sim leaves no file — report the slot as
+                # null rather than silently re-serving the previous sample
+                if not os.path.exists(path):
+                    failed += 1
+                    midi_b64.append(None)
+                    if wav:
+                        wav_b64.append(None)
+                    continue
                 with open(path, "rb") as f:
                     midi_bytes = f.read()
                 midi_b64.append(base64.b64encode(midi_bytes).decode())
@@ -141,7 +133,8 @@ class GenerationService:
                     save_wav(wpath, audio)
                     with open(wpath, "rb") as f:
                         wav_b64.append(base64.b64encode(f.read()).decode())
-        out = {"midi_b64": midi_b64, "roll_sums": roll_sums}
+                os.remove(path)  # never re-serve a stale file for sample i+1
+        out = {"midi_b64": midi_b64, "roll_sums": roll_sums, "failed": failed}
         if wav:
             out["wav_b64"] = wav_b64
         return out
@@ -201,6 +194,8 @@ def make_http_server(service: GenerationService, host: str = "127.0.0.1",
                     n=int(req.get("n", 1)), seed=int(req.get("seed", 0)),
                     wav=bool(req.get("wav", False)))
                 self._reply(200, out)
+            except ValueError as e:  # bad JSON / n out of [1, max_n]
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # surface the error to the client
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

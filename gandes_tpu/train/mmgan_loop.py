@@ -250,42 +250,31 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                 state, _, _, metrics = full_step(
                     state, real, noise1, noise2, beats_j,
                     jnp.int32(count), jax.random.key(count))
-                failed = int(metrics["failed_simulations"])
+                # device scalar, summed lazily — fetched only at print time
+                failed = metrics["failed_simulations"]
                 g_loss = metrics["g_loss"]
-                total_failures += failed
-                total_seen += cfg.batch_size
-                disc_losses.append(metrics["d_loss"])
-                gen_losses.append(g_loss)
-                if i % cfg.print_interval == 0:
-                    print(
-                        f"Epoch {epoch + 1}/{cfg.num_epochs}, Batch {i}/{steps_per_epoch}, "
-                        f"Avg Disc Loss: {np.mean(jax.device_get(disc_losses))}, "
-                        f"Avg Gen Loss: {np.mean(jax.device_get(gen_losses))}"
-                    )
-                    print("Total failures:", total_failures, "Total seen:", total_seen)
-                continue
-
-            fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
-            state = GANState(**{**state.__dict__, "g_stats": new_stats})
-            if cfg.g_update == "surrogate":
-                state, s_state, metrics = train_step(
-                    state, s_state, real, fake, mats, vec, noise1, noise2,
-                    beats_j, jax.random.key(count))
-            elif cfg.g_update == "direct":
-                state, metrics = train_step(state, real, fake, noise1, noise2,
-                                            beats_j, jax.random.key(count))
             else:
-                state, metrics = train_step(state, real, fake)
-            g_loss = metrics["g_loss"]
-
-            if cfg.faithful:
-                # reference runs the whole fake path again for the G step
-                fake2, failed2, new_stats, _, _ = fake_batch(state, noise1, noise2, beats_j, count)
+                fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
                 state = GANState(**{**state.__dict__, "g_stats": new_stats})
-                g_loss = g_loss_only(state.d_params, fake2)
-                failed += failed2
+                if cfg.g_update == "surrogate":
+                    state, s_state, metrics = train_step(
+                        state, s_state, real, fake, mats, vec, noise1, noise2,
+                        beats_j, jax.random.key(count))
+                elif cfg.g_update == "direct":
+                    state, metrics = train_step(state, real, fake, noise1, noise2,
+                                                beats_j, jax.random.key(count))
+                else:
+                    state, metrics = train_step(state, real, fake)
+                g_loss = metrics["g_loss"]
 
-            total_failures += failed
+                if cfg.faithful:
+                    # reference runs the whole fake path again for the G step
+                    fake2, failed2, new_stats, _, _ = fake_batch(state, noise1, noise2, beats_j, count)
+                    state = GANState(**{**state.__dict__, "g_stats": new_stats})
+                    g_loss = g_loss_only(state.d_params, fake2)
+                    failed += failed2
+
+            total_failures = total_failures + failed
             total_seen += cfg.batch_size
             # keep losses on device; a d2h fetch per scalar costs tens of ms
             # on remote-attached TPUs — fetch in bulk at epoch end
@@ -298,7 +287,7 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                     f"Avg Disc Loss: {np.mean(jax.device_get(disc_losses))}, "
                     f"Avg Gen Loss: {np.mean(jax.device_get(gen_losses))}"
                 )
-                print("Total failures:", total_failures, "Total seen:", total_seen)
+                print("Total failures:", int(total_failures), "Total seen:", total_seen)
 
         disc_losses = [float(x) for x in jax.device_get(disc_losses)]
         gen_losses = [float(x) for x in jax.device_get(gen_losses)]

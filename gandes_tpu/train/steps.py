@@ -296,8 +296,9 @@ def make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx):
     batch N+1 become runnable at the same moment (the forward's result is
     only consumed by the *host* DES stage afterwards), so they can share ONE
     compiled launch. On a remote-attached TPU the per-dispatch latency is a
-    large fraction of the ~0.6 ms device step, and halving the launches
-    raises the fused-step rate ~20% (bench.py). Semantics are identical to
+    large fraction of the ~0.6 ms device step; halving the launches (plus
+    donating the state) measured 1485 -> 2193 steps/s, +48%, in bench.py's
+    best-of-3 on the same chip session. Semantics are identical to
     calling :func:`make_mmgan_train_step` then :func:`make_mmgan_gen_forward`
     on the post-update state (pinned by
     ``test_models_and_steps.py::test_fused_step_and_forward_equivalence``).

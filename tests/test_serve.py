@@ -74,13 +74,14 @@ def test_serve_wav_and_errors(mmgan_server, tmp_path, monkeypatch):
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 404
 
-    # malformed body -> 500 JSON error, server stays alive
-    req = urllib.request.Request(
-        base + "/generate/mmgan", data=b"{not json",
-        headers={"Content-Type": "application/json"})
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        urllib.request.urlopen(req, timeout=30)
-    assert ei.value.code == 500
+    # malformed body / absurd n -> 400 JSON error, server stays alive
+    for body in (b"{not json", json.dumps({"n": 10**6}).encode()):
+        req = urllib.request.Request(
+            base + "/generate/mmgan", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
     with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
 
