@@ -52,7 +52,8 @@ def _cmd_train_mmgan(args):
                       models_dir=args.models_dir, losses_dir=args.losses_dir,
                       faithful=args.faithful, g_update=args.g_update,
                       des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh),
-                      fused_io=args.fused_io)
+                      fused_io=args.fused_io, profile=args.profile,
+                      trace_dir=args.trace_dir)
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -292,6 +293,12 @@ def main(argv=None):
     sp.add_argument("--fused-io", action="store_true",
                     help="single-launch steps: G forward + DES io_callback + "
                          "D update as one compiled program per batch")
+    sp.add_argument("--profile", action="store_true",
+                    help="print a per-phase StepTimer table every "
+                         "print_interval batches")
+    sp.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler device trace here "
+                         "(view with xprof/TensorBoard)")
     sp.set_defaults(fn=_cmd_train_mmgan)
 
     sp = sub.add_parser("train-gandes", help="train the GAN-DES spectrogram GAN")

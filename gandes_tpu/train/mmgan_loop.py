@@ -91,6 +91,12 @@ class MMGANConfig:
     midi_out_dir: str = "./adj_sim_outputs/midi"
     resume: bool = True
     seed: int = 0
+    # observability: print a per-phase StepTimer table (host_des vs
+    # device_step vs data) every print_interval, and return it in
+    # history["profile"]; trace_dir additionally wraps training in a
+    # jax.profiler device trace (view with xprof/TensorBoard)
+    profile: bool = False
+    trace_dir: str | None = None
 
 
 def build_mmgan(cfg: MMGANConfig):
@@ -124,6 +130,15 @@ def init_state_for_config(cfg: MMGANConfig, steps_per_epoch: int = 1,
 def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                 max_batches=None):
     """Returns (state, history). ``dataset`` yields (roll, dur, beats)."""
+    if cfg.trace_dir:
+        from gandes_tpu.core.profiling import device_trace
+
+        with device_trace(cfg.trace_dir):
+            return _train_mmgan(dataset, cfg, steps_per_epoch, max_batches)
+    return _train_mmgan(dataset, cfg, steps_per_epoch, max_batches)
+
+
+def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
     from gandes_tpu.core.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -208,6 +223,9 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
         )
     )
 
+    from gandes_tpu.core.profiling import StepTimer
+
+    timer = StepTimer()
     count = 0
     total_failures = 0
     total_seen = 0
@@ -247,24 +265,33 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                     (noise1, noise2, beats_j, real), mesh)
 
             if full_step is not None:
-                state, _, _, metrics = full_step(
-                    state, real, noise1, noise2, beats_j,
-                    jnp.int32(count), jax.random.key(count))
+                # one launch: timing it requires blocking on the result, so
+                # only do that under profiling
+                with timer.phase("full_step(fwd+des+update)"):
+                    state, _, _, metrics = full_step(
+                        state, real, noise1, noise2, beats_j,
+                        jnp.int32(count), jax.random.key(count))
+                    if cfg.profile:
+                        jax.block_until_ready(metrics["d_loss"])
                 # device scalar, summed lazily — fetched only at print time
                 failed = metrics["failed_simulations"]
                 g_loss = metrics["g_loss"]
             else:
-                fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
+                with timer.phase("host_des"):
+                    fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
                 state = GANState(**{**state.__dict__, "g_stats": new_stats})
-                if cfg.g_update == "surrogate":
-                    state, s_state, metrics = train_step(
-                        state, s_state, real, fake, mats, vec, noise1, noise2,
-                        beats_j, jax.random.key(count))
-                elif cfg.g_update == "direct":
-                    state, metrics = train_step(state, real, fake, noise1, noise2,
-                                                beats_j, jax.random.key(count))
-                else:
-                    state, metrics = train_step(state, real, fake)
+                with timer.phase("device_step"):
+                    if cfg.g_update == "surrogate":
+                        state, s_state, metrics = train_step(
+                            state, s_state, real, fake, mats, vec, noise1, noise2,
+                            beats_j, jax.random.key(count))
+                    elif cfg.g_update == "direct":
+                        state, metrics = train_step(state, real, fake, noise1, noise2,
+                                                    beats_j, jax.random.key(count))
+                    else:
+                        state, metrics = train_step(state, real, fake)
+                    if cfg.profile:
+                        jax.block_until_ready(metrics["d_loss"])
                 g_loss = metrics["g_loss"]
 
                 if cfg.faithful:
@@ -288,6 +315,8 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
                     f"Avg Gen Loss: {np.mean(jax.device_get(gen_losses))}"
                 )
                 print("Total failures:", int(total_failures), "Total seen:", total_seen)
+                if cfg.profile:
+                    print(timer.report())
 
         disc_losses = [float(x) for x in jax.device_get(disc_losses)]
         gen_losses = [float(x) for x in jax.device_get(gen_losses)]
@@ -311,6 +340,7 @@ def train_mmgan(dataset, cfg: MMGANConfig = MMGANConfig(), steps_per_epoch=None,
             if s_state is not None:
                 ckpt.save_state(path + "_surrogate", s_state)
 
+    history["profile"] = timer.summary()
     return state, history
 
 

@@ -108,13 +108,16 @@ def test_fused_io_training_loop(midi_fixture_dir, tmp_path, monkeypatch):
     cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
                       models_dir=str(tmp_path / "models"),
                       losses_dir=str(tmp_path / "losses"), seed=1,
-                      fused_io=True)
+                      fused_io=True, profile=True)
     np.random.seed(0)
     state, history = train_mmgan(ds, cfg, max_batches=2)
     assert len(history["disc"][0]) == 2
     assert all(np.isfinite(v) for v in history["disc"][0])
     assert all(np.isfinite(v) for v in history["gen"][0])
     assert os.path.isdir(tmp_path / "models" / "mmgan_64_64_epoch_1")
+    # observability: the StepTimer phase stats rode back in history
+    prof = history["profile"]["full_step(fwd+des+update)"]
+    assert prof["count"] == 2 and prof["mean_s"] > 0
 
 
 def test_fused_io_rejects_incompatible_modes(tmp_path):
