@@ -133,10 +133,150 @@ def bench_torch_cpu(iters: int = 20) -> float:
     return iters / (time.perf_counter() - t0)
 
 
+# ------------------------------------------------------- --all sub-benches
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit,
+                      "vs_baseline": round(vs_baseline, 2)}))
+
+
+def bench_des(customers: int = 20000) -> None:
+    """Dense 8-node queueing net, Music logging on: native vs Python engine."""
+    import tempfile
+
+    from gandes_tpu.des import Sim
+
+    adj = np.zeros((8, 8))
+    adj[0, 0] = adj[1, 1] = 1.0          # two sources
+    for i in range(2, 8):
+        adj[i, i] = -1.0                 # six servers
+    adj[0, 2:8] = 1.0 / 6                # sources fan out over all servers
+    adj[1, 2:8] = 1.0 / 6
+    for i in range(2, 7):                # servers chain + drain to the sink
+        adj[i, i + 1] = 0.5
+        adj[i, 7] = 0.5
+    # row 7 has no children -> sink
+    dists = [["exponential", 1.0], ["exponential", 1.0]] + [
+        ["exponential", 0.4]] * 6
+    queues = [0, 0] + [30] * 6
+
+    def run(engine):
+        with tempfile.TemporaryDirectory() as tmp:
+            np.random.seed(3)
+            sim = Sim(adj, dists, queues, seeds=[7], generate_log=True,
+                      log_path=tmp + "/", logging_mode="Music",
+                      max_sim_time=1e9, engine=engine)
+            t0 = time.perf_counter()
+            sim.run(number_of_customers=customers)
+            return time.perf_counter() - t0
+
+    t_native = min(run("native") for _ in range(3))
+    t_python = run("python")
+    _emit("des_engine_customers_per_sec_logged", customers / t_native,
+          "customers/s", t_python / t_native)
+
+
+def bench_mel() -> None:
+    """5 s / 216-frame mel front-end: fused Pallas kernel vs XLA path."""
+    import jax
+
+    from gandes_tpu.music.mel import melspectrogram_db_tensor
+
+    import jax.numpy as jnp
+
+    sr = 44100
+    wav = jnp.asarray(
+        np.sin(np.linspace(0, 5 * 2 * np.pi * 440, 5 * sr)).astype(np.float32))
+    jax.block_until_ready(wav)  # device-resident: time the kernel, not PCIe
+
+    def timeit(use_pallas, iters=50):
+        f = lambda: melspectrogram_db_tensor(wav, sr=sr, use_pallas=use_pallas)
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    t_pallas = min(timeit(True) for _ in range(3))
+    t_xla = min(timeit(False) for _ in range(3))
+    _emit("mel_5s_216f_ms", t_pallas * 1e3, "ms", t_xla / t_pallas)
+
+
+def bench_roll(B: int = 16, E: int = 512, T: int = 50) -> None:
+    """Batched piano-roll rasterization: Pallas kernel vs XLA scatter."""
+    import jax
+
+    from gandes_tpu.music.piano_roll import rasterize_events_jax
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    notes = jnp.asarray(rng.randint(-1, 128, (B, E)).astype(np.int32))
+    ons = jnp.asarray(rng.randint(0, 160, (B, E)).astype(np.int32))
+    offs = jnp.asarray(np.asarray(ons) + rng.randint(-2, 20, (B, E)).astype(np.int32))
+    vels = jnp.asarray(rng.randint(-1, 127, (B, E)).astype(np.int32))
+    jax.block_until_ready((notes, ons, offs, vels))
+
+    def timeit(impl, iters=50):
+        f = lambda: rasterize_events_jax(notes, ons, offs, vels, num_steps=T,
+                                         start=100, impl=impl)
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    t_fast = min(timeit("xla" if on_cpu else "pallas") for _ in range(3))
+    t_xla = min(timeit("xla") for _ in range(3))
+    _emit("piano_roll_ms_per_roll", t_fast / B * 1e3, "ms", t_xla / t_fast)
+
+
+def bench_host_stage(B: int = 16) -> None:
+    """MM-GAN host DES stage for one training batch: parallel vs sequential."""
+    import os
+    import tempfile
+
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+
+    rng = np.random.RandomState(5)
+    g1 = rng.rand(B, 1, 64, 64).astype(np.float32)
+    g2 = (rng.rand(B, 20).astype(np.float32) * 0.5 + 0.2)
+
+    def run(parallel):
+        cwd = os.getcwd()
+        with tempfile.TemporaryDirectory() as tmp:
+            os.chdir(tmp)
+            try:
+                os.makedirs("logs", exist_ok=True)
+                t0 = time.perf_counter()
+                matrix_to_midi(g1, g2, adj_size=(64, 64), instrument=0,
+                               start=100, end=150, parallel=parallel)
+                return time.perf_counter() - t0
+            finally:
+                os.chdir(cwd)
+
+    t_par = min(run(16) for _ in range(2))
+    t_seq = run(None)
+    _emit("mmgan_host_stage_s_per_batch", t_par, "s", t_seq / t_par)
+
+
 def main():
+    import sys
+
     from gandes_tpu.core.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if "--all" in sys.argv:
+        # reproduce the PARITY.md perf table rows; one JSON line per metric,
+        # the driver-facing headline metric printed LAST
+        bench_des()
+        bench_mel()
+        bench_roll()
+        bench_host_stage()
     # best-of-3 on both sides: the TPU is behind a shared relay and the CPU
     # baseline is load-sensitive — the max is the least-noisy estimator of
     # each side's attainable rate

@@ -67,7 +67,8 @@ def _cmd_train_gandes(args):
     loader = DataLoader(dataset, batch_size=1, shuffle=True, collate_fn=my_collate)
     cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir,
                        g_update=args.g_update, des_parallel=args.des_parallel,
-                       mesh_shape=_mesh(args.mesh))
+                       mesh_shape=_mesh(args.mesh), profile=args.profile,
+                       trace_dir=args.trace_dir)
     state, history = train_gandes(loader, cfg, max_steps=args.steps)
     print(f"done: {len(history['disc'])} steps")
 
@@ -314,6 +315,10 @@ def main(argv=None):
                          "default single-device")
     sp.add_argument("--des-parallel", type=int, default=None,
                     help="run the batch's DES sims on N threads (fast mode)")
+    sp.add_argument("--profile", action="store_true",
+                    help="print a per-phase StepTimer table every display_step")
+    sp.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler device trace here")
     sp.set_defaults(fn=_cmd_train_gandes)
 
     sp = sub.add_parser("generate-mmgan", help="generate a MIDI from a checkpoint")

@@ -56,12 +56,30 @@ class GenerationService:
         self.requests = 0
         self._latency_sum = 0.0
 
+        # the eval forwards are jitted ONCE here — warm compiled graphs are
+        # the point of a serving process (eager flax applies dispatch each
+        # op separately, which on a remote-attached TPU costs minutes per
+        # request in per-op compiles)
+        import jax
+
         if model == "mmgan":
             from gandes_tpu.train.loading import load_mmgan_state
-            from gandes_tpu.train.mmgan_loop import MMGANConfig
+            from gandes_tpu.train.mmgan_loop import MMGANConfig, build_mmgan
 
             self.cfg = MMGANConfig(start=start, sequence_length=sequence_length)
             self.state = load_mmgan_state(self.cfg, checkpoint, torch_checkpoint)
+            g1, g2, _ = build_mmgan(self.cfg)
+
+            def fwd(g_params, g_stats, noise1, noise2, beats, key):
+                out1 = g1.apply(
+                    {"params": g_params["g1"], "batch_stats": g_stats["g1"]},
+                    noise1, None, False, rngs={"aux": key})
+                out2 = g2.apply(
+                    {"params": g_params["g2"], "batch_stats": g_stats["g2"]},
+                    noise2, beats, False)
+                return out1, out2
+
+            self._fwd = jax.jit(fwd)
         else:
             from gandes_tpu.train.gandes_loop import GanDesConfig
             from gandes_tpu.train.loading import load_gandes_state
@@ -69,6 +87,9 @@ class GenerationService:
             self.cfg = GanDesConfig()
             self.state, self.gen = load_gandes_state(self.cfg, checkpoint,
                                                      torch_checkpoint)
+            gen = self.gen
+            self._fwd = jax.jit(lambda p, s, noise: gen.apply(
+                {"params": p, "batch_stats": s}, noise, False))
 
     # ------------------------------------------------------------ handlers
 
@@ -97,7 +118,9 @@ class GenerationService:
             return out
 
     def _generate_mmgan(self, n, seed, wav) -> dict:
-        from gandes_tpu.train.mmgan_loop import generate_midi
+        import jax
+
+        from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
 
         cfg = self.cfg
         rng = np.random.RandomState(seed)
@@ -108,9 +131,16 @@ class GenerationService:
                 noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
                 noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
                 beats = np.zeros((1, cfg.max_beat_length), np.float32)
+                # same math as mmgan_loop.generate_midi, through the warm
+                # jitted forward instead of per-op eager dispatch
+                out1, out2 = self._fwd(self.state.g_params, self.state.g_stats,
+                                       noise1, noise2, beats, jax.random.key(0))
                 np.random.seed(seed + i)  # DES routing stream (parity with the CLI)
-                rolls = generate_midi(self.state, cfg, noise1, noise2, beats,
-                                      out_dir=tmp)
+                rolls, _ = matrix_to_midi(
+                    np.asarray(out1)[:, None], np.asarray(out2),
+                    adj_size=cfg.adj_size, instrument=cfg.instrument,
+                    start=cfg.start, end=cfg.start + cfg.sequence_length,
+                    generate=True, log_path=cfg.log_path, out_dir=tmp)
                 roll_sums.append(float(np.sum(rolls[0])))
                 path = os.path.join(tmp, "generation.mid")
                 # a failed/timed-out sim leaves no file — report the slot as
@@ -145,9 +175,7 @@ class GenerationService:
         from gandes_tpu.bridge.gandes_decode import matrix_to_wav
 
         noise = jax.random.normal(jax.random.key(seed), (n, self.cfg.z_dim))
-        mats = self.gen.apply(
-            {"params": self.state.g_params, "batch_stats": self.state.g_stats},
-            noise, False)
+        mats = self._fwd(self.state.g_params, self.state.g_stats, noise)
         np.random.seed(seed)
         wav_b64 = []
         with tempfile.TemporaryDirectory() as tmp:

@@ -61,10 +61,24 @@ class GanDesConfig:
     # my_collate batches vary in size — non-divisible batches replicate.
     mesh_shape: tuple | None = None
     seed: int = 0
+    # observability (same surface as MMGANConfig): per-phase StepTimer
+    # tables at display_step + history["profile"]; jax.profiler device
+    # trace when trace_dir is set
+    profile: bool = False
+    trace_dir: str | None = None
 
 
 def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None):
     """``dataloader`` yields (B, 128, 216) mel batches (my_collate output)."""
+    if cfg.trace_dir:
+        from gandes_tpu.core.profiling import device_trace
+
+        with device_trace(cfg.trace_dir):
+            return _train_gandes(dataloader, cfg, max_steps)
+    return _train_gandes(dataloader, cfg, max_steps)
+
+
+def _train_gandes(dataloader, cfg, max_steps=None):
     from gandes_tpu.core.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -104,12 +118,16 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
     else:
         train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
 
+    from gandes_tpu.core.profiling import StepTimer
+
+    timer = StepTimer()
     gen_losses, disc_losses = [], []
     cur_step = 0
     for epoch in range(cfg.n_epochs):
         for real in dataloader:
             if max_steps is not None and cur_step >= max_steps:
-                return state, {"gen": gen_losses, "disc": disc_losses}
+                return state, {"gen": gen_losses, "disc": disc_losses,
+                               "profile": timer.summary()}
             cur_batch_size = len(real)
             real = jnp.asarray(real, jnp.float32)
 
@@ -122,21 +140,25 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
             fake_mats, new_stats = gen_forward(state, noise)
             state = state.__class__(**{**state.__dict__, "g_stats": new_stats})
 
-            fake = matrix_to_wav(
-                np.asarray(fake_mats), size=20, start=0, end=cfg.mel_shape[1],
-                overwrite=True, log_path=cfg.log_path, out_dir=cfg.out_dir,
-                number_of_customers=cfg.number_of_customers,
-                max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
-                write_wav=cfg.write_wav,
-            )
+            with timer.phase("host_des"):
+                fake = matrix_to_wav(
+                    np.asarray(fake_mats), size=20, start=0, end=cfg.mel_shape[1],
+                    overwrite=True, log_path=cfg.log_path, out_dir=cfg.out_dir,
+                    number_of_customers=cfg.number_of_customers,
+                    max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
+                    write_wav=cfg.write_wav,
+                )
             fake = jnp.asarray(fake)
             if mesh is not None:
                 fake = shard_batch(fake, mesh)
-            if cfg.g_update == "surrogate":
-                state, s_state, metrics = train_step(state, s_state, real,
-                                                     fake, fake_mats, noise)
-            else:
-                state, metrics = train_step(state, real, fake)
+            with timer.phase("device_step"):
+                if cfg.g_update == "surrogate":
+                    state, s_state, metrics = train_step(state, s_state, real,
+                                                         fake, fake_mats, noise)
+                else:
+                    state, metrics = train_step(state, real, fake)
+                if cfg.profile:
+                    jax.block_until_ready(metrics["d_loss"])
             disc_losses.append(float(metrics["d_loss"]))
             gen_losses.append(float(metrics["g_loss"]))
 
@@ -145,6 +167,8 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                     f"Epoch:{epoch} Step {cur_step}: Generator loss: {np.mean(gen_losses)}, "
                     f"discriminator loss: {np.mean(disc_losses)}"
                 )
+                if cfg.profile:
+                    print(timer.report())
             if cur_step % cfg.save_step == 0 and cur_step > 0:
                 now = datetime.now()
                 path = os.path.join(
@@ -155,7 +179,8 @@ def train_gandes(dataloader, cfg: GanDesConfig = GanDesConfig(), max_steps=None)
                     ckpt.save_state(path + "_surrogate", s_state)
             cur_step += 1
 
-    return state, {"gen": gen_losses, "disc": disc_losses}
+    return state, {"gen": gen_losses, "disc": disc_losses,
+                   "profile": timer.summary()}
 
 
 def generate_song(ckpt_path, cfg: GanDesConfig = GanDesConfig(), n_samples=1):
