@@ -8,6 +8,7 @@ from gandes_tpu.des.engine import (
     SimBudgetExceeded,
     Source,
 )
+from gandes_tpu.des.tester import SimTester
 from gandes_tpu.des.theory import (
     calculate_theoretical_renege_rate,
     mm1_lq,
