@@ -86,6 +86,35 @@ def test_serve_wav_and_errors(mmgan_server, tmp_path, monkeypatch):
         assert json.loads(r.read())["status"] == "ok"
 
 
+def test_serve_matches_cli_bytes(tmp_path, monkeypatch):
+    """The server's jitted forward and the CLI's eager generate_midi path
+    produce byte-identical MIDI for the same (checkpoint, seed)."""
+    import os
+
+    from gandes_tpu.serve import GenerationService
+    from gandes_tpu.train.loading import load_mmgan_state
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, generate_midi
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+
+    svc = GenerationService(model="mmgan", start=0)
+    serve_midi = base64.b64decode(svc.generate(n=1, seed=4)["midi_b64"][0])
+
+    cfg = MMGANConfig(start=0)
+    state = load_mmgan_state(cfg)
+    rng = np.random.RandomState(4)
+    noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+    noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
+    beats = np.zeros((1, cfg.max_beat_length), np.float32)
+    np.random.seed(4)
+    os.makedirs("cli_out", exist_ok=True)
+    generate_midi(state, cfg, noise1, noise2, beats, out_dir="cli_out")
+    cli_midi = (tmp_path / "cli_out" / "generation.mid").read_bytes()
+
+    assert serve_midi == cli_midi
+
+
 def test_serve_gandes_service(tmp_path, monkeypatch):
     """GAN-DES service without HTTP: WAV payloads decode, mel shape right."""
     from gandes_tpu.serve import GenerationService
