@@ -171,8 +171,10 @@ def bench_des(customers: int = 20000) -> None:
             sim.run(number_of_customers=customers)
             return time.perf_counter() - t0
 
+    # best-of on BOTH sides — a single noisy baseline run would inflate
+    # the reported ratio
     t_native = min(run("native") for _ in range(3))
-    t_python = run("python")
+    t_python = min(run("python") for _ in range(2))
     _emit("des_engine_customers_per_sec_logged", customers / t_native,
           "customers/s", t_python / t_native)
 
@@ -260,7 +262,7 @@ def bench_host_stage(B: int = 16) -> None:
                 os.chdir(cwd)
 
     t_par = min(run(16) for _ in range(2))
-    t_seq = run(None)
+    t_seq = min(run(None) for _ in range(2))
     _emit("mmgan_host_stage_s_per_batch", t_par, "s", t_seq / t_par)
 
 

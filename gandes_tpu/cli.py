@@ -85,11 +85,18 @@ def _cmd_generate_mmgan(args):
         noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
         beats = np.zeros((1, cfg.max_beat_length), np.float32)
         np.random.seed(args.seed + i)
+        src = os.path.join(args.out_dir, "generation.mid")
+        if os.path.exists(src):
+            os.remove(src)  # a stale file must not masquerade as sample i
         rolls = generate_midi(state, cfg, noise1, noise2, beats, out_dir=args.out_dir)
+        if not os.path.exists(src):
+            # timed-out/failed sim wrote no file — report, don't crash or
+            # silently reuse a stale generation.mid
+            print(f"sample {i}: simulation failed, no MIDI written")
+            continue
         name = "generation.mid" if args.n == 1 else f"generation_{i}.mid"
         if args.n > 1:
-            os.replace(os.path.join(args.out_dir, "generation.mid"),
-                       os.path.join(args.out_dir, name))
+            os.replace(src, os.path.join(args.out_dir, name))
         print(f"generated roll sum={rolls[0].sum():.1f} -> {args.out_dir}/{name}")
         if args.wav:
             from gandes_tpu.data.audio import save_wav
@@ -138,30 +145,19 @@ def _cmd_serve(args):
 def _cmd_export_torch(args):
     """Export an orbax checkpoint trained here as a reference-loadable torch
     state_dict (the inverse of --torch-checkpoint import)."""
-    from gandes_tpu.train import checkpoint as ckpt
-
     if args.model == "mmgan":
-        from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
+        from gandes_tpu.train.loading import load_mmgan_state
+        from gandes_tpu.train.mmgan_loop import MMGANConfig
         from gandes_tpu.train.torch_import import export_mmgan_torch_checkpoint
 
-        state, _, _ = init_state_for_config(MMGANConfig(), batch_size=1)
-        state = ckpt.restore_state(args.checkpoint, state)
+        state = load_mmgan_state(MMGANConfig(), checkpoint=args.checkpoint)
         export_mmgan_torch_checkpoint(state, args.out)
     else:
-        import jax
-        import optax
-
-        from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
         from gandes_tpu.train.gandes_loop import GanDesConfig
-        from gandes_tpu.train.steps import init_gandes_state
+        from gandes_tpu.train.loading import load_gandes_state
         from gandes_tpu.train.torch_import import export_gandes_torch_checkpoint
 
-        cfg = GanDesConfig()
-        tx = optax.adam(cfg.lr, b1=0.5)
-        state = init_gandes_state(DCGANGenerator(noise_dim=cfg.z_dim),
-                                  MelDiscriminator(), jax.random.key(0),
-                                  batch_size=1, z_dim=cfg.z_dim, g_tx=tx, d_tx=tx)
-        state = ckpt.restore_state(args.checkpoint, state)
+        state, _ = load_gandes_state(GanDesConfig(), checkpoint=args.checkpoint)
         export_gandes_torch_checkpoint(state, args.out)
     print(f"exported {args.model} torch state_dict -> {args.out}")
 
@@ -198,28 +194,20 @@ def _cmd_eval_metrics(args):
     if args.checkpoint or args.torch_checkpoint:
         import jax
 
-        from gandes_tpu.train import checkpoint as ckpt
-        from gandes_tpu.train.mmgan_loop import MMGANConfig, init_state_for_config
         from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+        from gandes_tpu.train.loading import load_mmgan_state
+        from gandes_tpu.train.mmgan_loop import MMGANConfig, _eval_forward
 
         cfg = MMGANConfig()
-        state, (g1, g2, d), _ = init_state_for_config(cfg, batch_size=take)
-        if args.torch_checkpoint:
-            from gandes_tpu.train.torch_import import load_mmgan_torch_checkpoint
-
-            state = load_mmgan_torch_checkpoint(args.torch_checkpoint, state)
-        else:
-            state = ckpt.restore_state(args.checkpoint, state)
+        state = load_mmgan_state(cfg, args.checkpoint, args.torch_checkpoint,
+                                 batch_size=take)
         key = jax.random.key(args.seed)
         noise1 = jax.random.normal(jax.random.fold_in(key, 0), (take, cfg.noise_dim))
         noise2 = jax.random.normal(jax.random.fold_in(key, 1), (take, cfg.noise_dim))
         beats = np.stack([ds[i][2] for i in range(take)])
-        mats = g1.apply({"params": state.g_params["g1"],
-                         "batch_stats": state.g_stats["g1"]},
-                        noise1, None, False, rngs={"aux": jax.random.key(0)})
-        vec = g2.apply({"params": state.g_params["g2"],
-                        "batch_stats": state.g_stats["g2"]},
-                       noise2, np.asarray(beats, np.float32), False)
+        mats, vec = _eval_forward(cfg)(
+            state.g_params, state.g_stats, noise1, noise2,
+            np.asarray(beats, np.float32), jax.random.key(0))
         np.random.seed(args.seed)
         rolls, failed = matrix_to_midi(
             np.asarray(mats)[:, None], np.asarray(vec), adj_size=cfg.adj_size,

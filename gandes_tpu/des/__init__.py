@@ -8,7 +8,6 @@ from gandes_tpu.des.engine import (
     SimBudgetExceeded,
     Source,
 )
-from gandes_tpu.des.tester import SimTester
 from gandes_tpu.des.theory import (
     calculate_theoretical_renege_rate,
     mm1_lq,
@@ -17,3 +16,13 @@ from gandes_tpu.des.theory import (
     md1_wq,
     mm1_pk,
 )
+
+
+def __getattr__(name):
+    # lazy: SimTester pulls matplotlib+scipy (~4 s import, Agg side
+    # effect); plain Sim users must not pay for it
+    if name == "SimTester":
+        from gandes_tpu.des.tester import SimTester
+
+        return SimTester
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -37,6 +37,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class BadRequest(ValueError):
+    """Client-side error (malformed body, n out of range) -> HTTP 400.
+    Internal generation failures stay plain exceptions -> HTTP 500."""
+
+
 class GenerationService:
     """Loads checkpoints once; serves repeated generation requests warm.
 
@@ -56,30 +61,19 @@ class GenerationService:
         self.requests = 0
         self._latency_sum = 0.0
 
-        # the eval forwards are jitted ONCE here — warm compiled graphs are
-        # the point of a serving process (eager flax applies dispatch each
-        # op separately, which on a remote-attached TPU costs minutes per
-        # request in per-op compiles)
+        # inference forwards are jitted and cached (mmgan_loop._eval_forward
+        # / the lambda below) — warm compiled graphs are the point of a
+        # serving process: eager flax applies dispatch each op separately,
+        # which on a remote-attached TPU costs minutes per request in
+        # per-op compiles
         import jax
 
         if model == "mmgan":
             from gandes_tpu.train.loading import load_mmgan_state
-            from gandes_tpu.train.mmgan_loop import MMGANConfig, build_mmgan
+            from gandes_tpu.train.mmgan_loop import MMGANConfig
 
             self.cfg = MMGANConfig(start=start, sequence_length=sequence_length)
             self.state = load_mmgan_state(self.cfg, checkpoint, torch_checkpoint)
-            g1, g2, _ = build_mmgan(self.cfg)
-
-            def fwd(g_params, g_stats, noise1, noise2, beats, key):
-                out1 = g1.apply(
-                    {"params": g_params["g1"], "batch_stats": g_stats["g1"]},
-                    noise1, None, False, rngs={"aux": key})
-                out2 = g2.apply(
-                    {"params": g_params["g2"], "batch_stats": g_stats["g2"]},
-                    noise2, beats, False)
-                return out1, out2
-
-            self._fwd = jax.jit(fwd)
         else:
             from gandes_tpu.train.gandes_loop import GanDesConfig
             from gandes_tpu.train.loading import load_gandes_state
@@ -104,7 +98,7 @@ class GenerationService:
 
     def generate(self, n: int = 1, seed: int = 0, wav: bool = False) -> dict:
         if not 1 <= n <= self.max_n:
-            raise ValueError(f"n must be in [1, {self.max_n}], got {n}")
+            raise BadRequest(f"n must be in [1, {self.max_n}], got {n}")
         with self._lock:
             t0 = time.perf_counter()
             if self.model == "mmgan":
@@ -118,9 +112,9 @@ class GenerationService:
             return out
 
     def _generate_mmgan(self, n, seed, wav) -> dict:
-        import jax
-
-        from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+        # literally the CLI's inference path (mmgan_loop.generate_midi,
+        # whose forward is jitted + cached) — structural byte parity
+        from gandes_tpu.train.mmgan_loop import generate_midi
 
         cfg = self.cfg
         rng = np.random.RandomState(seed)
@@ -131,16 +125,9 @@ class GenerationService:
                 noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
                 noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
                 beats = np.zeros((1, cfg.max_beat_length), np.float32)
-                # same math as mmgan_loop.generate_midi, through the warm
-                # jitted forward instead of per-op eager dispatch
-                out1, out2 = self._fwd(self.state.g_params, self.state.g_stats,
-                                       noise1, noise2, beats, jax.random.key(0))
                 np.random.seed(seed + i)  # DES routing stream (parity with the CLI)
-                rolls, _ = matrix_to_midi(
-                    np.asarray(out1)[:, None], np.asarray(out2),
-                    adj_size=cfg.adj_size, instrument=cfg.instrument,
-                    start=cfg.start, end=cfg.start + cfg.sequence_length,
-                    generate=True, log_path=cfg.log_path, out_dir=tmp)
+                rolls = generate_midi(self.state, cfg, noise1, noise2, beats,
+                                      out_dir=tmp)
                 roll_sums.append(float(np.sum(rolls[0])))
                 path = os.path.join(tmp, "generation.mid")
                 # a failed/timed-out sim leaves no file — report the slot as
@@ -215,16 +202,20 @@ def make_http_server(service: GenerationService, host: str = "127.0.0.1",
                 self._reply(404, {"error": f"unknown path {self.path}; "
                                            f"serving /generate/{service.model}"})
                 return
-            try:
+            try:  # request parsing: any failure here is the client's fault
                 length = int(self.headers.get("Content-Length") or 0)
                 req = json.loads(self.rfile.read(length) or b"{}")
-                out = service.generate(
-                    n=int(req.get("n", 1)), seed=int(req.get("seed", 0)),
-                    wav=bool(req.get("wav", False)))
-                self._reply(200, out)
-            except ValueError as e:  # bad JSON / n out of [1, max_n]
+                n = int(req.get("n", 1))
+                seed = int(req.get("seed", 0))
+                wav = bool(req.get("wav", False))
+            except (ValueError, TypeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
-            except Exception as e:  # surface the error to the client
+                return
+            try:
+                self._reply(200, service.generate(n=n, seed=seed, wav=wav))
+            except BadRequest as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # internal generation failure
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -126,8 +126,10 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     for epoch in range(cfg.n_epochs):
         for real in dataloader:
             if max_steps is not None and cur_step >= max_steps:
-                return state, {"gen": gen_losses, "disc": disc_losses,
-                               "profile": timer.summary()}
+                hist = {"gen": gen_losses, "disc": disc_losses}
+                if cfg.profile:  # phases only honest when steps block
+                    hist["profile"] = timer.summary()
+                return state, hist
             cur_batch_size = len(real)
             real = jnp.asarray(real, jnp.float32)
 
@@ -179,8 +181,10 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                     ckpt.save_state(path + "_surrogate", s_state)
             cur_step += 1
 
-    return state, {"gen": gen_losses, "disc": disc_losses,
-                   "profile": timer.summary()}
+    hist = {"gen": gen_losses, "disc": disc_losses}
+    if cfg.profile:
+        hist["profile"] = timer.summary()
+    return state, hist
 
 
 def generate_song(ckpt_path, cfg: GanDesConfig = GanDesConfig(), n_samples=1):

@@ -340,21 +340,47 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             if s_state is not None:
                 ckpt.save_state(path + "_surrogate", s_state)
 
-    history["profile"] = timer.summary()
+    # only meaningful under profile=True: without the per-phase block the
+    # device phases time async dispatch and the wait leaks into host_des
+    if cfg.profile:
+        history["profile"] = timer.summary()
     return state, history
+
+
+_EVAL_FORWARDS: dict = {}
+
+
+def _eval_forward(cfg: MMGANConfig):
+    """Jitted eval-mode G1+G2 forward, cached per model configuration.
+
+    One compiled program per (shape-relevant) config instead of eager
+    per-op dispatch — on the remote-attached TPU eager applies cost
+    minutes of per-op compiles, which is fatal for repeated inference
+    (the serving process calls this warm on every request)."""
+    key = (cfg.noise_dim, cfg.adj_size, cfg.max_beat_length, cfg.gen2_output_dim)
+    fwd = _EVAL_FORWARDS.get(key)
+    if fwd is None:
+        g1, g2, _ = build_mmgan(cfg)
+
+        def forward(g_params, g_stats, noise1, noise2, beats, aux_key):
+            out1 = g1.apply(
+                {"params": g_params["g1"], "batch_stats": g_stats["g1"]},
+                noise1, None, False, rngs={"aux": aux_key})
+            out2 = g2.apply(
+                {"params": g_params["g2"], "batch_stats": g_stats["g2"]},
+                noise2, beats, False)
+            return out1, out2
+
+        fwd = _EVAL_FORWARDS[key] = jax.jit(forward)
+    return fwd
 
 
 def generate_midi(state, cfg: MMGANConfig, noise1, noise2, beats, out_dir=None):
     """Inference == ``MultiModalGAN.generate_midi`` (network_tests.py:198-206):
     eval-mode G1/G2 -> DES with ``generate=True`` (writes generation.mid)."""
-    g1, g2, d = build_mmgan(cfg)
-    out1 = g1.apply(
-        {"params": state.g_params["g1"], "batch_stats": state.g_stats["g1"]},
-        jnp.asarray(noise1), None, False, rngs={"aux": jax.random.key(0)},
-    )
-    out2 = g2.apply(
-        {"params": state.g_params["g2"], "batch_stats": state.g_stats["g2"]},
-        jnp.asarray(noise2), jnp.asarray(beats), False,
+    out1, out2 = _eval_forward(cfg)(
+        state.g_params, state.g_stats, jnp.asarray(noise1),
+        jnp.asarray(noise2), jnp.asarray(beats), jax.random.key(0),
     )
     rolls, failed = matrix_to_midi(
         np.asarray(out1)[:, None], np.asarray(out2), adj_size=cfg.adj_size,
