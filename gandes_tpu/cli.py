@@ -120,8 +120,10 @@ def _cmd_generate_gandes(args):
     state, gen = load_gandes_state(cfg, args.checkpoint, args.torch_checkpoint,
                                    batch_size=args.n)
     noise = jax.random.normal(jax.random.key(args.seed), (args.n, cfg.z_dim))
-    mats = gen.apply({"params": state.g_params, "batch_stats": state.g_stats},
-                     noise, False)
+    # jitted: eager per-op dispatch costs minutes on a remote-attached TPU
+    mats = jax.jit(lambda p, s, z: gen.apply(
+        {"params": p, "batch_stats": s}, z, False))(
+        state.g_params, state.g_stats, noise)
     np.random.seed(args.seed)
     import os as _os
 

@@ -199,8 +199,9 @@ def generate_song(ckpt_path, cfg: GanDesConfig = GanDesConfig(), n_samples=1):
                               g_tx=g_tx, d_tx=d_tx)
     state = ckpt.restore_state(ckpt_path, state)
     noise = jax.random.normal(jax.random.key(42), (n_samples, cfg.z_dim))
-    mats = gen.apply(
-        {"params": state.g_params, "batch_stats": state.g_stats}, noise, False
-    )
+    # jitted: eager per-op dispatch costs minutes on a remote-attached TPU
+    mats = jax.jit(lambda p, s, z: gen.apply(
+        {"params": p, "batch_stats": s}, z, False))(
+        state.g_params, state.g_stats, noise)
     return matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
                          log_path=cfg.log_path, out_dir=cfg.out_dir)
