@@ -135,6 +135,99 @@ def _cmd_generate_gandes(args):
     print(f"generated {args.n} song(s): WAVs + spectrogram.png in {args.out_dir}/")
 
 
+def _cmd_doctor(args):
+    """Environment self-check: device, compilers, native engines, parity."""
+    import time
+
+    rows = []
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            detail = fn() or ""
+            rows.append((name, "ok", time.perf_counter() - t0, detail))
+        except Exception as e:
+            rows.append((name, "FAIL", time.perf_counter() - t0,
+                         f"{type(e).__name__}: {e}"))
+
+    def c_jax():
+        import jax
+
+        d = jax.devices()
+        return f"platform={d[0].platform}, {len(d)} device(s)"
+
+    def c_jit():
+        import jax
+        import jax.numpy as jnp
+
+        out = jax.jit(lambda x: (x @ x).sum())(jnp.eye(128))
+        assert float(out) == 128.0
+
+    def c_native_engine():
+        from gandes_tpu.des.native import get_lib, native_available
+
+        assert native_available(), "C++ DES engine failed to build"
+        get_lib()
+        return "C++ DES engine built"
+
+    def c_native_decoder():
+        from gandes_tpu.music.native_decode import native_decode_available
+
+        assert native_decode_available(), "C++ MIDI decoder failed to build"
+        return "C++ log->MIDI decoder built"
+
+    def c_engine_parity():
+        import tempfile
+
+        from gandes_tpu.des import Sim
+
+        adj = np.array([[1.0, 1.0], [0.0, -1.0]])
+        dists = [["exponential", 1.0], ["exponential", 0.8]]
+        logs = []
+        with tempfile.TemporaryDirectory() as tmp:
+            for engine in ("python", "native"):
+                np.random.seed(42)
+                sim = Sim(adj, dists, [0, 20], seeds=[7], generate_log=True,
+                          log_path=tmp + "/", logging_mode="Music",
+                          engine=engine)
+                sim.run(number_of_customers=500)
+                logs.append("\n".join(sim.music_lines()))
+        if logs[0] != logs[1]:
+            raise AssertionError("python vs native event logs differ")
+        return "python == native event log (500 customers)"
+
+    def c_pallas():
+        from gandes_tpu.music.mel import melspectrogram_db_tensor
+
+        wav = np.zeros(44100, np.float32)
+        melspectrogram_db_tensor(wav, sr=44100)
+        return "mel front-end compiles"
+
+    def c_reference():
+        import os as _os
+
+        if _os.path.exists("/root/reference/SIMULATOR/simulation_v3.py"):
+            return "mounted (parity suites active)"
+        return "not mounted (parity suites will skip)"
+
+    check("jax backend", c_jax)
+    check("jit compile", c_jit)
+    check("native DES engine", c_native_engine)
+    check("native MIDI decoder", c_native_decoder)
+    check("engine parity", c_engine_parity)
+    check("mel front-end", c_pallas)
+    check("reference mount", c_reference)
+
+    width = max(len(r[0]) for r in rows)
+    failed = 0
+    for name, status, dt, detail in rows:
+        failed += status == "FAIL"
+        print(f"{name:<{width}}  {status:<4}  {dt:6.1f}s  {detail}")
+    if failed:
+        raise SystemExit(f"{failed} check(s) failed")
+    print("all checks passed")
+
+
 def _cmd_serve(args):
     from gandes_tpu.serve import run_server
 
@@ -332,6 +425,10 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out-dir", default="adj_sim_outputs")
     sp.set_defaults(fn=_cmd_generate_gandes)
+
+    sp = sub.add_parser("doctor", help="environment self-check (device, "
+                                       "native builds, engine parity)")
+    sp.set_defaults(fn=_cmd_doctor)
 
     sp = sub.add_parser("serve", help="warm-model HTTP generation server")
     sp.add_argument("--model", choices=["mmgan", "gandes"], default="mmgan")

@@ -23,6 +23,16 @@ from gandes_tpu.data.datasets import (
 # midi_fixture_dir comes from conftest.py (session-scoped)
 
 
+def test_cli_doctor(tmp_path, monkeypatch, capsys):
+    from gandes_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["doctor"])
+    out = capsys.readouterr().out
+    assert "all checks passed" in out
+    assert "engine parity" in out and "FAIL" not in out
+
+
 def test_build_window_pickle_and_dataset(midi_fixture_dir, tmp_path):
     out = str(tmp_path / "windows.pkl")
     n = build_window_pickle(str(midi_fixture_dir), out, sample_size=300,
