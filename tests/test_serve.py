@@ -86,6 +86,34 @@ def test_serve_wav_and_errors(mmgan_server, tmp_path, monkeypatch):
         assert json.loads(r.read())["status"] == "ok"
 
 
+def test_serve_internal_error_is_500():
+    """Internal generation failures surface as 500, not 400 (client error
+    codes are reserved for malformed bodies / n out of range)."""
+    from gandes_tpu.serve import make_http_server
+
+    class Broken:
+        model = "mmgan"
+
+        def healthz(self):
+            return {"status": "ok"}
+
+        def generate(self, **kw):
+            raise RuntimeError("decode exploded")
+
+    server = make_http_server(Broken(), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(base + "/generate/mmgan", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+        assert "decode exploded" in json.loads(ei.value.read())["error"]
+    finally:
+        server.shutdown()
+
+
 def test_serve_matches_cli_bytes(tmp_path, monkeypatch):
     """The server's jitted forward and the CLI's eager generate_midi path
     produce byte-identical MIDI for the same (checkpoint, seed)."""
