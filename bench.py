@@ -171,10 +171,10 @@ def bench_des(customers: int = 20000) -> None:
             sim.run(number_of_customers=customers)
             return time.perf_counter() - t0
 
-    # best-of on BOTH sides — a single noisy baseline run would inflate
-    # the reported ratio
+    # SYMMETRIC best-of on both sides — unequal repeat counts would bias
+    # the reported ratio toward whichever side gets more tries
     t_native = min(run("native") for _ in range(3))
-    t_python = min(run("python") for _ in range(2))
+    t_python = min(run("python") for _ in range(3))
     _emit("des_engine_customers_per_sec_logged", customers / t_native,
           "customers/s", t_python / t_native)
 

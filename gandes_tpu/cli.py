@@ -80,6 +80,7 @@ def _cmd_generate_mmgan(args):
     cfg = MMGANConfig(start=args.start, sequence_length=args.sequence_length)
     state = load_mmgan_state(cfg, args.checkpoint, args.torch_checkpoint)
     rng = np.random.RandomState(args.seed)
+    n_failed = 0
     for i in range(args.n):
         noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
         noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
@@ -93,6 +94,7 @@ def _cmd_generate_mmgan(args):
             # timed-out/failed sim wrote no file — report, don't crash or
             # silently reuse a stale generation.mid
             print(f"sample {i}: simulation failed, no MIDI written")
+            n_failed += 1
             continue
         name = "generation.mid" if args.n == 1 else f"generation_{i}.mid"
         if args.n > 1:
@@ -106,6 +108,10 @@ def _cmd_generate_mmgan(args):
             wav_name = name.replace(".mid", ".wav")
             save_wav(os.path.join(args.out_dir, wav_name), audio)
             print(f"wrote {args.out_dir}/{wav_name}")
+    if n_failed:
+        print(f"{n_failed} of {args.n} sample(s) failed")
+        if n_failed == args.n:
+            raise SystemExit(1)  # nothing was generated
 
 
 def _cmd_generate_gandes(args):
@@ -119,11 +125,10 @@ def _cmd_generate_gandes(args):
     cfg = GanDesConfig()
     state, gen = load_gandes_state(cfg, args.checkpoint, args.torch_checkpoint,
                                    batch_size=args.n)
+    from gandes_tpu.train.loading import gandes_eval_forward
+
     noise = jax.random.normal(jax.random.key(args.seed), (args.n, cfg.z_dim))
-    # jitted: eager per-op dispatch costs minutes on a remote-attached TPU
-    mats = jax.jit(lambda p, s, z: gen.apply(
-        {"params": p, "batch_stats": s}, z, False))(
-        state.g_params, state.g_stats, noise)
+    mats = gandes_eval_forward(gen)(state.g_params, state.g_stats, noise)
     np.random.seed(args.seed)
     import os as _os
 

@@ -62,12 +62,10 @@ class GenerationService:
         self._latency_sum = 0.0
 
         # inference forwards are jitted and cached (mmgan_loop._eval_forward
-        # / the lambda below) — warm compiled graphs are the point of a
-        # serving process: eager flax applies dispatch each op separately,
-        # which on a remote-attached TPU costs minutes per request in
-        # per-op compiles
-        import jax
-
+        # / loading.gandes_eval_forward) — warm compiled graphs are the
+        # point of a serving process: eager flax applies dispatch each op
+        # separately, which on a remote-attached TPU costs minutes per
+        # request in per-op compiles
         if model == "mmgan":
             from gandes_tpu.train.loading import load_mmgan_state
             from gandes_tpu.train.mmgan_loop import MMGANConfig
@@ -81,9 +79,9 @@ class GenerationService:
             self.cfg = GanDesConfig()
             self.state, self.gen = load_gandes_state(self.cfg, checkpoint,
                                                      torch_checkpoint)
-            gen = self.gen
-            self._fwd = jax.jit(lambda p, s, noise: gen.apply(
-                {"params": p, "batch_stats": s}, noise, False))
+            from gandes_tpu.train.loading import gandes_eval_forward
+
+            self._fwd = gandes_eval_forward(self.gen)
 
     # ------------------------------------------------------------ handlers
 
@@ -205,6 +203,8 @@ def make_http_server(service: GenerationService, host: str = "127.0.0.1",
             try:  # request parsing: any failure here is the client's fault
                 length = int(self.headers.get("Content-Length") or 0)
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 n = int(req.get("n", 1))
                 seed = int(req.get("seed", 0))
                 wav = bool(req.get("wav", False))

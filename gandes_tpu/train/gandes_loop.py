@@ -197,11 +197,10 @@ def generate_song(ckpt_path, cfg: GanDesConfig = GanDesConfig(), n_samples=1):
     state = init_gandes_state(gen, disc, jax.random.key(0), batch_size=n_samples,
                               z_dim=cfg.z_dim, mel_shape=cfg.mel_shape,
                               g_tx=g_tx, d_tx=d_tx)
+    from gandes_tpu.train.loading import gandes_eval_forward
+
     state = ckpt.restore_state(ckpt_path, state)
     noise = jax.random.normal(jax.random.key(42), (n_samples, cfg.z_dim))
-    # jitted: eager per-op dispatch costs minutes on a remote-attached TPU
-    mats = jax.jit(lambda p, s, z: gen.apply(
-        {"params": p, "batch_stats": s}, z, False))(
-        state.g_params, state.g_stats, noise)
+    mats = gandes_eval_forward(gen)(state.g_params, state.g_stats, noise)
     return matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
                          log_path=cfg.log_path, out_dir=cfg.out_dir)

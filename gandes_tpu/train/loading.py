@@ -25,6 +25,22 @@ def load_mmgan_state(cfg, checkpoint: str | None = None,
     return state
 
 
+_GANDES_FORWARDS: dict = {}
+
+
+def gandes_eval_forward(gen):
+    """Jitted eval-mode DCGAN forward, cached per generator module — one
+    definition for the CLI, ``generate_song`` and the server (eager per-op
+    dispatch costs minutes on a remote-attached TPU)."""
+    fwd = _GANDES_FORWARDS.get(gen)
+    if fwd is None:
+        import jax
+
+        fwd = _GANDES_FORWARDS[gen] = jax.jit(lambda p, s, z: gen.apply(
+            {"params": p, "batch_stats": s}, z, False))
+    return fwd
+
+
 def load_gandes_state(cfg, checkpoint: str | None = None,
                       torch_checkpoint: str | None = None, batch_size: int = 1):
     """GAN-DES inference state; returns ``(state, generator_module)``."""

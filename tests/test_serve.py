@@ -114,14 +114,19 @@ def test_serve_internal_error_is_500():
         server.shutdown()
 
 
-def test_serve_matches_cli_bytes(tmp_path, monkeypatch):
-    """The server's jitted forward and the CLI's eager generate_midi path
-    produce byte-identical MIDI for the same (checkpoint, seed)."""
+def test_serve_matches_eager_forward_bytes(tmp_path, monkeypatch):
+    """The server (cached jitted eval forward, shared with the CLI via
+    generate_midi) produces MIDI byte-identical to an EAGER per-op forward
+    of the same models — pinning that jit compilation does not perturb the
+    generator outputs enough to change a single decoded note."""
     import os
 
+    import jax
+
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
     from gandes_tpu.serve import GenerationService
     from gandes_tpu.train.loading import load_mmgan_state
-    from gandes_tpu.train.mmgan_loop import MMGANConfig, generate_midi
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, build_mmgan
 
     monkeypatch.chdir(tmp_path)
     os.makedirs("logs", exist_ok=True)
@@ -131,16 +136,26 @@ def test_serve_matches_cli_bytes(tmp_path, monkeypatch):
 
     cfg = MMGANConfig(start=0)
     state = load_mmgan_state(cfg)
+    g1, g2, _ = build_mmgan(cfg)
     rng = np.random.RandomState(4)
     noise1 = rng.randn(1, cfg.noise_dim).astype(np.float32)
     noise2 = rng.randn(1, cfg.noise_dim).astype(np.float32)
     beats = np.zeros((1, cfg.max_beat_length), np.float32)
+    out1 = g1.apply({"params": state.g_params["g1"],
+                     "batch_stats": state.g_stats["g1"]},
+                    noise1, None, False, rngs={"aux": jax.random.key(0)})
+    out2 = g2.apply({"params": state.g_params["g2"],
+                     "batch_stats": state.g_stats["g2"]},
+                    noise2, beats, False)
     np.random.seed(4)
-    os.makedirs("cli_out", exist_ok=True)
-    generate_midi(state, cfg, noise1, noise2, beats, out_dir="cli_out")
-    cli_midi = (tmp_path / "cli_out" / "generation.mid").read_bytes()
+    os.makedirs("eager_out", exist_ok=True)
+    matrix_to_midi(np.asarray(out1)[:, None], np.asarray(out2),
+                   adj_size=cfg.adj_size, instrument=cfg.instrument,
+                   start=cfg.start, end=cfg.start + cfg.sequence_length,
+                   generate=True, out_dir="eager_out")
+    eager_midi = (tmp_path / "eager_out" / "generation.mid").read_bytes()
 
-    assert serve_midi == cli_midi
+    assert serve_midi == eager_midi
 
 
 def test_serve_gandes_service(tmp_path, monkeypatch):
