@@ -40,9 +40,12 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
 PALLAS_MAX_EVENTS = 16384
 
 
-def _kernel(notes_ref, ons_ref, offs_ref, vels_ref, out_ref, *, E, T):
+def _kernel(notes_ref, ons_ref, offs_ref, vels_ref, counts_ref, out_ref, *, E, T):
     out_ref[:] = jnp.zeros_like(out_ref)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    # dynamic trip count: only walk this sample's real events, not the
+    # shared pad-to-max tail (batches are padded to the densest sample)
+    count = jnp.minimum(counts_ref[0, 0, 0], E)
 
     def body(e, carry):
         note = notes_ref[0, 0, e]
@@ -70,7 +73,7 @@ def _kernel(notes_ref, ons_ref, offs_ref, vels_ref, out_ref, *, E, T):
 
         return carry
 
-    jax.lax.fori_loop(0, E, body, 0)
+    jax.lax.fori_loop(0, count, body, 0)
 
 
 @partial(jax.jit, static_argnames=("num_steps", "start", "interpret"))
@@ -83,14 +86,23 @@ def _rasterize_pallas(notes, ons, offs, vels, num_steps, start, interpret):
     ev = lambda x: x.reshape(B, 1, E)
     ev_spec = pl.BlockSpec((1, 1, E), lambda b: (b, 0, 0),
                            memory_space=pltpu.SMEM)
+    # per-sample trip count = index of the last valid event + 1 (interior
+    # pad slots are fine — the kernel skips note < 0 — but the shared
+    # pad-to-densest tail is never walked)
+    valid = notes >= 0
+    counts = jnp.where(valid.any(axis=1),
+                       E - jnp.argmax(valid[:, ::-1], axis=1), 0).astype(jnp.int32)
     return pl.pallas_call(
         partial(_kernel, E=E, T=T),
         grid=(B,),
-        in_specs=[ev_spec] * 4,
+        in_specs=[ev_spec] * 4 + [
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, 2, 128, T), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 2, 128, T), jnp.float32),
         interpret=interpret,
-    )(ev(notes), ev(ons - start), ev(offs - start), ev(vels))
+    )(ev(notes), ev(ons - start), ev(offs - start), ev(vels),
+      counts.reshape(B, 1, 1))
 
 
 def rasterize_events_pallas(notes, ons, offs, vels, *, num_steps: int,

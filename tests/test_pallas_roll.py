@@ -51,6 +51,26 @@ def test_pallas_rasterizer_last_writer_wins():
     assert ref[0, 1, 60, 10] == 2.0  # durations: last event's off-on = 2
 
 
+def test_pallas_rasterizer_sparse_padding_and_interior_holes():
+    """Per-sample dynamic trip count: heavy tail padding (pad-to-densest)
+    and pad slots in the middle of the stream must not change the result."""
+    rng = np.random.RandomState(3)
+    B, E, T = 4, 256, 50
+    notes = np.full((B, E), -1, np.int32)
+    for b in range(B):
+        nv = rng.randint(4, 40)
+        notes[b, :nv] = rng.randint(0, 128, nv)
+        notes[b, rng.randint(0, nv)] = -1  # interior hole
+    ons = rng.randint(0, 60, (B, E)).astype(np.int32)
+    offs = (ons + rng.randint(-2, 20, (B, E))).astype(np.int32)
+    vels = rng.randint(-1, 127, (B, E)).astype(np.int32)
+    ref = np.asarray(rasterize_events_jax(notes, ons, offs, vels,
+                                          num_steps=T, start=0, impl="xla"))
+    got = np.asarray(rasterize_events_pallas(notes, ons, offs, vels,
+                                             num_steps=T, start=0))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_rasterizer_empty_and_full_pad():
     notes = np.full((2, 8), -1, np.int32)
     z = np.zeros((2, 8), np.int32)
