@@ -370,10 +370,13 @@ def main(argv=None):
     sp.add_argument("--losses-dir", default="losses")
     sp.add_argument("--max-batches", type=int, default=None)
     sp.add_argument("--faithful", action="store_true")
-    sp.add_argument("--g-update", choices=["none", "direct", "surrogate"],
+    sp.add_argument("--g-update",
+                    choices=["none", "direct", "surrogate", "reinforce"],
                     default="none",
                     help="'none' = reference semantics (G gets zero gradient); "
-                         "'direct'/'surrogate' = opt-in straight-through G training")
+                         "'direct'/'surrogate' = straight-through G training; "
+                         "'reinforce' = score-function estimator through the "
+                         "real DES (unbiased, no surrogate)")
     sp.add_argument("--mesh", default=None,
                     help="'dp,tp' sharded training mesh (e.g. '4,2'); "
                          "default single-device")

@@ -66,13 +66,18 @@ class MMGANConfig:
     sleep_between_epochs: float = 0.0  # reference: 10 s (network_tests.py:344)
     faithful: bool = False
     # 'none' (reference semantics: G gets zero gradient through the DES),
-    # 'direct' (straight-through via a fixed bilinear renderer), or
+    # 'direct' (straight-through via a fixed bilinear renderer),
     # 'surrogate' (straight-through via a LEARNED DES surrogate fitted
-    # online to the simulator's rolls; implies force_roll decoding so the
-    # fake rolls carry real content) — the latter two are opt-in
-    # improvements; the reference's G trains under none of them
+    # online to the simulator's rolls), or 'reinforce' (score-function
+    # estimator: the DES consumes N(G(z), sigma^2) samples and the reward
+    # log D(roll) on the simulator's ACTUAL output weights the Gaussian
+    # log-density — unbiased through the non-differentiable DES).
+    # 'surrogate'/'reinforce' imply force_roll decoding so the fake rolls
+    # carry real content. All opt-in; the reference's G trains under none.
     g_update: str = "none"
     surrogate_lr: float = 1e-3
+    reinforce_sigma: float = 0.05
+    reinforce_baseline_decay: float = 0.9
     # single-launch steps: the whole train step (G forward + DES as an
     # ordered io_callback + D update) is ONE compiled XLA program per batch
     # (train/fused_callback.py). Identical semantics to the two-phase path;
@@ -214,9 +219,16 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
         train_step = jax.jit(
             make_mmgan_train_step_surrogate(g1, g2, d, s_model, g_tx, d_tx, s_tx)
         )
+    elif cfg.g_update == "reinforce":
+        from gandes_tpu.train.steps import make_mmgan_train_step_reinforce
+
+        train_step = jax.jit(make_mmgan_train_step_reinforce(
+            g1, g2, d, g_tx, d_tx, sigma=cfg.reinforce_sigma,
+            baseline_decay=cfg.reinforce_baseline_decay))
     else:
         train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
                                                    g_update=cfg.g_update))
+    baseline = jnp.zeros(())
     g_loss_only = jax.jit(
         lambda d_params, fake: bce_with_logits(
             d.apply({"params": d_params}, fake).squeeze(), 1.0
@@ -234,15 +246,30 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
     def fake_batch(state, noise1, noise2, beats, count):
         mats, vec, new_stats = gen_forward(state, noise1, noise2, beats,
                                            jax.random.key(count))
+        if cfg.g_update == "reinforce":
+            # the DES consumes a SAMPLE from N(G(z), sigma^2) — that
+            # stochasticity is what the score-function gradient needs.
+            # Clip to [0,1] to keep the decode semantics (sigmoid range);
+            # clipping censors the Gaussian tails (noted in the step's doc)
+            ks = jax.random.fold_in(jax.random.key(cfg.seed + 3), count)
+            mats = jnp.clip(
+                mats + cfg.reinforce_sigma
+                * jax.random.normal(jax.random.fold_in(ks, 0), mats.shape),
+                0.0, 1.0)
+            vec = jnp.clip(
+                vec + cfg.reinforce_sigma
+                * jax.random.normal(jax.random.fold_in(ks, 1), vec.shape),
+                0.0, 1.0)
         rolls, failed = matrix_to_midi(
             np.asarray(mats)[:, None], np.asarray(vec), adj_size=cfg.adj_size,
             instrument=cfg.instrument, start=cfg.start,
             end=cfg.start + cfg.sequence_length, count=count,
             log_path=cfg.log_path, out_dir=cfg.midi_out_dir,
             parallel=cfg.des_parallel,
-            # the surrogate regresses the DES's actual rolls — decode them
-            # even when the reference's save gate would leave them blank
-            force_roll=cfg.g_update == "surrogate",
+            # surrogate regression / reinforce rewards need the DES's actual
+            # rolls — decode them even when the reference's save gate would
+            # leave them blank
+            force_roll=cfg.g_update in ("surrogate", "reinforce"),
         )
         fake = jnp.asarray(np.stack(rolls), jnp.float32)
         if mesh is not None:
@@ -285,6 +312,10 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                         state, s_state, metrics = train_step(
                             state, s_state, real, fake, mats, vec, noise1, noise2,
                             beats_j, jax.random.key(count))
+                    elif cfg.g_update == "reinforce":
+                        state, baseline, metrics = train_step(
+                            state, real, fake, mats, vec, noise1, noise2,
+                            beats_j, jax.random.key(count), baseline)
                     elif cfg.g_update == "direct":
                         state, metrics = train_step(state, real, fake, noise1, noise2,
                                                     beats_j, jax.random.key(count))

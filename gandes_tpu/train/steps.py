@@ -289,6 +289,88 @@ def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
     return train_step
 
 
+def make_mmgan_train_step_reinforce(g1, g2, d, g_tx, d_tx, sigma: float = 0.05,
+                                    baseline_decay: float = 0.9):
+    """One fused jitted step for ``g_update='reinforce'`` — the
+    score-function estimator SURVEY.md §5.1 sketches, completing the
+    G-training triad (direct / surrogate / reinforce):
+
+    1. D update on (real, fake) — identical to the base step;
+    2. G update by REINFORCE: the loop *sampled* the matrices/parameter
+       vectors fed to the DES from N(G(z), sigma^2) (``mats_s``/``vec_s``),
+       so the per-sample reward r_i = log D(fake_i) — computed on the roll
+       the REAL simulator produced — weights the Gaussian log-density of
+       that sample under the generator's (differentiable) means:
+
+           g_loss = -mean( stop_grad(r_i - baseline) * logprob_i )
+
+       No surrogate, no straight-through bias: the gradient estimates
+       d E[r] / d theta through the non-differentiable DES (up to the
+       [0,1] clipping the loop applies to keep decode semantics, which
+       censors the Gaussian tails). Advantages are batch-standardized —
+       (r - mean) / (std + eps) — because an early D saturates its logits
+       on every sample identically (rolls carry values up to ~127 through
+       torch-default-init convs), and a raw-baseline advantage would then
+       feed enormous equal weights into the gradient; standardization
+       yields a zero G step exactly when the batch carries no ranking
+       signal.
+    3. ``baseline`` is an EMA of the mean reward, carried by the loop as a
+       device scalar and reported in the metrics (diagnostic).
+
+    Returns ``step(state, real, fake, mats_s, vec_s, noise1, noise2, beats,
+    aux_key, baseline) -> (state, new_baseline, metrics)``.
+    """
+    d_loss_fn = _make_mmgan_d_loss(d)
+    inv_two_sigma2 = 1.0 / (2.0 * sigma * sigma)
+
+    def train_step(state: GANState, real_roll, fake_roll, mats_s, vec_s,
+                   noise1, noise2, beats, aux_key, baseline):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_roll, fake_roll)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # reward on the DES's actual output, through the just-updated D:
+        # log D(fake) = -softplus(-logit)
+        logits = d.apply({"params": d_params}, fake_roll).squeeze(-1)
+        reward = -jax.nn.softplus(-logits)
+        advantage = jax.lax.stop_gradient(
+            (reward - jnp.mean(reward)) / (jnp.std(reward) + 1e-6))
+
+        mats_sg = jax.lax.stop_gradient(mats_s)
+        vec_sg = jax.lax.stop_gradient(vec_s)
+
+        def g_loss_fn(g_params):
+            mu1, _ = g1.apply(
+                {"params": g_params["g1"], "batch_stats": state.g_stats["g1"]},
+                noise1, None, True, mutable=["batch_stats"], rngs={"aux": aux_key},
+            )
+            mu2, _ = g2.apply(
+                {"params": g_params["g2"], "batch_stats": state.g_stats["g2"]},
+                noise2, beats, True, mutable=["batch_stats"],
+            )
+            logprob = -(
+                jnp.sum((mats_sg - mu1) ** 2, axis=(1, 2))
+                + jnp.sum((vec_sg - mu2) ** 2, axis=1)
+            ) * inv_two_sigma2
+            return -jnp.mean(advantage * logprob)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_baseline = (baseline_decay * baseline
+                        + (1.0 - baseline_decay) * jnp.mean(reward))
+        new_state = GANState(
+            g_params=g_params, g_stats=state.g_stats,
+            d_params=d_params, d_stats=state.d_stats,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
+        )
+        return new_state, new_baseline, {"d_loss": d_loss, "g_loss": g_loss,
+                                         "reward": jnp.mean(reward)}
+
+    return train_step
+
+
 def make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx):
     """Dispatch-pipelined fusion of ``train_step(N)`` with ``gen_forward(N+1)``.
 
