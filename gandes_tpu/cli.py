@@ -398,9 +398,12 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=30)
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--models-dir", default="models")
-    sp.add_argument("--g-update", choices=["none", "surrogate"], default="none",
+    sp.add_argument("--g-update", choices=["none", "surrogate", "reinforce"],
+                    default="none",
                     help="'none' = reference semantics (G gets zero gradient); "
-                         "'surrogate' = opt-in learned matrix->mel surrogate")
+                         "'surrogate' = learned matrix->mel surrogate; "
+                         "'reinforce' = score-function estimator through the "
+                         "real DES->synth->mel pipeline")
     sp.add_argument("--mesh", default=None,
                     help="'dp,tp' sharded training mesh (e.g. '4,2'); "
                          "default single-device")

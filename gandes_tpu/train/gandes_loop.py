@@ -52,11 +52,17 @@ class GanDesConfig:
     # False skips the per-sample WAV artifacts (the reference writes them
     # every step; training never reads them)
     write_wav: bool = True
-    # 'none' (reference semantics: G gets zero gradient through the DES) or
+    # 'none' (reference semantics: G gets zero gradient through the DES),
     # 'surrogate' (opt-in: G trains straight-through via a learned
-    # matrix->mel surrogate fitted online to the real pipeline output)
+    # matrix->mel surrogate fitted online to the real pipeline output), or
+    # 'reinforce' (score-function estimator: the pipeline consumes
+    # N(G(z), sigma^2) samples, log D(mel) on the ACTUAL output weights
+    # the Gaussian log-density — unbiased through the whole
+    # DES->synth->mel chain)
     g_update: str = "none"
     surrogate_lr: float = 1e-3
+    reinforce_sigma: float = 0.05
+    reinforce_baseline_decay: float = 0.9
     # (dp, tp) device mesh for sharded training; None = single device.
     # my_collate batches vary in size — non-divisible batches replicate.
     mesh_shape: tuple | None = None
@@ -115,8 +121,15 @@ def _train_gandes(dataloader, cfg, max_steps=None):
         train_step = jax.jit(
             make_gandes_train_step_surrogate(gen, disc, s_model, g_tx, d_tx, s_tx)
         )
+    elif cfg.g_update == "reinforce":
+        from gandes_tpu.train.steps import make_gandes_train_step_reinforce
+
+        train_step = jax.jit(make_gandes_train_step_reinforce(
+            gen, disc, g_tx, d_tx, sigma=cfg.reinforce_sigma,
+            baseline_decay=cfg.reinforce_baseline_decay))
     else:
         train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
+    baseline = jnp.zeros(())
 
     from gandes_tpu.core.profiling import StepTimer
 
@@ -141,6 +154,14 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                 real, noise = shard_batch((real, noise), mesh)
             fake_mats, new_stats = gen_forward(state, noise)
             state = state.__class__(**{**state.__dict__, "g_stats": new_stats})
+            if cfg.g_update == "reinforce":
+                # the pipeline consumes a SAMPLE from N(G(z), sigma^2) —
+                # clip to [0,1] to keep the decode semantics
+                fake_mats = jnp.clip(
+                    fake_mats + cfg.reinforce_sigma * jax.random.normal(
+                        jax.random.fold_in(jax.random.key(cfg.seed + 3), cur_step),
+                        fake_mats.shape),
+                    0.0, 1.0)
 
             with timer.phase("host_des"):
                 fake = matrix_to_wav(
@@ -157,6 +178,10 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                 if cfg.g_update == "surrogate":
                     state, s_state, metrics = train_step(state, s_state, real,
                                                          fake, fake_mats, noise)
+                elif cfg.g_update == "reinforce":
+                    state, baseline, metrics = train_step(state, real, fake,
+                                                          fake_mats, noise,
+                                                          baseline)
                 else:
                     state, metrics = train_step(state, real, fake)
                 if cfg.profile:

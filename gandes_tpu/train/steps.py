@@ -529,6 +529,60 @@ def make_gandes_train_step_surrogate(gen, disc, s, g_tx, d_tx, s_tx):
     return train_step
 
 
+def make_gandes_train_step_reinforce(gen, disc, g_tx, d_tx, sigma: float = 0.05,
+                                     baseline_decay: float = 0.9):
+    """GAN-DES ``g_update='reinforce'`` fused step (mirror of the MM-GAN
+    one): D update with the reference's 0.9/0.1 smoothing, then a
+    score-function G update — the DES/synth/mel pipeline consumed matrices
+    sampled from N(G(z), sigma^2) (``mats_s``), and the reward
+    log D(mel) on the pipeline's ACTUAL output weights the Gaussian
+    log-density of that sample under the generator's differentiable means.
+    Advantages are batch-standardized (see the MM-GAN step's rationale).
+    Returns ``step(state, real_mel, fake_mel, mats_s, noise, baseline) ->
+    (state, new_baseline, metrics)``.
+    """
+    d_loss_fn = _make_gandes_d_loss(disc)
+    inv_two_sigma2 = 1.0 / (2.0 * sigma * sigma)
+
+    def train_step(state: GANState, real_mel, fake_mel, mats_s, noise, baseline):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_mel, fake_mel)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # the GAN-DES D is already sigmoided (reference quirk) — its output
+        # IS the probability; reward = log D(mel)
+        probs = disc.apply({"params": d_params}, fake_mel).reshape(-1)
+        reward = jnp.log(jnp.clip(probs, 1e-7, 1.0))
+        advantage = jax.lax.stop_gradient(
+            (reward - jnp.mean(reward)) / (jnp.std(reward) + 1e-6))
+
+        mats_sg = jax.lax.stop_gradient(mats_s)
+
+        def g_loss_fn(g_params):
+            mu, _ = gen.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                noise, True, mutable=["batch_stats"],
+            )
+            logprob = -jnp.sum((mats_sg - mu) ** 2, axis=(1, 2)) * inv_two_sigma2
+            return -jnp.mean(advantage * logprob)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_baseline = (baseline_decay * baseline
+                        + (1.0 - baseline_decay) * jnp.mean(reward))
+        new_state = GANState(
+            g_params=g_params, g_stats=state.g_stats,
+            d_params=d_params, d_stats=state.d_stats,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
+        )
+        return new_state, new_baseline, {"d_loss": d_loss, "g_loss": g_loss,
+                                         "reward": jnp.mean(reward)}
+
+    return train_step
+
+
 def init_gandes_state(gen, disc, key, *, batch_size, z_dim=100, mel_shape=(128, 216),
                       g_tx=None, d_tx=None) -> GANState:
     k1, k2 = jax.random.split(key)

@@ -69,6 +69,26 @@ def test_reinforce_step_moves_generators_and_baseline():
     assert int(new_state.step) == 1
 
 
+def test_gandes_reinforce_training_loop(tmp_path, monkeypatch):
+    """Symmetric mode for the GAN-DES pipeline: the whole
+    DES->synth->mel chain sits between the sample and the reward."""
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(4, 128, 216).astype(np.float32) * 40 - 40
+               for _ in range(2)]
+    cfg = GanDesConfig(batch_size=4, model_path=str(tmp_path / "models"),
+                       number_of_customers=120, max_sim_time=0.3,
+                       save_step=99, g_update="reinforce", lr=1e-3,
+                       write_wav=False)
+    np.random.seed(2)
+    state, history = train_gandes(iter(batches), cfg, max_steps=2)
+    assert all(np.isfinite(v) for v in history["disc"])
+    assert all(np.isfinite(v) for v in history["gen"])
+
+
 def test_reinforce_training_loop(midi_fixture_dir, tmp_path, monkeypatch):
     from gandes_tpu.data.datasets import MaestroDatasetPickle, build_window_pickle
     from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
