@@ -13,9 +13,11 @@ TPU with the DES in the loop:
 3. train MM-GAN in surrogate mode;
 4. re-measure and report.
 
-Usage:  python examples/train_surrogate_demo.py [workdir] [epochs] [n_nets]
-Writes workdir/RESULTS.json and prints a summary. Numbers from a real run
-are recorded in docs/RESULTS.md.
+Usage:  python examples/train_surrogate_demo.py [workdir] [epochs] [n_nets] [g_update]
+``g_update`` defaults to 'surrogate'; pass 'reinforce' to run the
+score-function mode through the same harness. Writes workdir/RESULTS.json
+and prints a summary. Numbers from a real run are recorded in
+docs/RESULTS.md.
 """
 
 from __future__ import annotations
@@ -91,6 +93,7 @@ def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "surrogate_demo"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_nets = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    g_update = sys.argv[4] if len(sys.argv) > 4 else "surrogate"
     os.makedirs(os.path.join(workdir, "logs"), exist_ok=True)
 
     from gandes_tpu.data.datasets import MaestroDatasetPickle
@@ -103,7 +106,7 @@ def main():
 
     cfg = MMGANConfig(
         batch_size=16, start=0, sequence_length=50, num_epochs=epochs,
-        g_update="surrogate", des_parallel=16, resume=False,
+        g_update=g_update, des_parallel=16, resume=False,
         # the reference's lr=0.01 collapses the game within ~30 steps once G
         # is live (PARITY.md); 1e-3 keeps D/G balanced on this small set
         lr=1e-3, surrogate_lr=1e-3,
@@ -128,6 +131,7 @@ def main():
 
     results = {
         "epochs": epochs,
+        "g_update": g_update,
         "steps": sum(len(e) for e in history["disc"]),
         "disc_loss_first_epoch": float(np.mean(history["disc"][0])),
         "disc_loss_last_epoch": float(np.mean(history["disc"][-1])),
