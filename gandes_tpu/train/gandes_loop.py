@@ -62,7 +62,6 @@ class GanDesConfig:
     g_update: str = "none"
     surrogate_lr: float = 1e-3
     reinforce_sigma: float = 0.05
-    reinforce_baseline_decay: float = 0.9
     # (dp, tp) device mesh for sharded training; None = single device.
     # my_collate batches vary in size — non-divisible batches replicate.
     mesh_shape: tuple | None = None
@@ -125,11 +124,9 @@ def _train_gandes(dataloader, cfg, max_steps=None):
         from gandes_tpu.train.steps import make_gandes_train_step_reinforce
 
         train_step = jax.jit(make_gandes_train_step_reinforce(
-            gen, disc, g_tx, d_tx, sigma=cfg.reinforce_sigma,
-            baseline_decay=cfg.reinforce_baseline_decay))
+            gen, disc, g_tx, d_tx, sigma=cfg.reinforce_sigma))
     else:
         train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
-    baseline = jnp.zeros(())
 
     from gandes_tpu.core.profiling import StepTimer
 
@@ -179,9 +176,8 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                     state, s_state, metrics = train_step(state, s_state, real,
                                                          fake, fake_mats, noise)
                 elif cfg.g_update == "reinforce":
-                    state, baseline, metrics = train_step(state, real, fake,
-                                                          fake_mats, noise,
-                                                          baseline)
+                    state, metrics = train_step(state, real, fake,
+                                                fake_mats, noise)
                 else:
                     state, metrics = train_step(state, real, fake)
                 if cfg.profile:

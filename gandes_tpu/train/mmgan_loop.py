@@ -77,7 +77,6 @@ class MMGANConfig:
     g_update: str = "none"
     surrogate_lr: float = 1e-3
     reinforce_sigma: float = 0.05
-    reinforce_baseline_decay: float = 0.9
     # single-launch steps: the whole train step (G forward + DES as an
     # ordered io_callback + D update) is ONE compiled XLA program per batch
     # (train/fused_callback.py). Identical semantics to the two-phase path;
@@ -223,12 +222,10 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
         from gandes_tpu.train.steps import make_mmgan_train_step_reinforce
 
         train_step = jax.jit(make_mmgan_train_step_reinforce(
-            g1, g2, d, g_tx, d_tx, sigma=cfg.reinforce_sigma,
-            baseline_decay=cfg.reinforce_baseline_decay))
+            g1, g2, d, g_tx, d_tx, sigma=cfg.reinforce_sigma))
     else:
         train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
                                                    g_update=cfg.g_update))
-    baseline = jnp.zeros(())
     g_loss_only = jax.jit(
         lambda d_params, fake: bce_with_logits(
             d.apply({"params": d_params}, fake).squeeze(), 1.0
@@ -313,9 +310,9 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                             state, s_state, real, fake, mats, vec, noise1, noise2,
                             beats_j, jax.random.key(count))
                     elif cfg.g_update == "reinforce":
-                        state, baseline, metrics = train_step(
+                        state, metrics = train_step(
                             state, real, fake, mats, vec, noise1, noise2,
-                            beats_j, jax.random.key(count), baseline)
+                            beats_j, jax.random.key(count))
                     elif cfg.g_update == "direct":
                         state, metrics = train_step(state, real, fake, noise1, noise2,
                                                     beats_j, jax.random.key(count))

@@ -289,8 +289,7 @@ def make_mmgan_train_step(g1, g2, d, g_tx, d_tx, g_update: str = "none",
     return train_step
 
 
-def make_mmgan_train_step_reinforce(g1, g2, d, g_tx, d_tx, sigma: float = 0.05,
-                                    baseline_decay: float = 0.9):
+def make_mmgan_train_step_reinforce(g1, g2, d, g_tx, d_tx, sigma: float = 0.05):
     """One fused jitted step for ``g_update='reinforce'`` — the
     score-function estimator SURVEY.md §5.1 sketches, completing the
     G-training triad (direct / surrogate / reinforce):
@@ -302,7 +301,7 @@ def make_mmgan_train_step_reinforce(g1, g2, d, g_tx, d_tx, sigma: float = 0.05,
        the REAL simulator produced — weights the Gaussian log-density of
        that sample under the generator's (differentiable) means:
 
-           g_loss = -mean( stop_grad(r_i - baseline) * logprob_i )
+           g_loss = -mean( advantage_i * logprob_i )
 
        No surrogate, no straight-through bias: the gradient estimates
        d E[r] / d theta through the non-differentiable DES (up to the
@@ -310,21 +309,22 @@ def make_mmgan_train_step_reinforce(g1, g2, d, g_tx, d_tx, sigma: float = 0.05,
        censors the Gaussian tails). Advantages are batch-standardized —
        (r - mean) / (std + eps) — because an early D saturates its logits
        on every sample identically (rolls carry values up to ~127 through
-       torch-default-init convs), and a raw-baseline advantage would then
-       feed enormous equal weights into the gradient; standardization
-       yields a zero G step exactly when the batch carries no ranking
-       signal.
-    3. ``baseline`` is an EMA of the mean reward, carried by the loop as a
-       device scalar and reported in the metrics (diagnostic).
+       torch-default-init convs), and a raw advantage would then feed
+       enormous equal weights into the gradient; standardization yields a
+       zero G step exactly when the batch carries no ranking signal, and
+       its per-batch centering subsumes a reward baseline.
 
+    ``metrics["reward"]`` reports the batch-mean reward for monitoring.
     Returns ``step(state, real, fake, mats_s, vec_s, noise1, noise2, beats,
-    aux_key, baseline) -> (state, new_baseline, metrics)``.
+    aux_key) -> (state, metrics)``.
     """
+    if not sigma > 0:
+        raise ValueError(f"reinforce sigma must be > 0, got {sigma}")
     d_loss_fn = _make_mmgan_d_loss(d)
     inv_two_sigma2 = 1.0 / (2.0 * sigma * sigma)
 
     def train_step(state: GANState, real_roll, fake_roll, mats_s, vec_s,
-                   noise1, noise2, beats, aux_key, baseline):
+                   noise1, noise2, beats, aux_key):
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_roll, fake_roll)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
@@ -358,15 +358,13 @@ def make_mmgan_train_step_reinforce(g1, g2, d, g_tx, d_tx, sigma: float = 0.05,
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
-        new_baseline = (baseline_decay * baseline
-                        + (1.0 - baseline_decay) * jnp.mean(reward))
         new_state = GANState(
             g_params=g_params, g_stats=state.g_stats,
             d_params=d_params, d_stats=state.d_stats,
             g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
         )
-        return new_state, new_baseline, {"d_loss": d_loss, "g_loss": g_loss,
-                                         "reward": jnp.mean(reward)}
+        return new_state, {"d_loss": d_loss, "g_loss": g_loss,
+                           "reward": jnp.mean(reward)}
 
     return train_step
 
@@ -529,8 +527,7 @@ def make_gandes_train_step_surrogate(gen, disc, s, g_tx, d_tx, s_tx):
     return train_step
 
 
-def make_gandes_train_step_reinforce(gen, disc, g_tx, d_tx, sigma: float = 0.05,
-                                     baseline_decay: float = 0.9):
+def make_gandes_train_step_reinforce(gen, disc, g_tx, d_tx, sigma: float = 0.05):
     """GAN-DES ``g_update='reinforce'`` fused step (mirror of the MM-GAN
     one): D update with the reference's 0.9/0.1 smoothing, then a
     score-function G update — the DES/synth/mel pipeline consumed matrices
@@ -538,13 +535,15 @@ def make_gandes_train_step_reinforce(gen, disc, g_tx, d_tx, sigma: float = 0.05,
     log D(mel) on the pipeline's ACTUAL output weights the Gaussian
     log-density of that sample under the generator's differentiable means.
     Advantages are batch-standardized (see the MM-GAN step's rationale).
-    Returns ``step(state, real_mel, fake_mel, mats_s, noise, baseline) ->
-    (state, new_baseline, metrics)``.
+    Returns ``step(state, real_mel, fake_mel, mats_s, noise) ->
+    (state, metrics)``.
     """
+    if not sigma > 0:
+        raise ValueError(f"reinforce sigma must be > 0, got {sigma}")
     d_loss_fn = _make_gandes_d_loss(disc)
     inv_two_sigma2 = 1.0 / (2.0 * sigma * sigma)
 
-    def train_step(state: GANState, real_mel, fake_mel, mats_s, noise, baseline):
+    def train_step(state: GANState, real_mel, fake_mel, mats_s, noise):
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_mel, fake_mel)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
@@ -570,15 +569,13 @@ def make_gandes_train_step_reinforce(gen, disc, g_tx, d_tx, sigma: float = 0.05,
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
-        new_baseline = (baseline_decay * baseline
-                        + (1.0 - baseline_decay) * jnp.mean(reward))
         new_state = GANState(
             g_params=g_params, g_stats=state.g_stats,
             d_params=d_params, d_stats=state.d_stats,
             g_opt=g_opt, d_opt=d_opt, step=state.step + 1,
         )
-        return new_state, new_baseline, {"d_loss": d_loss, "g_loss": g_loss,
-                                         "reward": jnp.mean(reward)}
+        return new_state, {"d_loss": d_loss, "g_loss": g_loss,
+                           "reward": jnp.mean(reward)}
 
     return train_step
 

@@ -3,8 +3,8 @@
 The third G-training mode (after 'direct' and 'surrogate'): the DES
 consumes N(G(z), sigma^2) samples and log D(roll) on the simulator's
 actual output weights the Gaussian log-density. These tests pin the fused
-step's semantics (G moves along the advantage direction, baseline EMA) and
-run the training loop end to end.
+step's semantics (G moves along the advantage direction, standardized
+advantages subsume a baseline) and run the training loop end to end.
 """
 
 import os
@@ -23,7 +23,7 @@ from gandes_tpu.train.steps import (
 )
 
 
-def test_reinforce_step_moves_generators_and_baseline():
+def test_reinforce_step_moves_generators():
     B, T = 4, 50
     g1 = MLPGenerator(adj_size=(64, 64))
     g2 = BeatGenerator(output_dim=20)
@@ -53,20 +53,32 @@ def test_reinforce_step_moves_generators_and_baseline():
     real = jax.random.uniform(jax.random.fold_in(k, 5), (B, 2, 128, T))
 
     g_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.g_params)
-    new_state, baseline, metrics = step(state, real, fake, mats_s, vec_s,
-                                        noise1, noise2, beats, aux,
-                                        jnp.zeros(()))
+    new_state, metrics = step(state, real, fake, mats_s, vec_s,
+                              noise1, noise2, beats, aux)
     assert np.isfinite(metrics["d_loss"]) and np.isfinite(metrics["g_loss"])
     assert np.isfinite(metrics["reward"])
-    # baseline moved toward the mean reward (decay 0.9 from 0)
-    np.testing.assert_allclose(float(baseline),
-                               0.1 * float(metrics["reward"]), rtol=1e-5)
     moved = jax.tree.reduce(
         lambda a, b: a or b,
         jax.tree.map(lambda a, b: bool(np.any(a != np.asarray(b))),
                      g_before, new_state.g_params))
     assert moved, "REINFORCE must move the generator parameters"
     assert int(new_state.step) == 1
+
+
+def test_reinforce_sigma_validation():
+    import pytest
+
+    from gandes_tpu.train.steps import make_gandes_train_step_reinforce
+
+    g1 = MLPGenerator(adj_size=(64, 64))
+    g2 = BeatGenerator(output_dim=20)
+    d = DiscriminatorCNN(roll_size=(2, 128, 50))
+    tx = optax.adam(0.01)
+    for bad in (0.0, -0.1):
+        with pytest.raises(ValueError, match="sigma"):
+            make_mmgan_train_step_reinforce(g1, g2, d, tx, tx, sigma=bad)
+        with pytest.raises(ValueError, match="sigma"):
+            make_gandes_train_step_reinforce(g1, d, tx, tx, sigma=bad)
 
 
 def test_gandes_reinforce_training_loop(tmp_path, monkeypatch):
