@@ -8,6 +8,8 @@ generated networks (sizes, routing modes, distribution kinds, queue caps,
 replication counts) so layout-dependent regressions can't hide.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -91,8 +93,12 @@ def _run_engine(engine, tmp_path, adj, dists, qs, seeds, customers):
     return sim, lines
 
 
+# scale the sweep up for heavy validation runs: GANDES_FUZZ_NETS=100
+_N_FUZZ = int(os.environ.get("GANDES_FUZZ_NETS", "12"))
+
+
 @pytest.mark.skipif(not native_available(), reason="native lib unavailable")
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(_N_FUZZ))
 def test_fuzz_native_matches_python(tmp_path, seed):
     adj, dists, qs, seeds = _random_net(seed)
     py_sim, py_lines = _run_engine("python", tmp_path, adj, dists, qs, seeds, 300)
@@ -110,7 +116,8 @@ def test_fuzz_native_matches_python(tmp_path, seed):
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
-@pytest.mark.parametrize("seed", [0, 3, 7, 9])
+@pytest.mark.parametrize(
+    "seed", [0, 3, 7, 9] if _N_FUZZ <= 12 else list(range(_N_FUZZ)))
 def test_fuzz_ours_matches_reference(tmp_path, seed):
     adj, dists, qs, seeds = _random_net(seed)
     ref_sim, ref_lines = _run_reference(tmp_path, adj, dists, qs, seeds, 300)
