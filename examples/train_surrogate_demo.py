@@ -56,17 +56,14 @@ def generated_rolls(state, cfg, batch: int, seed: int, workdir: str):
     """Eval-mode G1/G2 -> DES (force_roll: decode past the save gate, no
     artifacts) -> (B, 2, 128, 50) rolls."""
     from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
-    from gandes_tpu.train.mmgan_loop import build_mmgan
+    from gandes_tpu.train.mmgan_loop import _eval_forward
 
-    g1, g2, _ = build_mmgan(cfg)
     k = jax.random.key(seed)
     noise1 = jax.random.normal(jax.random.fold_in(k, 0), (batch, cfg.noise_dim))
     noise2 = jax.random.normal(jax.random.fold_in(k, 1), (batch, cfg.noise_dim))
     beats = jnp.zeros((batch, cfg.max_beat_length))
-    out1 = g1.apply({"params": state.g_params["g1"], "batch_stats": state.g_stats["g1"]},
-                    noise1, None, False, rngs={"aux": jax.random.key(0)})
-    out2 = g2.apply({"params": state.g_params["g2"], "batch_stats": state.g_stats["g2"]},
-                    noise2, beats, False)
+    out1, out2 = _eval_forward(cfg)(state.g_params, state.g_stats, noise1,
+                                    noise2, beats, jax.random.key(0))
     rolls, failed = matrix_to_midi(
         np.asarray(out1)[:, None], np.asarray(out2), adj_size=cfg.adj_size,
         instrument=cfg.instrument, start=cfg.start,

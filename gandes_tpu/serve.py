@@ -92,6 +92,9 @@ class GenerationService:
             "model": self.model,
             "requests": n,
             "avg_latency_s": round(self._latency_sum / n, 4) if n else None,
+            # requests serialize on the generation lock; True = a request
+            # is in flight right now (new ones will queue behind it)
+            "busy": self._lock.locked(),
         }
 
     def generate(self, n: int = 1, seed: int = 0, wav: bool = False) -> dict:
