@@ -38,11 +38,7 @@ import jax.numpy as jnp
 from gandes_tpu.data.audio import save_wav
 from gandes_tpu.des.engine import Sim
 from gandes_tpu.music.generators import process_adjsim_log_v1
-from gandes_tpu.music.mel import (
-    melspectrogram_db,
-    melspectrogram_db_tensor,
-    melspectrogram_db_tensor_from_file,
-)
+from gandes_tpu.music.mel import melspectrogram_db, melspectrogram_db_tensor
 from gandes_tpu.music.synth import render_midi
 
 
