@@ -442,7 +442,9 @@ def main(argv=None):
     sp.set_defaults(fn=_cmd_doctor)
 
     sp = sub.add_parser("serve", help="warm-model HTTP generation server")
-    sp.add_argument("--model", choices=["mmgan", "gandes"], default="mmgan")
+    sp.add_argument("--model", choices=["mmgan", "gandes", "both"],
+                    default="mmgan",
+                    help="'both' hosts the two model families in one process")
     sp.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="a reference .pth/.pt state_dict")

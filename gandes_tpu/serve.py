@@ -175,13 +175,19 @@ class GenerationService:
         return {"wav_b64": wav_b64, "mel_shape": list(np.asarray(specs).shape)}
 
 
-def make_http_server(service: GenerationService, host: str = "127.0.0.1",
+def make_http_server(service, host: str = "127.0.0.1",
                      port: int = 8472) -> ThreadingHTTPServer:
     """Returns an unstarted ThreadingHTTPServer bound to (host, port);
-    call ``serve_forever()`` (and ``shutdown()`` from another thread)."""
+    call ``serve_forever()`` (and ``shutdown()`` from another thread).
+
+    ``service`` is a :class:`GenerationService` or a dict
+    ``{model_name: service}`` to host several model families in one
+    process (each keeps its own lock and stats).
+    """
+    services = service if isinstance(service, dict) else {service.model: service}
 
     class Handler(BaseHTTPRequestHandler):
-        def log_message(self, fmt, *args):  # quiet; the service keeps stats
+        def log_message(self, fmt, *args):  # quiet; the services keep stats
             pass
 
         def _reply(self, code: int, payload: dict):
@@ -194,14 +200,22 @@ def make_http_server(service: GenerationService, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, service.healthz())
+                healths = {name: svc.healthz() for name, svc in services.items()}
+                if len(healths) == 1:
+                    self._reply(200, next(iter(healths.values())))
+                else:
+                    self._reply(200, {"status": "ok", "models": healths})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != f"/generate/{service.model}":
+            service = next(
+                (svc for name, svc in services.items()
+                 if self.path == f"/generate/{name}"), None)
+            if service is None:
+                served = ", ".join(f"/generate/{n}" for n in services)
                 self._reply(404, {"error": f"unknown path {self.path}; "
-                                           f"serving /generate/{service.model}"})
+                                           f"serving {served}"})
                 return
             try:  # request parsing: any failure here is the client's fault
                 length = int(self.headers.get("Content-Length") or 0)
@@ -227,13 +241,22 @@ def make_http_server(service: GenerationService, host: str = "127.0.0.1",
 def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
                host="127.0.0.1", port=8472, warmup=True, start=100,
                sequence_length=50):
-    service = GenerationService(model=model, checkpoint=checkpoint,
-                                torch_checkpoint=torch_checkpoint, start=start,
-                                sequence_length=sequence_length)
+    """``model='both'`` hosts mmgan AND gandes in one process (a
+    checkpoint, if given, applies to the mmgan service; gandes serves its
+    fresh-init generator unless loaded separately via the API)."""
+    models = ("mmgan", "gandes") if model == "both" else (model,)
+    services = {}
+    for m in models:
+        services[m] = GenerationService(
+            model=m, checkpoint=checkpoint if m == "mmgan" or model != "both" else None,
+            torch_checkpoint=torch_checkpoint if m == "mmgan" or model != "both" else None,
+            start=start, sequence_length=sequence_length)
     if warmup:  # compile + first DES round trip before accepting traffic
-        service.generate(n=1, seed=0)
-        print(f"warmup done in {service._latency_sum:.2f}s")
-    server = make_http_server(service, host, port)
-    print(f"serving {model} on http://{host}:{port} "
-          f"(POST /generate/{model}, GET /healthz)")
+        for m, svc in services.items():
+            svc.generate(n=1, seed=0)
+            print(f"{m} warmup done in {svc._latency_sum:.2f}s")
+    server = make_http_server(services, host, port)
+    endpoints = ", ".join(f"POST /generate/{m}" for m in services)
+    print(f"serving {'+'.join(services)} on http://{host}:{port} "
+          f"({endpoints}, GET /healthz)")
     server.serve_forever()

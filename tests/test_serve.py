@@ -86,6 +86,37 @@ def test_serve_wav_and_errors(mmgan_server, tmp_path, monkeypatch):
         assert json.loads(r.read())["status"] == "ok"
 
 
+def test_serve_both_models(tmp_path, monkeypatch):
+    """One process hosts both families: each endpoint routes to its own
+    service, /healthz aggregates per-model stats."""
+    import os
+
+    from gandes_tpu.serve import GenerationService, make_http_server
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    services = {
+        "mmgan": GenerationService(model="mmgan", start=0),
+        "gandes": GenerationService(model="gandes"),
+    }
+    server = make_http_server(services, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        status, out = _post(base + "/generate/mmgan", {"n": 1, "seed": 2})
+        assert status == 200 and base64.b64decode(out["midi_b64"][0])[:4] == b"MThd"
+        status, out = _post(base + "/generate/gandes", {"n": 1, "seed": 2})
+        assert status == 200 and base64.b64decode(out["wav_b64"][0])[:4] == b"RIFF"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert set(health["models"]) == {"mmgan", "gandes"}
+        assert health["models"]["mmgan"]["requests"] == 1
+        assert health["models"]["gandes"]["requests"] == 1
+    finally:
+        server.shutdown()
+
+
 def test_serve_internal_error_is_500():
     """Internal generation failures surface as 500, not 400 (client error
     codes are reserved for malformed bodies / n out of range)."""
