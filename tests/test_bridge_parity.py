@@ -123,7 +123,13 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
             assert our_mid == ref_mid
 
 
-@pytest.mark.parametrize("fuzz_seed", [101, 202, 303])
+# scale the randomized sweep up for heavy validation: GANDES_FUZZ_BRIDGE=50
+_BRIDGE_SEEDS = ([101, 202, 303]
+                 if "GANDES_FUZZ_BRIDGE" not in os.environ
+                 else list(range(101, 101 + int(os.environ["GANDES_FUZZ_BRIDGE"]))))
+
+
+@pytest.mark.parametrize("fuzz_seed", _BRIDGE_SEEDS)
 def test_matrix_to_midi_parity_fuzz(tmp_path, monkeypatch, fuzz_seed):
     """Randomized single-sample parity sweep (full budget so both engines
     complete by customer count)."""
