@@ -289,8 +289,11 @@ def main():
     # best-of-3 on both sides: the TPU is behind a shared relay and the CPU
     # baseline is load-sensitive — the max is the least-noisy estimator of
     # each side's attainable rate
-    jax_rate = max(bench_jax(iters=60) for _ in range(3))
-    torch_rate = max(bench_torch_cpu(iters=10) for _ in range(3))
+    # SYMMETRIC sample counts: 4 spaced windows (one compile) on the TPU
+    # side, best-of-4 runs on the CPU side — unequal tries would bias the
+    # extreme-value ratio toward whichever side samples more
+    jax_rate = bench_jax(iters=60, windows=4)
+    torch_rate = max(bench_torch_cpu(iters=10) for _ in range(4))
     print(
         json.dumps(
             {

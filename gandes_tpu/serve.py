@@ -52,12 +52,17 @@ class GenerationService:
 
     def __init__(self, model: str = "mmgan", checkpoint: str | None = None,
                  torch_checkpoint: str | None = None, start: int = 100,
-                 sequence_length: int = 50, max_n: int = 64):
+                 sequence_length: int = 50, max_n: int = 64,
+                 lock: threading.Lock | None = None):
         if model not in ("mmgan", "gandes"):
             raise ValueError(f"unknown model {model!r}")
         self.model = model
         self.max_n = max_n
-        self._lock = threading.Lock()
+        # when several services share one process they MUST share one lock:
+        # generation seeds the process-global numpy RNG (reference parity),
+        # so any two concurrent generations — same family or not — would
+        # interleave the stream and break per-seed byte stability
+        self._lock = lock or threading.Lock()
         self.requests = 0
         self._latency_sum = 0.0
 
@@ -241,16 +246,20 @@ def make_http_server(service, host: str = "127.0.0.1",
 def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
                host="127.0.0.1", port=8472, warmup=True, start=100,
                sequence_length=50):
-    """``model='both'`` hosts mmgan AND gandes in one process (a
-    checkpoint, if given, applies to the mmgan service; gandes serves its
-    fresh-init generator unless loaded separately via the API)."""
+    """``model='both'`` hosts mmgan AND gandes in one process; checkpoint
+    args are rejected in that mode (it is ambiguous which family they
+    target — run one server per checkpointed model instead)."""
+    if model == "both" and (checkpoint or torch_checkpoint):
+        raise ValueError(
+            "--model both cannot take checkpoint args (ambiguous target); "
+            "serve each checkpointed model from its own process")
     models = ("mmgan", "gandes") if model == "both" else (model,)
+    shared_lock = threading.Lock()
     services = {}
     for m in models:
         services[m] = GenerationService(
-            model=m, checkpoint=checkpoint if m == "mmgan" or model != "both" else None,
-            torch_checkpoint=torch_checkpoint if m == "mmgan" or model != "both" else None,
-            start=start, sequence_length=sequence_length)
+            model=m, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint,
+            start=start, sequence_length=sequence_length, lock=shared_lock)
     if warmup:  # compile + first DES round trip before accepting traffic
         for m, svc in services.items():
             svc.generate(n=1, seed=0)

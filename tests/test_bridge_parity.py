@@ -124,9 +124,14 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
 
 
 # scale the randomized sweep up for heavy validation: GANDES_FUZZ_BRIDGE=50
-_BRIDGE_SEEDS = ([101, 202, 303]
-                 if "GANDES_FUZZ_BRIDGE" not in os.environ
-                 else list(range(101, 101 + int(os.environ["GANDES_FUZZ_BRIDGE"]))))
+# (invalid or < 1 values fall back to the default 3-seed list rather than
+# erroring the whole file's collection)
+try:
+    _n_bridge = int(os.environ.get("GANDES_FUZZ_BRIDGE", ""))
+except ValueError:
+    _n_bridge = 0
+_BRIDGE_SEEDS = (list(range(101, 101 + _n_bridge)) if _n_bridge >= 1
+                 else [101, 202, 303])
 
 
 @pytest.mark.parametrize("fuzz_seed", _BRIDGE_SEEDS)

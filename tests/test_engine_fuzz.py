@@ -94,7 +94,12 @@ def _run_engine(engine, tmp_path, adj, dists, qs, seeds, customers):
 
 
 # scale the sweep up for heavy validation runs: GANDES_FUZZ_NETS=100
-_N_FUZZ = int(os.environ.get("GANDES_FUZZ_NETS", "12"))
+try:
+    _N_FUZZ = int(os.environ.get("GANDES_FUZZ_NETS", "12"))
+except ValueError:
+    _N_FUZZ = 12
+if _N_FUZZ < 1:
+    _N_FUZZ = 12
 
 
 @pytest.mark.skipif(not native_available(), reason="native lib unavailable")

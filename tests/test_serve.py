@@ -95,10 +95,14 @@ def test_serve_both_models(tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)
     os.makedirs("logs", exist_ok=True)
+    # services sharing a process must share the generation lock (the DES
+    # owns the process-global numpy stream)
+    lock = threading.Lock()
     services = {
-        "mmgan": GenerationService(model="mmgan", start=0),
-        "gandes": GenerationService(model="gandes"),
+        "mmgan": GenerationService(model="mmgan", start=0, lock=lock),
+        "gandes": GenerationService(model="gandes", lock=lock),
     }
+    assert services["mmgan"]._lock is services["gandes"]._lock
     server = make_http_server(services, port=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
