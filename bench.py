@@ -63,8 +63,9 @@ def bench_jax(iters: int = 100, windows: int = 3) -> float:
     jax.block_until_ready((s.d_params, mats, metrics))
 
     # several measurement windows per compile: the remote relay's load is
-    # bursty (minutes-scale swings of ~6x in dispatch latency), and the max
-    # over spaced windows rides out a burst that a single window can't
+    # bursty, with swings of ~10x in dispatch latency lasting on the order
+    # of a minute — space the windows across that timescale so the max has
+    # a real chance of sampling an unloaded period
     best = 0.0
     for w in range(windows):
         s = fresh()
@@ -74,7 +75,7 @@ def bench_jax(iters: int = 100, windows: int = 3) -> float:
         jax.block_until_ready((s.d_params, mats, metrics))
         best = max(best, iters / (time.perf_counter() - t0))
         if w + 1 < windows:
-            time.sleep(2.0)
+            time.sleep(20.0)
     return best
 
 
@@ -273,6 +274,33 @@ def bench_host_stage(B: int = 16) -> None:
     _emit("mmgan_host_stage_s_per_batch", t_par, "s", t_seq / t_par)
 
 
+def bench_serving(n_requests: int = 10) -> None:
+    """Warm single-sample generation latency through the serving service
+    (G forward + full DES + MIDI encode). Absolute metric — the reference
+    has no serving path at all — so vs_baseline is fixed at 1.0."""
+    import contextlib
+    import io
+    import os
+    import tempfile
+
+    from gandes_tpu.serve import GenerationService
+
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        try:
+            os.makedirs("logs", exist_ok=True)
+            # generation prints progress lines; keep stdout JSON-only
+            with contextlib.redirect_stdout(io.StringIO()):
+                svc = GenerationService(model="mmgan", start=0)
+                svc.generate(n=1, seed=0)  # warmup/compile
+                lats = [svc.generate(n=1, seed=i + 1)["latency_s"]
+                        for i in range(n_requests)]
+        finally:
+            os.chdir(cwd)
+    _emit("serve_warm_latency_p50_s", float(np.median(lats)), "s", 1.0)
+
+
 def main():
     import sys
 
@@ -286,14 +314,15 @@ def main():
         bench_mel()
         bench_roll()
         bench_host_stage()
+        bench_serving()
     # best-of-3 on both sides: the TPU is behind a shared relay and the CPU
     # baseline is load-sensitive — the max is the least-noisy estimator of
     # each side's attainable rate
-    # SYMMETRIC sample counts: 4 spaced windows (one compile) on the TPU
-    # side, best-of-4 runs on the CPU side — unequal tries would bias the
+    # SYMMETRIC sample counts: 5 spaced windows (one compile) on the TPU
+    # side, best-of-5 runs on the CPU side — unequal tries would bias the
     # extreme-value ratio toward whichever side samples more
-    jax_rate = bench_jax(iters=60, windows=4)
-    torch_rate = max(bench_torch_cpu(iters=10) for _ in range(4))
+    jax_rate = bench_jax(iters=60, windows=5)
+    torch_rate = max(bench_torch_cpu(iters=10) for _ in range(5))
     print(
         json.dumps(
             {

@@ -17,7 +17,10 @@ import bench  # noqa: E402
 
 
 def _lines(capsys):
-    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # generation prints progress lines ("Successfully saved midi file");
+    # only the JSON metric lines matter here
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
     for rec in out:
         assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
         assert rec["value"] > 0
@@ -42,3 +45,9 @@ def test_bench_host_stage_emits_json(capsys):
     bench.bench_host_stage(B=2)
     recs = _lines(capsys)
     assert recs["mmgan_host_stage_s_per_batch"]["unit"] == "s"
+
+
+def test_bench_serving_emits_json(capsys):
+    bench.bench_serving(n_requests=2)
+    recs = _lines(capsys)
+    assert recs["serve_warm_latency_p50_s"]["unit"] == "s"
