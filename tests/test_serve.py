@@ -121,6 +121,52 @@ def test_serve_both_models(tmp_path, monkeypatch):
         server.shutdown()
 
 
+def test_serve_concurrent_requests_stay_deterministic(tmp_path, monkeypatch):
+    """Concurrent clients hammering both co-hosted families must not
+    perturb per-seed outputs: generation seeds the process-global numpy
+    RNG, and the shared lock serializes every generation in the process."""
+    import concurrent.futures
+    import os
+
+    from gandes_tpu.serve import GenerationService, make_http_server
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    lock = threading.Lock()
+    services = {
+        "mmgan": GenerationService(model="mmgan", start=0, lock=lock),
+        "gandes": GenerationService(model="gandes", lock=lock),
+    }
+    server = make_http_server(services, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        # baseline: sequential, idle server
+        seq = {}
+        for seed in (11, 12):
+            seq[("mmgan", seed)] = _post(
+                base + "/generate/mmgan", {"n": 1, "seed": seed})[1]["midi_b64"]
+            seq[("gandes", seed)] = _post(
+                base + "/generate/gandes", {"n": 1, "seed": seed})[1]["wav_b64"]
+
+        # the same four requests fired concurrently from four threads
+        jobs = [("mmgan", 11), ("gandes", 11), ("mmgan", 12), ("gandes", 12)]
+
+        def fire(job):
+            model, seed = job
+            return job, _post(base + f"/generate/{model}",
+                              {"n": 1, "seed": seed})[1]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            for job, out in ex.map(fire, jobs):
+                model, seed = job
+                key = "midi_b64" if model == "mmgan" else "wav_b64"
+                assert out[key] == seq[job], f"{job} diverged under concurrency"
+    finally:
+        server.shutdown()
+
+
 def test_serve_internal_error_is_500():
     """Internal generation failures surface as 500, not 400 (client error
     codes are reserved for malformed bodies / n out of range)."""
