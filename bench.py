@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import time
 
@@ -149,6 +150,22 @@ def _emit(metric, value, unit, vs_baseline):
                       "vs_baseline": round(vs_baseline, 2)}))
 
 
+@contextlib.contextmanager
+def _tmp_workdir():
+    """chdir into a fresh temp dir with a logs/ subdir; always restore."""
+    import os
+    import tempfile
+
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        try:
+            os.makedirs("logs", exist_ok=True)
+            yield tmp
+        finally:
+            os.chdir(cwd)
+
+
 def bench_des(customers: int = 20000) -> None:
     """Dense 8-node queueing net, Music logging on: native vs Python engine."""
     import tempfile
@@ -247,9 +264,6 @@ def bench_roll(B: int = 16, E: int = 512, T: int = 50) -> None:
 
 def bench_host_stage(B: int = 16) -> None:
     """MM-GAN host DES stage for one training batch: parallel vs sequential."""
-    import os
-    import tempfile
-
     from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
 
     rng = np.random.RandomState(5)
@@ -257,17 +271,11 @@ def bench_host_stage(B: int = 16) -> None:
     g2 = (rng.rand(B, 20).astype(np.float32) * 0.5 + 0.2)
 
     def run(parallel):
-        cwd = os.getcwd()
-        with tempfile.TemporaryDirectory() as tmp:
-            os.chdir(tmp)
-            try:
-                os.makedirs("logs", exist_ok=True)
-                t0 = time.perf_counter()
-                matrix_to_midi(g1, g2, adj_size=(64, 64), instrument=0,
-                               start=100, end=150, parallel=parallel)
-                return time.perf_counter() - t0
-            finally:
-                os.chdir(cwd)
+        with _tmp_workdir():
+            t0 = time.perf_counter()
+            matrix_to_midi(g1, g2, adj_size=(64, 64), instrument=0,
+                           start=100, end=150, parallel=parallel)
+            return time.perf_counter() - t0
 
     t_par = min(run(16) for _ in range(2))
     t_seq = min(run(None) for _ in range(2))
@@ -278,26 +286,17 @@ def bench_serving(n_requests: int = 10) -> None:
     """Warm single-sample generation latency through the serving service
     (G forward + full DES + MIDI encode). Absolute metric — the reference
     has no serving path at all — so vs_baseline is fixed at 1.0."""
-    import contextlib
     import io
-    import os
-    import tempfile
 
     from gandes_tpu.serve import GenerationService
 
-    cwd = os.getcwd()
-    with tempfile.TemporaryDirectory() as tmp:
-        os.chdir(tmp)
-        try:
-            os.makedirs("logs", exist_ok=True)
-            # generation prints progress lines; keep stdout JSON-only
-            with contextlib.redirect_stdout(io.StringIO()):
-                svc = GenerationService(model="mmgan", start=0)
-                svc.generate(n=1, seed=0)  # warmup/compile
-                lats = [svc.generate(n=1, seed=i + 1)["latency_s"]
-                        for i in range(n_requests)]
-        finally:
-            os.chdir(cwd)
+    with _tmp_workdir():
+        # generation prints progress lines; keep stdout JSON-only
+        with contextlib.redirect_stdout(io.StringIO()):
+            svc = GenerationService(model="mmgan", start=0)
+            svc.generate(n=1, seed=0)  # warmup/compile
+            lats = [svc.generate(n=1, seed=i + 1)["latency_s"]
+                    for i in range(n_requests)]
     _emit("serve_warm_latency_p50_s", float(np.median(lats)), "s", 1.0)
 
 
@@ -315,9 +314,6 @@ def main():
         bench_roll()
         bench_host_stage()
         bench_serving()
-    # best-of-3 on both sides: the TPU is behind a shared relay and the CPU
-    # baseline is load-sensitive — the max is the least-noisy estimator of
-    # each side's attainable rate
     # SYMMETRIC sample counts: 5 spaced windows (one compile) on the TPU
     # side, best-of-5 runs on the CPU side — unequal tries would bias the
     # extreme-value ratio toward whichever side samples more

@@ -42,6 +42,14 @@ class BadRequest(ValueError):
     Internal generation failures stay plain exceptions -> HTTP 500."""
 
 
+# ALL services in a process share this generation lock by default:
+# generation seeds the process-global numpy RNG (reference parity), so any
+# two concurrent generations — same family or not — would interleave the
+# stream and break per-seed byte stability. Pass an explicit ``lock`` only
+# to isolate tests.
+_GENERATION_LOCK = threading.Lock()
+
+
 class GenerationService:
     """Loads checkpoints once; serves repeated generation requests warm.
 
@@ -58,11 +66,9 @@ class GenerationService:
             raise ValueError(f"unknown model {model!r}")
         self.model = model
         self.max_n = max_n
-        # when several services share one process they MUST share one lock:
-        # generation seeds the process-global numpy RNG (reference parity),
-        # so any two concurrent generations — same family or not — would
-        # interleave the stream and break per-seed byte stability
-        self._lock = lock or threading.Lock()
+        # the process-wide default makes the safety invariant self-enforcing
+        # (see _GENERATION_LOCK) — no caller plumbing required
+        self._lock = lock or _GENERATION_LOCK
         self.requests = 0
         self._latency_sum = 0.0
 
@@ -97,8 +103,10 @@ class GenerationService:
             "model": self.model,
             "requests": n,
             "avg_latency_s": round(self._latency_sum / n, 4) if n else None,
-            # requests serialize on the generation lock; True = a request
-            # is in flight right now (new ones will queue behind it)
+            # requests serialize on the (process-wide by default) generation
+            # lock; True = SOME generation is in flight in this process —
+            # with co-hosted families that includes the other family's
+            # requests, since they contend for the same lock
             "busy": self._lock.locked(),
         }
 
@@ -187,7 +195,8 @@ def make_http_server(service, host: str = "127.0.0.1",
 
     ``service`` is a :class:`GenerationService` or a dict
     ``{model_name: service}`` to host several model families in one
-    process (each keeps its own lock and stats).
+    process — each keeps its own stats, but all share the process-wide
+    generation lock by default (see ``_GENERATION_LOCK``).
     """
     services = service if isinstance(service, dict) else {service.model: service}
 
@@ -254,12 +263,12 @@ def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
             "--model both cannot take checkpoint args (ambiguous target); "
             "serve each checkpointed model from its own process")
     models = ("mmgan", "gandes") if model == "both" else (model,)
-    shared_lock = threading.Lock()
     services = {}
     for m in models:
+        # services share _GENERATION_LOCK by default — no plumbing needed
         services[m] = GenerationService(
             model=m, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint,
-            start=start, sequence_length=sequence_length, lock=shared_lock)
+            start=start, sequence_length=sequence_length)
     if warmup:  # compile + first DES round trip before accepting traffic
         for m, svc in services.items():
             svc.generate(n=1, seed=0)

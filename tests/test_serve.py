@@ -95,13 +95,13 @@ def test_serve_both_models(tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)
     os.makedirs("logs", exist_ok=True)
-    # services sharing a process must share the generation lock (the DES
-    # owns the process-global numpy stream)
-    lock = threading.Lock()
     services = {
-        "mmgan": GenerationService(model="mmgan", start=0, lock=lock),
-        "gandes": GenerationService(model="gandes", lock=lock),
+        "mmgan": GenerationService(model="mmgan", start=0),
+        "gandes": GenerationService(model="gandes"),
     }
+    # the safety invariant is self-enforcing: services share the
+    # process-wide generation lock by default (DES owns the global numpy
+    # stream)
     assert services["mmgan"]._lock is services["gandes"]._lock
     server = make_http_server(services, port=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -124,7 +124,13 @@ def test_serve_both_models(tmp_path, monkeypatch):
 def test_serve_concurrent_requests_stay_deterministic(tmp_path, monkeypatch):
     """Concurrent clients hammering both co-hosted families must not
     perturb per-seed outputs: generation seeds the process-global numpy
-    RNG, and the shared lock serializes every generation in the process."""
+    RNG, and the (default, process-wide) lock serializes every generation.
+
+    Byte-comparing DES outputs is safe here despite the wall-clock budget
+    quirk: the native engine finishes these ~1000-customer sims by count in
+    milliseconds, orders of magnitude under the >=0.5 s budgets a fresh G
+    emits, so truncation would need a ~100x machine slowdown (the same
+    assumption every other serve determinism test already makes)."""
     import concurrent.futures
     import os
 
@@ -132,10 +138,9 @@ def test_serve_concurrent_requests_stay_deterministic(tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)
     os.makedirs("logs", exist_ok=True)
-    lock = threading.Lock()
     services = {
-        "mmgan": GenerationService(model="mmgan", start=0, lock=lock),
-        "gandes": GenerationService(model="gandes", lock=lock),
+        "mmgan": GenerationService(model="mmgan", start=0),
+        "gandes": GenerationService(model="gandes"),
     }
     server = make_http_server(services, port=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
