@@ -155,7 +155,9 @@ def materialize_records(sim, limit: int | None = None) -> None:
             nb = lib.des_format_records(ptr(values), ptr(ids), ptr(servers_l),
                                         ptr(kinds), C.c_int64(lo), C.c_int64(hi),
                                         ptr(buf), C.c_int64(len(buf)))
-            assert nb >= 0, "des_format_records buffer overflow"
+            if nb < 0:  # not assert: stripped under python -O, and a -1
+                # return would silently index buf[:-1] into a garbled line
+                raise RuntimeError("des_format_records buffer overflow")
             lines.extend(buf[:nb].tobytes().decode("ascii").split("\n"))
         sim._pending_offset = want
     if sim._pending_offset >= total:

@@ -273,6 +273,9 @@ def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
         for m, svc in services.items():
             svc.generate(n=1, seed=0)
             print(f"{m} warmup done in {svc._latency_sum:.2f}s")
+            # keep the compile-heavy warmup out of /healthz request stats
+            svc.requests = 0
+            svc._latency_sum = 0.0
     server = make_http_server(services, host, port)
     endpoints = ", ".join(f"POST /generate/{m}" for m in services)
     print(f"serving {'+'.join(services)} on http://{host}:{port} "

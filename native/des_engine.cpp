@@ -639,6 +639,13 @@ int py_float_repr(double v, char* out) {
   char tmp[64];
   auto res = std::to_chars(tmp, tmp + sizeof(tmp), v,
                            std::chars_format::scientific);
+  if (!std::isfinite(v)) {
+    // to_chars emits "inf"/"-inf"/"nan" with no exponent — exactly
+    // CPython's repr — so copy it verbatim instead of parsing digits
+    int n = int(res.ptr - tmp);
+    std::memcpy(out, tmp, size_t(n));
+    return n;
+  }
   const char* p = tmp;
   char* q = out;
   if (*p == '-') { *q++ = '-'; ++p; }

@@ -185,6 +185,7 @@ def test_native_log_formatting_matches_python_repr():
         9999999999999998.0, 1e-4, -1e-4, 1e-5, 2.5e-5, 6.9e-05, 5e-324,
         2.2250738585072014e-308, 1.7976931348623157e308, 0.30000000000000004,
         1234567890123456.7, 1e100, -3e-200,
+        np.inf, -np.inf, np.nan,  # repr 'inf'/'-inf'/'nan' (ADVICE r1)
     ])
     fuzz = (rng.randn(20000) * np.exp(rng.uniform(-300, 300, 20000) * np.log(10)
                                       ).clip(1e-307, 1e307))

@@ -76,3 +76,56 @@ def test_pallas_rasterizer_empty_and_full_pad():
     z = np.zeros((2, 8), np.int32)
     out = np.asarray(rasterize_events_pallas(notes, z, z, z, num_steps=50))
     assert out.shape == (2, 2, 128, 50) and not out.any()
+
+
+def test_pallas_rasterizer_compiled_on_tpu_matches_xla():
+    """COMPILED-kernel bit-equality on real TPU hardware (ADVICE r1).
+
+    The in-process suite pins jax to a virtual CPU mesh (conftest), so the
+    Pallas kernel only ever runs in interpret mode here. This test re-checks
+    the compiled kernel in a subprocess with the CPU forcing stripped; it
+    auto-skips when that subprocess still lands on a CPU backend (no TPU
+    attached).
+    """
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p
+    )
+    body = (
+        "import jax\n"
+        "if jax.devices()[0].platform == 'cpu':\n"
+        "    print('NO_TPU'); raise SystemExit(0)\n"
+        "import numpy as np\n"
+        "from gandes_tpu.music.piano_roll import rasterize_events_jax\n"
+        "from gandes_tpu.ops.pallas_roll import rasterize_events_pallas\n"
+        "rng = np.random.RandomState(11)\n"
+        "for B, E, T, start in [(3, 64, 50, 5), (2, 256, 50, 100)]:\n"
+        "    notes = rng.randint(-1, 128, (B, E)).astype(np.int32)\n"
+        "    ons = rng.randint(0, T + start + 10, (B, E)).astype(np.int32)\n"
+        "    offs = (ons + rng.randint(-2, 20, (B, E))).astype(np.int32)\n"
+        "    vels = rng.randint(-1, 127, (B, E)).astype(np.int32)\n"
+        "    ref = np.asarray(rasterize_events_jax(notes, ons, offs, vels,\n"
+        "        num_steps=T, start=start, impl='xla'))\n"
+        "    got = np.asarray(rasterize_events_pallas(notes, ons, offs, vels,\n"
+        "        num_steps=T, start=start))\n"
+        "    np.testing.assert_array_equal(got, ref)\n"
+        "print('TPU_PARITY_OK')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", body], env=env, text=True,
+                          capture_output=True, timeout=420)
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU attached in subprocess")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "TPU_PARITY_OK" in proc.stdout
