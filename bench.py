@@ -21,8 +21,13 @@ import numpy as np
 
 BATCH, T, ADJ, ZDIM = 16, 50, 64, 50
 
+# v5e peak: 197 TFLOP/s bf16 per chip. The step's matmuls run at MXU
+# DEFAULT precision, which is bf16-input on this platform (CLAUDE.md), so
+# the bf16 peak is the honest denominator for MFU.
+V5E_PEAK_FLOPS = 197e12
 
-def bench_jax(iters: int = 100, windows: int = 3) -> float:
+
+def bench_jax(iters: int = 100, windows: int = 3):
     import jax
     import jax.numpy as jnp
     import optax
@@ -59,25 +64,36 @@ def bench_jax(iters: int = 100, windows: int = 3) -> float:
         import jax as _jax
         return _jax.tree.map(jnp.copy, state)
 
-    # warmup/compile
+    # warmup/compile; also pull the exact per-step FLOP count out of the
+    # compiled executable for the MFU row (None if the backend can't say)
     s, mats, vec, metrics = one(fresh(), real, fake, noise1, noise2, beats)
     jax.block_until_ready((s.d_params, mats, metrics))
+    flops = None
+    try:
+        ca = one.lower(fresh(), real, fake, noise1, noise2,
+                       beats).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # several measurement windows per compile: the remote relay's load is
     # bursty, with swings of ~10x in dispatch latency lasting on the order
-    # of a minute — space the windows across that timescale so the max has
-    # a real chance of sampling an unloaded period
-    best = 0.0
+    # of a minute — space the windows across that timescale. The max has a
+    # real chance of sampling an unloaded period (the chip's capability);
+    # the median across the same windows is the sustained number.
+    rates = []
     for w in range(windows):
         s = fresh()
         t0 = time.perf_counter()
         for _ in range(iters):
             s, mats, vec, metrics = one(s, real, fake, noise1, noise2, beats)
         jax.block_until_ready((s.d_params, mats, metrics))
-        best = max(best, iters / (time.perf_counter() - t0))
+        rates.append(iters / (time.perf_counter() - t0))
         if w + 1 < windows:
             time.sleep(20.0)
-    return best
+    return rates, flops
 
 
 def bench_torch_cpu(iters: int = 20) -> float:
@@ -282,6 +298,71 @@ def bench_host_stage(B: int = 16) -> None:
     _emit("mmgan_host_stage_s_per_batch", t_par, "s", t_seq / t_par)
 
 
+def bench_full_step(torch_rate: float, iters: int = 3) -> None:
+    """FULL MM-GAN train step: G1/G2 forward + host DES stage (decode,
+    simulate, MIDI, rasterize) + D update — the honest end-to-end number
+    (PARITY.md 'Full MM-GAN train step' row), not device math alone.
+
+    vs_baseline: a reference-equivalent full step = the same torch-CPU
+    device math plus the *sequential* host stage measured here. The
+    sequential stage still rides our native engine, so the baseline is a
+    conservative LOWER bound on the reference's real cost (its pure-Python
+    engine + per-sample watchdogs measured 16-32 s/batch)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+    from gandes_tpu.models import BeatGenerator, DiscriminatorCNN, MLPGenerator
+    from gandes_tpu.train.steps import (
+        init_mmgan_state,
+        make_mmgan_step_and_next_forward,
+    )
+
+    g1 = MLPGenerator(adj_size=(ADJ, ADJ))
+    g2 = BeatGenerator(output_dim=20)
+    d = DiscriminatorCNN(roll_size=(2, 128, T))
+    g_tx, d_tx = optax.adam(0.01), optax.adam(0.01)
+    state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=BATCH,
+                             z_dim=ZDIM, beat_dim=50, roll_size=(2, 128, T),
+                             g_tx=g_tx, d_tx=d_tx)
+    one = jax.jit(make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx))
+
+    key = jax.random.key(1)
+    noise1 = jax.random.normal(key, (BATCH, ZDIM))
+    noise2 = jax.random.normal(key, (BATCH, ZDIM))
+    beats = jnp.zeros((BATCH, 50))
+    real = jax.random.uniform(key, (BATCH, 2, 128, T)) * 100.0
+
+    def host_stage(mats, vec, parallel):
+        rolls, _failed = matrix_to_midi(
+            np.asarray(mats)[:, None], np.asarray(vec), adj_size=(ADJ, ADJ),
+            instrument=0, start=100, end=150, parallel=parallel)
+        return jnp.asarray(np.stack(rolls).astype(np.float32))
+
+    with _tmp_workdir():
+        np.random.seed(7)
+        # warmup: compile + first DES round trip
+        state, mats, vec, _ = one(state, real, real, noise1, noise2, beats)
+        fake = host_stage(mats, vec, BATCH)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, mats, vec, _ = one(state, real, fake, noise1, noise2, beats)
+            jax.block_until_ready((mats, vec))
+            fake = host_stage(mats, vec, BATCH)
+        full_rate = iters / (time.perf_counter() - t0)
+
+        # baseline host stage: sequential parity mode, one batch
+        np.random.seed(7)
+        t0 = time.perf_counter()
+        host_stage(mats, vec, None)
+        t_host_seq = time.perf_counter() - t0
+    baseline_rate = 1.0 / (1.0 / torch_rate + t_host_seq)
+    _emit("mmgan_full_pipeline_steps_per_sec", full_rate, "steps/s",
+          full_rate / baseline_rate)
+
+
 def bench_serving(n_requests: int = 10) -> None:
     """Warm single-sample generation latency through the serving service
     (G forward + full DES + MIDI encode). Absolute metric — the reference
@@ -317,8 +398,22 @@ def main():
     # SYMMETRIC sample counts: 5 spaced windows (one compile) on the TPU
     # side, best-of-5 runs on the CPU side — unequal tries would bias the
     # extreme-value ratio toward whichever side samples more
-    jax_rate = bench_jax(iters=60, windows=5)
-    torch_rate = max(bench_torch_cpu(iters=10) for _ in range(5))
+    rates, flops = bench_jax(iters=60, windows=5)
+    jax_rate = max(rates)
+    sustained = float(np.median(rates))
+    torch_rates = [bench_torch_cpu(iters=10) for _ in range(5)]
+    torch_rate = max(torch_rates)
+    torch_sustained = float(np.median(torch_rates))
+    if flops:
+        # hardware utilization of the device step: measured FLOPs/step (from
+        # the compiled executable) x sustained steps/s over the chip's peak.
+        # The models are the reference's own tiny MLP/CNNs at batch 16, so
+        # low absolute MFU is expected — the row quantifies it.
+        _emit("mmgan_train_step_mfu_pct",
+              flops * sustained / V5E_PEAK_FLOPS * 100.0, "%", 1.0)
+    _emit("mmgan_fused_train_steps_per_sec_sustained", sustained, "steps/s",
+          sustained / torch_sustained)
+    bench_full_step(torch_rate)
     print(
         json.dumps(
             {

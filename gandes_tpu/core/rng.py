@@ -47,7 +47,7 @@ class Sampler:
     ``branch`` always samples 0.0, ``queue`` has no distribution at all.
     """
 
-    __slots__ = ("kind", "params", "_xk", "_cum", "mean")
+    __slots__ = ("kind", "params", "_xk", "_cum", "mean", "_int_support")
 
     def __init__(self, spec):
         kind = spec[0]
@@ -67,6 +67,10 @@ class Sampler:
         if kind == "exponential":
             self.mean = float(spec[1])
         elif kind == "discrete":
+            # scipy's rv_discrete.rvs dtype follows the support array:
+            # integer xk -> int64 variates (which f-string-format as '2',
+            # not '2.0', in the 'processing' log lines), float xk -> float64.
+            self._int_support = np.issubdtype(np.asarray(spec[1]).dtype, np.integer)
             xk = np.asarray(spec[1], dtype=np.float64)
             pk = np.asarray(spec[2], dtype=np.float64)
             order = np.argsort(xk, kind="stable")
@@ -113,7 +117,8 @@ class Sampler:
             u = rng.random_sample()
             idx = int(np.searchsorted(self._cum, u, side="left"))
             idx = min(idx, len(self._xk) - 1)
-            return float(self._xk[idx])
+            v = self._xk[idx]
+            return int(v) if self._int_support else float(v)
         if kind == "branch":
             return 0.0
         raise ValueError("'queue' nodes have no distribution")
