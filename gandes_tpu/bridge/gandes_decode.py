@@ -133,6 +133,7 @@ def matrix_to_wav(
     max_sim_time=0.5,
     parallel=None,
     write_wav=True,
+    sound_font=None,
 ):
     num_aug = 5
 
@@ -143,7 +144,7 @@ def matrix_to_wav(
             return _matrix_to_wav_parallel(
                 matrices, size, num_aug, use_same_instrument, start, end,
                 log_path, out_dir, sample_rate, number_of_customers,
-                max_sim_time, parallel, write_wav,
+                max_sim_time, parallel, write_wav, sound_font,
             )
 
     spectrograms = []
@@ -183,7 +184,8 @@ def matrix_to_wav(
             # crosses to the host if the WAV artifact is wanted; render from
             # the in-memory MidiFile (== the just-written file) to skip the
             # re-parse
-            audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True)
+            audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True,
+                                              sound_font=sound_font)
             if write_wav:
                 output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
                 os.makedirs(os.path.dirname(output_file), exist_ok=True)
@@ -201,7 +203,7 @@ def matrix_to_wav(
 def _matrix_to_wav_parallel(matrices, size, num_aug, use_same_instrument,
                             start, end, log_path, out_dir, sample_rate,
                             number_of_customers, max_sim_time, parallel,
-                            write_wav=True):
+                            write_wav=True, sound_font=None):
     """Fast mode (mirrors bridge/mmgan_decode's): sequential decode on the
     global RNG, concurrent native sims with private routing streams, then
     sequential MIDI/synth/mel. The reference's retry-then-blank fallback
@@ -251,7 +253,8 @@ def _matrix_to_wav_parallel(matrices, size, num_aug, use_same_instrument,
         )
         if res is not None:
             file_path, events = res
-            audio_dev, true_len = render_events(events, sr=sample_rate, as_jax=True)
+            audio_dev, true_len = render_events(events, sr=sample_rate, as_jax=True,
+                                                sound_font=sound_font)
         else:
             file_path, mid = process_adjsim_log_v1(
                 instruments=instruments, note_levels=note_levels,
@@ -259,7 +262,8 @@ def _matrix_to_wav_parallel(matrices, size, num_aug, use_same_instrument,
                 out_path=os.path.join(out_dir, "midi", "output.mid"),
                 return_mid=True,
             )
-            audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True)
+            audio_dev, true_len = render_midi(mid, sr=sample_rate, as_jax=True,
+                                              sound_font=sound_font)
         if write_wav:
             output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
             os.makedirs(os.path.dirname(output_file), exist_ok=True)

@@ -102,7 +102,7 @@ def sim_to_wav(matrices=(None,), size=32, use_same_instrument=None,
 
         output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
         os.makedirs(os.path.dirname(output_file), exist_ok=True)
-        audio = render_midi(file_path, sr=sample_rate)
+        audio = render_midi(file_path, sr=sample_rate, sound_font=sound_font)
         save_wav(output_file, audio, sample_rate)
         print("Generated wav file:", output_file)
         outputs.append(output_file)

@@ -63,7 +63,8 @@ def _cmd_train_gandes(args):
     from gandes_tpu.data.datasets import DataLoader, MaestroDatasetGanDes, my_collate
     from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
 
-    dataset = MaestroDatasetGanDes(batch_size=args.batch_size, input_folder=args.midi_root)
+    dataset = MaestroDatasetGanDes(batch_size=args.batch_size, input_folder=args.midi_root,
+                                   sound_font=args.sound_font)
     loader = DataLoader(dataset, batch_size=1, shuffle=True, collate_fn=my_collate)
     cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir,
                        g_update=args.g_update, des_parallel=args.des_parallel,
@@ -134,7 +135,7 @@ def _cmd_generate_gandes(args):
 
     _os.makedirs(args.out_dir, exist_ok=True)
     specs = matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
-                          out_dir=args.out_dir)
+                          out_dir=args.out_dir, sound_font=args.sound_font)
     plot_spectrogram(np.asarray(specs[0]),
                      save_path=os.path.join(args.out_dir, "spectrogram.png"))
     print(f"generated {args.n} song(s): WAVs + spectrogram.png in {args.out_dir}/")
@@ -267,7 +268,8 @@ def _cmd_sim_to_wav(args):
 
     np.random.seed(args.seed)
     outs = sim_to_wav(matrices=[None], size=args.size,
-                      use_same_instrument=args.instrument, out_dir=args.out_dir)
+                      use_same_instrument=args.instrument, out_dir=args.out_dir,
+                      sound_font=args.sound_font or "FluidR3_GM.sf2")
     print("\n".join(outs))
 
 
@@ -395,6 +397,7 @@ def main(argv=None):
 
     sp = sub.add_parser("train-gandes", help="train the GAN-DES spectrogram GAN")
     sp.add_argument("--midi-root", required=True)
+    sp.add_argument("--sound-font", default=None, help=".sf2 path: render by sample playback from this soundfont (default: additive synth)")
     sp.add_argument("--batch-size", type=int, default=30)
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--models-dir", default="models")
@@ -430,6 +433,7 @@ def main(argv=None):
 
     sp = sub.add_parser("generate-gandes", help="GAN-DES: generate songs from a checkpoint")
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--sound-font", default=None, help=".sf2 path: render by sample playback from this soundfont (default: additive synth)")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="a reference gen_<step>_<ts>.pt state_dict")
     sp.add_argument("--n", type=int, default=1)
@@ -464,6 +468,7 @@ def main(argv=None):
     sp.set_defaults(fn=_cmd_export_torch)
 
     sp = sub.add_parser("sim-to-wav", help="random queueing network -> WAV demo")
+    sp.add_argument("--sound-font", default=None, help=".sf2 path: render by sample playback from this soundfont (default: additive synth)")
     sp.add_argument("--size", type=int, default=32)
     sp.add_argument("--instrument", type=int, default=None)
     sp.add_argument("--out-dir", default="adj_sim_outputs")

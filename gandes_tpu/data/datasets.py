@@ -337,12 +337,15 @@ class MaestroDatasetGanDes(Dataset):
     no temp-wav round trip needed)."""
 
     def __init__(self, batch_size, input_folder="data/maestro-v3.0.0",
-                 metadata_json=None, sample_rate=44100):
+                 metadata_json=None, sample_rate=44100, sound_font=None):
         import json
 
         self.INPUT_FOLDER = input_folder
         self.k = batch_size
         self.sample_rate = sample_rate
+        # .sf2 path -> sample-playback rendering (the reference's
+        # FluidR3_GM pipeline, GAN_DES/datasets.py:70); None -> additive
+        self.sound_font = sound_font
         meta = metadata_json or os.path.join(input_folder, "maestro-v3.0.0.json")
         if os.path.exists(meta):
             with open(meta) as f:
@@ -361,7 +364,8 @@ class MaestroDatasetGanDes(Dataset):
         from gandes_tpu.music.synth import render_midi
 
         midi_path = os.path.join(self.INPUT_FOLDER, self.data[str(index)])
-        audio = render_midi(midi_path, sr=self.sample_rate)
+        audio = render_midi(midi_path, sr=self.sample_rate,
+                            sound_font=self.sound_font)
         sr = self.sample_rate
         splits = []
         for i in np.arange(0, len(audio) + 1, 5 * sr):

@@ -1,0 +1,611 @@
+"""SoundFont-2 sample-playback synthesis on TPU.
+
+The reference renders every WAV through the FluidSynth binary with the
+FluidR3_GM soundfont (`GAN_DES/matrix_sim_process.py:114-125`,
+`MMGAN_MIDI_DES/util.py:123-127`, `GAN_DES/datasets.py:70,82`). This module
+is the sample-playback equivalent: it parses the SoundFont 2 format
+(hydra: presets -> zones -> generators -> instruments -> samples), selects
+per-note sample zones the way a SoundFont player does, and renders by
+*playing the soundfont's actual samples* — pitch-shifted bank gathers with
+loop folding under the SF2 volume envelope — on device, riding the same
+block-scan + scatter-add architecture as the additive synth
+(`music/synth.py::_render`).
+
+Scope (documented, deliberate):
+
+* Generators honored: key/vel ranges, sampleID, sampleModes (0/2 one-shot,
+  1/3 continuous loop — 3 is treated as 1, i.e. the loop also runs through
+  the short release), overridingRootKey, coarse/fineTune + the sample
+  header's pitchCorrection, scaleTuning, initialAttenuation, the sample
+  start/end/loop address offsets (fine + coarse), and the volume envelope
+  (delay/attack/hold/decay/sustain/release). Preset-level generators add
+  to instrument-level values per spec section 9.4.
+* The volume envelope is the spec shape: linear-amplitude attack, hold,
+  decay linear-in-dB to the sustain attenuation, release linear-in-dB at
+  96 dB per ``release_s``. Velocity maps to gain as the spec's concave
+  default modulator, approximated by amp = (vel/127)^2 (= -40 log10 dB).
+* Mono render: stereo sample pairs (both zones match the key) are summed.
+  Pan, chorus/reverb sends, modulation envelope/LFO, and custom modulators
+  are out of scope — they shape spatial/motion character, not the
+  mel-spectrogram note/timbre structure the GAN pipelines consume.
+* FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
+  NOT cloned; this plays the font per the SF2 spec.
+
+``build_sf2`` writes a minimal valid soundfont (used by the test fixture
+and ``doctor`` self-checks; also handy for users without FluidR3_GM).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# ------------------------------------------------------------ generator ids
+G_START_OFS = 0
+G_END_OFS = 1
+G_STARTLOOP_OFS = 2
+G_ENDLOOP_OFS = 3
+G_START_COARSE = 4
+G_END_COARSE = 12
+G_STARTLOOP_COARSE = 45
+G_ENDLOOP_COARSE = 50
+G_DELAY_VOL = 33
+G_ATTACK_VOL = 34
+G_HOLD_VOL = 35
+G_DECAY_VOL = 36
+G_SUSTAIN_VOL = 37
+G_RELEASE_VOL = 38
+G_KEY_RANGE = 43
+G_VEL_RANGE = 44
+G_INITIAL_ATT = 48
+G_COARSE_TUNE = 51
+G_FINE_TUNE = 52
+G_SAMPLE_ID = 53
+G_SAMPLE_MODES = 54
+G_SCALE_TUNING = 56
+G_ROOT_KEY = 58
+G_INSTRUMENT = 41
+
+_TIMECENT_GENS = (G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL, G_RELEASE_VOL)
+_DEFAULTS = {g: -12000 for g in _TIMECENT_GENS}
+_DEFAULTS.update({G_SUSTAIN_VOL: 0, G_INITIAL_ATT: 0, G_COARSE_TUNE: 0,
+                  G_FINE_TUNE: 0, G_SCALE_TUNING: 100, G_SAMPLE_MODES: 0,
+                  G_ROOT_KEY: -1,
+                  G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
+                  G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
+                  G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
+
+
+def _timecents_to_s(tc: int) -> float:
+    # -12000 timecents == "instant" per spec (< 1 ms); clamp well below 0
+    if tc <= -11999:
+        return 0.0
+    return float(2.0 ** (tc / 1200.0))
+
+
+@dataclass
+class SampleHeader:
+    name: str
+    start: int
+    end: int
+    loop_start: int
+    loop_end: int
+    sample_rate: int
+    original_pitch: int
+    pitch_correction: int
+    sample_type: int
+
+
+@dataclass
+class Zone:
+    gens: dict = field(default_factory=dict)  # oper -> signed amount
+    key_lo: int = 0
+    key_hi: int = 127
+    vel_lo: int = 0
+    vel_hi: int = 127
+
+    def matches(self, key: int, vel: int) -> bool:
+        return self.key_lo <= key <= self.key_hi and self.vel_lo <= vel <= self.vel_hi
+
+
+@dataclass
+class Instrument:
+    name: str
+    global_zone: Zone | None
+    zones: list  # of Zone, each with G_SAMPLE_ID
+
+
+@dataclass
+class Preset:
+    name: str
+    preset: int
+    bank: int
+    global_zone: Zone | None
+    zones: list  # of Zone, each with G_INSTRUMENT
+
+
+def _parse_zone_records(bag, gens, lo_bag, hi_bag, terminal_gen):
+    """Split a [lo_bag, hi_bag) bag range into (global_zone, zones) per the
+    SF2 rule: a first zone without the terminal generator (sampleID /
+    instrument) is the global zone."""
+    zones = []
+    global_zone = None
+    for zi in range(lo_bag, hi_bag):
+        g_lo, g_hi = bag[zi][0], bag[zi + 1][0]
+        z = Zone()
+        for gi in range(g_lo, g_hi):
+            oper, raw = gens[gi]
+            if oper == G_KEY_RANGE:
+                z.key_lo, z.key_hi = raw & 0xFF, (raw >> 8) & 0xFF
+            elif oper == G_VEL_RANGE:
+                z.vel_lo, z.vel_hi = raw & 0xFF, (raw >> 8) & 0xFF
+            else:
+                amt = raw - 0x10000 if raw >= 0x8000 else raw  # signed short
+                z.gens[oper] = amt
+        if terminal_gen in z.gens:
+            zones.append(z)
+        elif zi == lo_bag and global_zone is None:
+            global_zone = z
+    return global_zone, zones
+
+
+class Sf2Font:
+    """Parsed SoundFont: 16-bit sample bank (as float32 in [-1, 1]) + the
+    preset/instrument/zone hydra, with per-note voice resolution."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"RIFF" or data[8:12] != b"sfbk":
+            raise ValueError(f"{path}: not a SoundFont 2 (RIFF sfbk) file")
+        chunks = self._walk(data)
+        if "smpl" not in chunks:
+            raise ValueError(f"{path}: no sample data (smpl) chunk")
+        raw = chunks["smpl"]
+        self.bank = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+
+        self.samples = [
+            SampleHeader(
+                name=r[0].split(b"\0")[0].decode("latin-1"),
+                start=r[1], end=r[2], loop_start=r[3], loop_end=r[4],
+                sample_rate=r[5], original_pitch=r[6], pitch_correction=r[7],
+                sample_type=r[9],
+            )
+            for r in struct.iter_unpack("<20sIIIIIBbHH", chunks["shdr"])
+        ][:-1]  # terminal EOS record
+
+        pbag = list(struct.iter_unpack("<HH", chunks["pbag"]))
+        pgen = list(struct.iter_unpack("<HH", chunks["pgen"]))
+        ibag = list(struct.iter_unpack("<HH", chunks["ibag"]))
+        igen = list(struct.iter_unpack("<HH", chunks["igen"]))
+
+        inst_recs = list(struct.iter_unpack("<20sH", chunks["inst"]))
+        self.instruments = []
+        for k in range(len(inst_recs) - 1):
+            gz, zones = _parse_zone_records(
+                ibag, igen, inst_recs[k][1], inst_recs[k + 1][1], G_SAMPLE_ID)
+            self.instruments.append(Instrument(
+                inst_recs[k][0].split(b"\0")[0].decode("latin-1"), gz, zones))
+
+        phdr_recs = list(struct.iter_unpack("<20sHHHIII", chunks["phdr"]))
+        self.presets = {}
+        for k in range(len(phdr_recs) - 1):
+            name, prog, bank_n, bag_ndx = phdr_recs[k][:4]
+            gz, zones = _parse_zone_records(
+                pbag, pgen, bag_ndx, phdr_recs[k + 1][3], G_INSTRUMENT)
+            self.presets[(bank_n, prog)] = Preset(
+                name.split(b"\0")[0].decode("latin-1"), prog, bank_n, gz, zones)
+        self._voice_cache: dict = {}
+
+    @staticmethod
+    def _walk(data: bytes) -> dict:
+        """Flatten the RIFF tree into {chunk_id: payload} (pdta/sdta leaves)."""
+        out = {}
+
+        def walk(buf):
+            pos = 0
+            while pos + 8 <= len(buf):
+                cid = buf[pos:pos + 4]
+                (size,) = struct.unpack_from("<I", buf, pos + 4)
+                body = buf[pos + 8:pos + 8 + size]
+                if cid in (b"RIFF", b"LIST"):
+                    walk(body[4:])  # skip form type
+                else:
+                    out[cid.decode("latin-1")] = body
+                pos += 8 + size + (size & 1)
+
+        walk(data)
+        return out
+
+    # ------------------------------------------------------ voice resolution
+
+    def select_voices(self, program: int, key: int, vel: int, bank: int = 0):
+        """All (sample, combined-generator) voices a note spawns. Returns a
+        list of dicts of physical playback parameters. Cached per
+        (bank, program, key, vel)."""
+        ck = (bank, program, key, vel)
+        hit = self._voice_cache.get(ck)
+        if hit is not None:
+            return hit
+        preset = self.presets.get((bank, program))
+        if preset is None and bank != 0:
+            preset = self.presets.get((0, program))
+        if preset is None:
+            # GM player fallback: first preset in the font
+            preset = next(iter(self.presets.values()), None)
+        voices = []
+        if preset is not None:
+            pglobal = preset.global_zone.gens if preset.global_zone else {}
+            for pz in preset.zones:
+                if not pz.matches(key, vel):
+                    continue
+                pgens = dict(pglobal)
+                pgens.update(pz.gens)
+                inst_id = pgens.pop(G_INSTRUMENT)
+                if not 0 <= inst_id < len(self.instruments):
+                    continue
+                inst = self.instruments[inst_id]
+                iglobal = inst.global_zone.gens if inst.global_zone else {}
+                for iz in inst.zones:
+                    if not iz.matches(key, vel):
+                        continue
+                    igens = dict(iglobal)
+                    igens.update(iz.gens)
+                    v = self._voice_params(igens, pgens, key, vel)
+                    if v is not None:
+                        voices.append(v)
+        self._voice_cache[ck] = voices
+        return voices
+
+    def _voice_params(self, igens: dict, pgens: dict, key: int, vel: int):
+        def gen(oper, preset_additive=True):
+            v = igens.get(oper, _DEFAULTS[oper])
+            if preset_additive and oper in pgens:
+                v += pgens[oper]
+            return v
+
+        sid = igens[G_SAMPLE_ID]
+        if not 0 <= sid < len(self.samples):
+            return None
+        sh = self.samples[sid]
+        start = sh.start + gen(G_START_OFS, False) + 32768 * gen(G_START_COARSE, False)
+        end = sh.end + gen(G_END_OFS, False) + 32768 * gen(G_END_COARSE, False)
+        loop_start = (sh.loop_start + gen(G_STARTLOOP_OFS, False)
+                      + 32768 * gen(G_STARTLOOP_COARSE, False))
+        loop_end = (sh.loop_end + gen(G_ENDLOOP_OFS, False)
+                    + 32768 * gen(G_ENDLOOP_COARSE, False))
+        root = gen(G_ROOT_KEY, False)
+        if root < 0:
+            root = sh.original_pitch
+        cents = (gen(G_SCALE_TUNING) * (key - root)
+                 + 100 * gen(G_COARSE_TUNE) + gen(G_FINE_TUNE)
+                 + sh.pitch_correction)
+        ratio = 2.0 ** (cents / 1200.0)
+        att_cb = max(0, gen(G_INITIAL_ATT))
+        sustain_cb = min(max(0, gen(G_SUSTAIN_VOL)), 1440)
+        mode = igens.get(G_SAMPLE_MODES, 0)
+        return {
+            "start": float(start),
+            "end": float(min(end, len(self.bank) - 1)),
+            "loop_start": float(loop_start),
+            "loop_end": float(min(loop_end, len(self.bank) - 1)),
+            "loop": 1 if mode in (1, 3) else 0,
+            "rate_ratio": ratio,
+            "sample_rate": sh.sample_rate,
+            "amp": (vel / 127.0) ** 2 * 10.0 ** (-att_cb / 200.0),
+            "delay_s": _timecents_to_s(gen(G_DELAY_VOL)),
+            "attack_s": _timecents_to_s(gen(G_ATTACK_VOL)),
+            "hold_s": _timecents_to_s(gen(G_HOLD_VOL)),
+            "decay_s": _timecents_to_s(gen(G_DECAY_VOL)),
+            "sustain_amp": 10.0 ** (-sustain_cb / 200.0),
+            "release_s": max(_timecents_to_s(gen(G_RELEASE_VOL)), 1e-3),
+        }
+
+
+# ----------------------------------------------------------- device render
+
+MAX_NOTE_S = 2.4     # rendered note cap (the music pipeline's DES notes are
+                     # short; tails beyond this are inaudible). Sized so the
+                     # TPU window W = pow2((2.4+0.5)*44100) stays at 2^17:
+                     # a 2^18 window's (EVENT_BLOCK, W) intermediates blow
+                     # the ~16 MB VMEM budget and compile pathologically
+                     # slowly on this platform (measured 73 s -> 8 s).
+MAX_RELEASE_S = 0.5  # release tail cap inside the window
+EVENT_BLOCK = 32
+# Per-voice parameter columns shipped to the kernel, PACKED into one
+# (len(_F), E) float32 array — each jit argument is a separate H2D
+# transfer with real per-call latency over this platform's relay, so one
+# packed transfer per render beats 14. Positions are START-RELATIVE
+# floats + a separate int32 absolute-start array: FluidR3's bank is ~65M
+# samples (> 2^24), beyond exact float32 indexing, while any single
+# sample segment and any W-window advance stay well within f32 exactness.
+_F = ("on_s", "dur_s", "amp", "end_rel", "loop_start_rel",
+      "loop_end_rel", "loop", "inc", "delay_s", "attack_s", "hold_s",
+      "decay_s", "sustain_amp", "release_s")
+
+
+@partial(jax.jit, static_argnames=("L", "W", "sr"))
+def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int):
+    """Sample-playback render: per voice, W output samples gather from the
+    bank at per-voice phase increments (linear interpolation, loop folding),
+    under the SF2 volume envelope; scatter-added at the onset sample. Same
+    block-scan + dump-slot scatter structure as synth._render. Pad voices
+    carry amp == 0. The audio buffer IS the L-sample output window —
+    events and window tails beyond it drop in the scatter."""
+    cols = {k: packed[i] for i, k in enumerate(_F)}
+    valid = cols["amp"] > 0
+    on_samp = jnp.round(cols["on_s"] * sr).astype(jnp.int32)
+    E = start_i.shape[0]
+    n_blocks = E // EVENT_BLOCK
+    w_steps = jnp.arange(W, dtype=jnp.float32)  # output sample index
+
+    def block_body(audio, bi):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bi * EVENT_BLOCK, EVENT_BLOCK)
+        b = {k: sl(cols[k]) for k in _F}
+        b["start_i"] = sl(start_i)
+        bvalid, bons = sl(valid), sl(on_samp)
+
+        # ---- start-relative sample position with loop folding
+        rel = b["inc"][:, None] * w_steps[None, :]                  # (EB, W)
+        span = jnp.maximum(b["loop_end_rel"] - b["loop_start_rel"], 1.0)[:, None]
+        # loop region is [loop_start, loop_end): position loop_end wraps
+        fold = (b["loop"][:, None] > 0) & (rel >= b["loop_end_rel"][:, None])
+        folded = b["loop_start_rel"][:, None] + jnp.mod(
+            rel - b["loop_start_rel"][:, None], span)
+        rel = jnp.where(fold, folded, rel)
+        in_range = rel < b["end_rel"][:, None]
+        rel = jnp.clip(rel, 0.0, b["end_rel"][:, None])
+
+        r0 = jnp.floor(rel)
+        frac = rel - r0
+        i0 = b["start_i"][:, None] + r0.astype(jnp.int32)
+        s0 = jnp.take(bank, i0.reshape(-1), mode="clip").reshape(i0.shape)
+        s1 = jnp.take(bank, (i0 + 1).reshape(-1), mode="clip").reshape(i0.shape)
+        sig = s0 * (1.0 - frac) + s1 * frac
+
+        # ---- SF2 volume envelope (delay, linear-amp attack, hold,
+        # linear-dB decay to sustain, linear-dB release at 96 dB/release_s)
+        t_local = w_steps[None, :] / sr
+        t = t_local - b["delay_s"][:, None]
+        a_s = b["attack_s"][:, None]
+        att = jnp.where(a_s > 1e-9,  # 0 timecents-clamped attack is INSTANT
+                        jnp.clip(t / jnp.maximum(a_s, 1e-9), 0.0, 1.0),
+                        (t >= 0.0).astype(jnp.float32))
+        t_dec = t - b["attack_s"][:, None] - b["hold_s"][:, None]
+        sus_db = -20.0 * jnp.log10(jnp.maximum(b["sustain_amp"], 1e-5))[:, None]
+        dec_db = jnp.clip(t_dec / jnp.maximum(b["decay_s"][:, None], 1e-4),
+                          0.0, 1.0) * sus_db
+        t_rel = t_local - b["dur_s"][:, None]
+        rel_db = jnp.clip(t_rel, 0.0, None) / b["release_s"][:, None] * 96.0
+        env = att * 10.0 ** (-(dec_db + rel_db) / 20.0)
+        env = jnp.where(rel_db < 96.0, env, 0.0)
+
+        win = sig * env * in_range * b["amp"][:, None] * bvalid[:, None]
+
+        idx = bons[:, None] + jnp.arange(W)[None, :]
+        idx = jnp.where(bvalid[:, None], idx, L)
+        audio = audio.at[idx.reshape(-1)].add(win.reshape(-1), mode="drop")
+        return audio, None
+
+    audio = jnp.zeros(L + W + 1, jnp.float32)
+    audio, _ = jax.lax.scan(block_body, audio, jnp.arange(n_blocks))
+    audio = audio[:L]
+    peak = jnp.max(jnp.abs(audio))
+    return jnp.where(peak > 1.0, audio / (peak + 1e-6), audio)
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(0, int(x) - 1).bit_length()
+
+
+class Sf2Synth:
+    """Renders MIDI through a parsed SoundFont on device. One instance
+    caches the device-resident sample bank and the voice-resolution cache;
+    reuse it across renders."""
+
+    def __init__(self, sound_font: str):
+        self.font = Sf2Font(sound_font)
+        self.bank = jnp.asarray(self.font.bank)
+
+    def midi_to_voices(self, midi, sr: int, max_voices: int = 2048):
+        """Flatten a MidiFile into per-voice parameter columns (host side:
+        zone selection is dict lookups; the sample math runs on device)."""
+        from gandes_tpu.music.midi import MidiFile
+        from gandes_tpu.music.synth import midi_to_event_arrays
+
+        m = MidiFile(midi) if isinstance(midi, str) else midi
+        events = midi_to_event_arrays(m, max_events=max_voices)
+        return self.events_to_voices(events, sr, max_voices=max_voices)
+
+    def events_to_voices(self, events, sr: int, max_voices: int = 2048):
+        """Voice columns from pre-extracted (note, vel, on, off, program)
+        event arrays — the ``midi_to_event_arrays`` tuple or the native
+        decoder's identical output."""
+        notes, vels, ons, offs, progs, n, end_t = events
+        cols = {k: [] for k in _F}
+        cols["start_i"] = []
+        for i in range(n):
+            key, vel = int(notes[i]), int(vels[i])
+            for vp in self.font.select_voices(int(progs[i]), key, vel):
+                if len(cols["on_s"]) >= max_voices:
+                    break
+                start = int(vp["start"])
+                cols["on_s"].append(float(ons[i]))
+                cols["dur_s"].append(max(min(float(offs[i] - ons[i]), MAX_NOTE_S), 0.0))
+                cols["amp"].append(vp["amp"])
+                cols["start_i"].append(start)
+                cols["end_rel"].append(vp["end"] - start)
+                cols["loop_start_rel"].append(vp["loop_start"] - start)
+                cols["loop_end_rel"].append(vp["loop_end"] - start)
+                cols["loop"].append(vp["loop"])
+                # bank samples advanced per output sample
+                cols["inc"].append(vp["rate_ratio"] * vp["sample_rate"] / sr)
+                cols["delay_s"].append(vp["delay_s"])
+                cols["attack_s"].append(vp["attack_s"])
+                cols["hold_s"].append(vp["hold_s"])
+                cols["decay_s"].append(min(vp["decay_s"], 100.0))
+                cols["sustain_amp"].append(vp["sustain_amp"])
+                cols["release_s"].append(min(vp["release_s"], MAX_RELEASE_S))
+        return cols, len(cols["on_s"]), float(end_t)
+
+    def render_midi(self, midi, sr: int = 44100, min_seconds: float = 0.5,
+                    tail: float = 0.3, max_voices: int = 2048,
+                    as_jax: bool = False):
+        cols, nv, end_t = self.midi_to_voices(midi, sr, max_voices=max_voices)
+        return self._render_cols(cols, nv, end_t, sr, min_seconds, tail,
+                                 max_voices, as_jax)
+
+    def render_events(self, events, sr: int = 44100, min_seconds: float = 0.5,
+                      tail: float = 0.3, max_voices: int = 2048,
+                      as_jax: bool = False):
+        """Render pre-extracted event arrays — same surface as
+        ``synth.render_events`` (the GAN-DES fast path feeds the native
+        decoder's event arrays straight in)."""
+        cols, nv, end_t = self.events_to_voices(events, sr, max_voices=max_voices)
+        return self._render_cols(cols, nv, end_t, sr, min_seconds, tail,
+                                 max_voices, as_jax)
+
+    def _render_cols(self, cols, nv, end_t, sr, min_seconds, tail,
+                     max_voices, as_jax):
+        from gandes_tpu.music.synth import RENDER_MAX_S
+        length_s = min(max(float(end_t) + tail, min_seconds), RENDER_MAX_S)
+        L = max(_pow2(int(length_s * sr)), 1 << 15)
+
+        on_cpu = jax.devices()[0].platform == "cpu"
+        if on_cpu:
+            E = max(_pow2(nv), EVENT_BLOCK)
+            max_w = (max(cols["dur_s"][:nv]) if nv else 0.25) + MAX_RELEASE_S
+            W = _pow2(int(max_w * sr) + 1)
+        else:
+            # fixed voice count + window on TPU: each distinct shape costs
+            # a full remote compile while the masked extra work is noise.
+            # L stays a pow2 bucket (~9 values total at 44.1 kHz under the
+            # RENDER_MAX_S cap) and is the kernel's own output size — no
+            # post-hoc eager slicing, and the D2H transfer is exactly the
+            # audio window (the relay bills per byte AND per call).
+            E = max(max_voices, EVENT_BLOCK)
+            W = _pow2(int((MAX_NOTE_S + MAX_RELEASE_S) * sr) + 1)
+
+        pad = E - min(nv, E)
+        packed = np.zeros((len(_F), E), dtype=np.float32)
+        for i, k in enumerate(_F):
+            packed[i, :E - pad] = cols[k][:E]
+        start_i = np.zeros(E, dtype=np.int32)
+        start_i[:E - pad] = cols["start_i"][:E]
+
+        audio = _render_sf2(self.bank, jnp.asarray(packed),
+                            jnp.asarray(start_i), L, W, sr)
+        if as_jax:
+            # device-resident at the bucketed length + the true crop, the
+            # synth.render_midi(as_jax=True) contract
+            return audio, int(length_s * sr)
+        return np.asarray(audio)[: int(length_s * sr)]
+
+
+# ------------------------------------------------------------- SF2 writer
+
+
+def build_sf2(path: str, samples: list, instruments: list, presets: list,
+              name: str = "gandes-mini"):
+    """Write a minimal valid SoundFont 2 file.
+
+    samples: list of dicts {name, data (float or int16 array), sample_rate,
+      original_pitch, loop_start, loop_end (relative to the sample),
+      pitch_correction (opt)}.
+    instruments: list of dicts {name, zones: [{sample: idx, gens: {oper:
+      amount}, key_lo, key_hi, vel_lo, vel_hi}]}.
+    presets: list of dicts {name, program, bank, zones: [{instrument: idx,
+      key_lo...}]}.
+    """
+    smpl_parts = []
+    shdr = b""
+    pos = 0
+    for s in samples:
+        d = np.asarray(s["data"])
+        if d.dtype != np.int16:
+            d = np.clip(np.asarray(d, np.float64) * 32767.0, -32768, 32767).astype("<i2")
+        smpl_parts.append(d.tobytes() + b"\0" * 92)  # 46 zero words guard
+        n = len(d)
+        shdr += struct.pack(
+            "<20sIIIIIBbHH", s["name"].encode()[:20], pos, pos + n,
+            pos + s.get("loop_start", 0), pos + s.get("loop_end", n),
+            s["sample_rate"], s.get("original_pitch", 60),
+            s.get("pitch_correction", 0), 0, 1)
+        pos += n + 46
+    shdr += struct.pack("<20sIIIIIBbHH", b"EOS", 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+    def zone_bytes(zones, terminal_oper, terminal_key):
+        bag, gen = b"", b""
+        g_count = 0
+        for z in zones:
+            bag += struct.pack("<HH", g_count, 0)
+            opers = []
+            if (z.get("key_lo", 0), z.get("key_hi", 127)) != (0, 127):
+                opers.append((G_KEY_RANGE, z.get("key_lo", 0) | (z.get("key_hi", 127) << 8)))
+            if (z.get("vel_lo", 0), z.get("vel_hi", 127)) != (0, 127):
+                opers.append((G_VEL_RANGE, z.get("vel_lo", 0) | (z.get("vel_hi", 127) << 8)))
+            for oper, amt in z.get("gens", {}).items():
+                opers.append((oper, amt & 0xFFFF))
+            opers.append((terminal_oper, z[terminal_key]))
+            for oper, amt in opers:
+                gen += struct.pack("<HH", oper, amt)
+            g_count += len(opers)
+        bag += struct.pack("<HH", g_count, 0)  # terminal bag
+        gen += struct.pack("<HH", 0, 0)        # terminal gen
+        return bag, gen
+
+    ibag = igen = inst = b""
+    bag_n = 0
+    for k, i in enumerate(instruments):
+        inst += struct.pack("<20sH", i["name"].encode()[:20], bag_n)
+        b, g = zone_bytes(i["zones"], G_SAMPLE_ID, "sample")
+        # strip this chunk's terminal records; add one global terminal later
+        ibag_records = [b[j:j + 4] for j in range(0, len(b) - 4, 4)]
+        base_gen = len(igen) // 4
+        ibag += b"".join(struct.pack("<HH", struct.unpack("<HH", r)[0] + base_gen, 0)
+                         for r in ibag_records)
+        igen += g[:-4]
+        bag_n += len(ibag_records)
+    inst += struct.pack("<20sH", b"EOI", bag_n)
+    ibag += struct.pack("<HH", len(igen) // 4, 0)
+    igen += struct.pack("<HH", 0, 0)
+
+    pbag = pgen = phdr = b""
+    bag_n = 0
+    for p in presets:
+        phdr += struct.pack("<20sHHHIII", p["name"].encode()[:20],
+                            p["program"], p.get("bank", 0), bag_n, 0, 0, 0)
+        b, g = zone_bytes(p["zones"], G_INSTRUMENT, "instrument")
+        pbag_records = [b[j:j + 4] for j in range(0, len(b) - 4, 4)]
+        base_gen = len(pgen) // 4
+        pbag += b"".join(struct.pack("<HH", struct.unpack("<HH", r)[0] + base_gen, 0)
+                         for r in pbag_records)
+        pgen += g[:-4]
+        bag_n += len(pbag_records)
+    phdr += struct.pack("<20sHHHIII", b"EOP", 0, 0, bag_n, 0, 0, 0)
+    pbag += struct.pack("<HH", len(pgen) // 4, 0)
+    pgen += struct.pack("<HH", 0, 0)
+
+    def chunk(cid, body):
+        pad = b"\0" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    smpl = b"".join(smpl_parts)
+    info = b"INFO" + chunk(b"ifil", struct.pack("<HH", 2, 1)) + \
+        chunk(b"isng", b"EMU8000\0") + chunk(b"INAM", name.encode() + b"\0")
+    sdta = b"sdta" + chunk(b"smpl", smpl)
+    pdta = (b"pdta" + chunk(b"phdr", phdr) + chunk(b"pbag", pbag)
+            + chunk(b"pmod", b"\0" * 10) + chunk(b"pgen", pgen)
+            + chunk(b"inst", inst) + chunk(b"ibag", ibag)
+            + chunk(b"imod", b"\0" * 10) + chunk(b"igen", igen)
+            + chunk(b"shdr", shdr))
+    body = b"sfbk" + chunk(b"LIST", info) + chunk(b"LIST", sdta) + chunk(b"LIST", pdta)
+    with open(path, "wb") as f:
+        f.write(chunk(b"RIFF", body))
+    return path

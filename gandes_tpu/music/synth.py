@@ -157,7 +157,8 @@ def _pow2(x: int) -> int:
 
 def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
                 min_seconds: float = 0.5, tail: float = 0.3,
-                pad_to_bucket: bool = False, as_jax: bool = False):
+                pad_to_bucket: bool = False, as_jax: bool = False,
+                sound_font: str | None = None):
     """Render a MidiFile (or path) to a float32 mono waveform on device.
 
     Static shapes are bucketed to powers of two (event count, note window,
@@ -167,8 +168,17 @@ def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
     while each distinct shape costs a full (remote) compile. With
     ``pad_to_bucket`` the returned audio keeps the bucketed pow2 length
     (zero tail) so downstream dynamic-hop mels also reuse one compiled
-    program per bucket."""
+    program per bucket.
+
+    ``sound_font``: path to a ``.sf2`` file — when it exists, rendering is
+    SAMPLE PLAYBACK from that soundfont (music/sf2.py, the reference's
+    FluidSynth+FluidR3_GM pipeline); otherwise this additive model."""
+    import os as _os
+
     midi = MidiFile(midi_input) if isinstance(midi_input, str) else midi_input
+    if sound_font and _os.path.isfile(sound_font):
+        return _get_sf2_synth(sound_font).render_midi(
+            midi, sr=sr, min_seconds=min_seconds, tail=tail, as_jax=as_jax)
     events = midi_to_event_arrays(midi, max_events)
     return render_events(events, sr=sr, max_events=max_events,
                          min_seconds=min_seconds, tail=tail,
@@ -177,10 +187,16 @@ def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
 
 def render_events(events, sr: int = 44100, max_events: int = 1024,
                   min_seconds: float = 0.5, tail: float = 0.3,
-                  pad_to_bucket: bool = False, as_jax: bool = False):
+                  pad_to_bucket: bool = False, as_jax: bool = False,
+                  sound_font: str | None = None):
     """Render pre-extracted event arrays (the ``midi_to_event_arrays``
-    tuple — or the native decoder's identical output) — same bucketing and
-    return conventions as :func:`render_midi`."""
+    tuple — or the native decoder's identical output) — same bucketing,
+    soundfont dispatch, and return conventions as :func:`render_midi`."""
+    import os as _os
+
+    if sound_font and _os.path.isfile(sound_font):
+        return _get_sf2_synth(sound_font).render_events(
+            events, sr=sr, min_seconds=min_seconds, tail=tail, as_jax=as_jax)
     import jax as _jax
 
     notes_l, vels_l, ons_l, offs_l, progs_l, n, end = events
@@ -218,16 +234,41 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
     return audio if pad_to_bucket else audio[: int(length_s * sr)]
 
 
+_SF2_CACHE: dict = {}
+
+
+def _get_sf2_synth(sound_font: str):
+    """Parsed-font + device-bank cache (one per soundfont path)."""
+    synth = _SF2_CACHE.get(sound_font)
+    if synth is None:
+        from gandes_tpu.music.sf2 import Sf2Synth
+
+        synth = _SF2_CACHE[sound_font] = Sf2Synth(sound_font)
+    return synth
+
+
 class FluidSynth:
-    """midi2audio-compatible facade over the TPU synth
-    (`from midi2audio import FluidSynth` drop-in)."""
+    """midi2audio-compatible facade (`from midi2audio import FluidSynth`
+    drop-in). Given a real ``.sf2`` path it renders by SAMPLE PLAYBACK from
+    that soundfont (`music/sf2.py` — the reference's FluidR3_GM pipeline,
+    `GAN_DES/matrix_sim_process.py:114-125`); without one it falls back to
+    the additive-harmonic instrument model above."""
 
     def __init__(self, sound_font: str | None = None, sample_rate: int = 44100):
+        import os
+
         self.sample_rate = sample_rate
-        self.sound_font = sound_font  # accepted for API parity; unused
+        self.sound_font = sound_font
+        self._sf2 = (
+            _get_sf2_synth(sound_font)
+            if sound_font and os.path.isfile(sound_font) else None
+        )
 
     def midi_to_audio(self, midi_path: str, wav_path: str):
-        audio = render_midi(midi_path, sr=self.sample_rate)
+        if self._sf2 is not None:
+            audio = self._sf2.render_midi(midi_path, sr=self.sample_rate)
+        else:
+            audio = render_midi(midi_path, sr=self.sample_rate)
         save_wav(wav_path, audio, self.sample_rate)
 
 

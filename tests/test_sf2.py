@@ -1,0 +1,258 @@
+"""SoundFont-2 sample-playback synthesis (music/sf2.py).
+
+Builds a tiny fixture soundfont with ``build_sf2``, then checks the whole
+chain the reference delegates to FluidSynth + FluidR3_GM
+(`GAN_DES/matrix_sim_process.py:114-125`): parsing (hydra + sample data),
+zone selection (key/vel ranges), sample-accurate onsets, pitch shifting
+(rootkey-relative resampling), loop folding, the volume envelope
+(sustain/decay/release), and the midi2audio facade dispatch.
+"""
+
+import numpy as np
+import pytest
+
+from gandes_tpu.music import sf2 as sf2mod
+from gandes_tpu.music.midi import Message, MetaMessage, MidiFile, MidiTrack
+from gandes_tpu.music.sf2 import (
+    G_ATTACK_VOL,
+    G_DECAY_VOL,
+    G_HOLD_VOL,
+    G_SAMPLE_MODES,
+    G_SUSTAIN_VOL,
+    Sf2Font,
+    Sf2Synth,
+    build_sf2,
+)
+
+SR = 44100
+
+
+def _ramp_sample(n=2000):
+    """Deterministic recognizable waveform: a ramp-modulated sine."""
+    t = np.arange(n)
+    return (0.5 * np.sin(2 * np.pi * t / 64.0) * (1.0 - t / (2 * n))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def fixture_font(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf2")
+    path = str(d / "mini.sf2")
+    looped = _ramp_sample(2000)
+    oneshot = np.sin(2 * np.pi * np.arange(1200) / 32.0).astype(np.float32) * 0.4
+    build_sf2(
+        path,
+        samples=[
+            {"name": "looped", "data": looped, "sample_rate": SR,
+             "original_pitch": 60, "loop_start": 500, "loop_end": 1500},
+            {"name": "oneshot", "data": oneshot, "sample_rate": SR,
+             "original_pitch": 72},
+        ],
+        instruments=[
+            {"name": "keys", "zones": [
+                # long hold + instant attack/decay -> env == 1 while held
+                {"sample": 0, "key_lo": 0, "key_hi": 63, "gens": {
+                    G_SAMPLE_MODES: 1, G_HOLD_VOL: 2786}},   # 2^(2786/1200) ~ 5 s
+                {"sample": 1, "key_lo": 64, "key_hi": 127, "gens": {
+                    G_HOLD_VOL: 2786}},
+            ]},
+        ],
+        presets=[{"name": "piano", "program": 0, "zones": [{"instrument": 0}]}],
+    )
+    return path, looped, oneshot
+
+
+def _midi(notes, program=0):
+    """notes: list of (key, vel, on_s, off_s). One track, tempo 500000."""
+    mid = MidiFile(type=0, ticks_per_beat=480)
+    tr = MidiTrack()
+    tr.append(MetaMessage("set_tempo", tempo=500000, time=0))
+    events = []
+    for key, vel, on, off in notes:
+        events.append((on, Message("note_on", note=key, velocity=vel)))
+        events.append((off, Message("note_off", note=key, velocity=0)))
+    events.sort(key=lambda e: e[0])
+    t_prev = 0.0
+    for t, msg in events:
+        msg.time = int(round((t - t_prev) * 960))  # 1 tick = 1/960 s
+        tr.append(msg)
+        t_prev = t_prev + msg.time / 960.0
+    tr.append(MetaMessage("end_of_track", time=0))
+    mid.tracks.append(tr)
+    return mid
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def test_parse_roundtrip(fixture_font):
+    path, looped, oneshot = fixture_font
+    font = Sf2Font(path)
+    assert [s.name for s in font.samples] == ["looped", "oneshot"]
+    s0 = font.samples[0]
+    assert (s0.end - s0.start) == len(looped)
+    assert (s0.loop_start - s0.start, s0.loop_end - s0.start) == (500, 1500)
+    assert s0.sample_rate == SR and s0.original_pitch == 60
+    got = font.bank[s0.start:s0.end]
+    np.testing.assert_allclose(got, looped, atol=1.5 / 32768)
+    assert len(font.instruments) == 1 and len(font.instruments[0].zones) == 2
+    assert (0, 0) in font.presets
+    z0, z1 = font.instruments[0].zones
+    assert (z0.key_lo, z0.key_hi, z1.key_lo, z1.key_hi) == (0, 63, 64, 127)
+    assert z0.gens[G_SAMPLE_MODES] == 1
+
+
+def test_zone_selection_by_key(fixture_font):
+    path, *_ = fixture_font
+    font = Sf2Font(path)
+    lo = font.select_voices(0, 60, 100)
+    hi = font.select_voices(0, 72, 100)
+    assert len(lo) == 1 and len(hi) == 1
+    assert lo[0]["loop"] == 1 and hi[0]["loop"] == 0
+    assert lo[0]["start"] != hi[0]["start"]
+
+
+# ---------------------------------------------------------------- rendering
+
+
+def test_sample_accurate_onset_and_content(fixture_font):
+    """key == rootkey at the sample's own rate: the output IS the sample,
+    starting exactly at round(on_s * sr)."""
+    path, looped, _ = fixture_font
+    synth = Sf2Synth(path)
+    on_s = 0.25
+    audio = synth.render_midi(_midi([(60, 127, on_s, on_s + 2.5)]), sr=SR)
+    onset = int(round(on_s * SR))
+    assert np.allclose(audio[:onset], 0.0)
+    np.testing.assert_allclose(audio[onset:onset + 400], looped[:400],
+                               atol=2e-4)
+
+
+def test_pitch_shift_octave(fixture_font):
+    """key = rootkey + 12 -> every second bank sample, exactly."""
+    path, _, oneshot = fixture_font
+    synth = Sf2Synth(path)
+    audio = synth.render_midi(_midi([(84, 127, 0.0, 1.0)]), sr=SR)  # oneshot zone (root 72)
+    np.testing.assert_allclose(audio[:300], oneshot[:600:2], atol=2e-4)
+
+
+def test_loop_folding(fixture_font):
+    """A held note longer than the sample loops over [loop_start, loop_end):
+    consecutive loop passes are identical."""
+    path, looped, _ = fixture_font
+    synth = Sf2Synth(path)
+    audio = synth.render_midi(_midi([(60, 127, 0.0, 3.5)]), sr=SR)
+    span = 1000  # loop_end(1500) - loop_start(500)
+    # pass k covers bank-rel [1500 + k*span) folded to [500, 1500)
+    a = audio[1500:1500 + span]
+    b = audio[1500 + span:1500 + 2 * span]
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    # and both equal the loop segment of the source sample
+    np.testing.assert_allclose(a, looped[500:1500], atol=2e-4)
+    # one-shot zones go silent past the sample end instead of looping
+    audio_hi = synth.render_midi(_midi([(72, 127, 0.0, 3.5)]), sr=SR)
+    assert np.allclose(audio_hi[1300:], 0.0)
+
+
+def test_envelope_sustain_decay_release(tmp_path):
+    """decay ramps (linear-in-dB) to the sustain attenuation; release kills
+    the voice within release_s of note_off."""
+    path = str(tmp_path / "env.sf2")
+    const = np.full(8000, 0.5, np.float32)
+    build_sf2(
+        path,
+        samples=[{"name": "const", "data": const, "sample_rate": SR,
+                  "original_pitch": 60, "loop_start": 100, "loop_end": 7900}],
+        instruments=[{"name": "i", "zones": [{"sample": 0, "gens": {
+            sf2mod.G_SAMPLE_MODES: 1,
+            G_SUSTAIN_VOL: 200,            # -20 dB -> sustain amp 0.1
+            G_DECAY_VOL: -1200,            # 0.5 s decay
+            G_ATTACK_VOL: -12000,
+            sf2mod.G_RELEASE_VOL: -2400,   # 0.25 s release (96 dB ramp)
+        }}]}],
+        presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}],
+    )
+    synth = Sf2Synth(path)
+    off_s = 1.2
+    audio = synth.render_midi(_midi([(60, 127, 0.0, off_s)]), sr=SR)
+    peak = np.abs(audio[: SR // 50]).max()
+    # mid-decay (0.25 s = halfway): attenuation -10 dB
+    mid = np.abs(audio[int(0.24 * SR):int(0.26 * SR)]).max()
+    assert mid == pytest.approx(peak * 10 ** (-10 / 20), rel=0.15)
+    # sustained plateau at -20 dB
+    sus = np.abs(audio[int(0.9 * SR):int(1.1 * SR)]).max()
+    assert sus == pytest.approx(peak * 0.1, rel=0.1)
+    # silent once the 0.25 s release has run its 96 dB course
+    assert np.allclose(audio[int((off_s + 0.26) * SR):], 0.0)
+    # release is decaying, not a hard gate
+    r0 = np.abs(audio[int(off_s * SR):int((off_s + 0.04) * SR)]).max()
+    r1 = np.abs(audio[int((off_s + 0.08) * SR):int((off_s + 0.12) * SR)]).max()
+    assert 0 < r1 < r0 <= sus * 1.05
+
+
+def test_velocity_maps_to_gain(fixture_font):
+    path, *_ = fixture_font
+    synth = Sf2Synth(path)
+    loud = synth.render_midi(_midi([(60, 127, 0.0, 1.0)]), sr=SR)
+    soft = synth.render_midi(_midi([(60, 64, 0.0, 1.0)]), sr=SR)
+    ratio = np.abs(soft[:2000]).max() / np.abs(loud[:2000]).max()
+    assert ratio == pytest.approx((64 / 127) ** 2, rel=0.05)
+
+
+def test_polyphony_sums(fixture_font):
+    path, *_ = fixture_font
+    synth = Sf2Synth(path)
+    a = synth.render_midi(_midi([(60, 100, 0.0, 1.0)]), sr=SR)
+    b = synth.render_midi(_midi([(67, 100, 0.5, 1.5)]), sr=SR)
+    ab = synth.render_midi(_midi([(60, 100, 0.0, 1.0), (67, 100, 0.5, 1.5)]), sr=SR)
+    n = min(len(a), len(b), len(ab))
+    np.testing.assert_allclose(ab[:n], (a[:n] + b[:n]), atol=3e-4)
+
+
+# ---------------------------------------------------------------- facade
+
+
+def test_fluidsynth_facade_dispatch(fixture_font, tmp_path):
+    """With a real .sf2 the facade renders by sample playback; without one
+    it falls back to the additive model — same API both ways
+    (reference: midi2audio FluidSynth('FluidR3_GM.sf2'))."""
+    from gandes_tpu.data.audio import load_wav
+    from gandes_tpu.music.synth import FluidSynth
+
+    path, looped, _ = fixture_font
+    mid = _midi([(60, 127, 0.1, 1.0)])
+    midi_path = str(tmp_path / "scale.mid")
+    mid.save(midi_path)
+
+    sf_wav = str(tmp_path / "sf.wav")
+    FluidSynth(path, sample_rate=SR).midi_to_audio(midi_path, sf_wav)
+    audio, sr = load_wav(sf_wav)
+    assert sr == SR
+    onset = int(round(0.1 * SR))
+    np.testing.assert_allclose(audio[onset:onset + 200], looped[:200], atol=2e-3)
+
+    add_wav = str(tmp_path / "add.wav")
+    FluidSynth(None, sample_rate=SR).midi_to_audio(midi_path, add_wav)
+    audio2, _ = load_wav(add_wav)
+    n = min(len(audio), len(audio2))
+    assert not np.allclose(audio[:n], audio2[:n], atol=1e-3)
+
+
+def test_gandes_pipeline_with_soundfont(fixture_font, tmp_path, monkeypatch):
+    """matrix_to_wav with sound_font= renders the WAV by sample playback
+    (reference: GAN_DES/matrix_sim_process.py:114-125 via FluidR3_GM)."""
+    from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+    from gandes_tpu.data.audio import load_wav
+
+    path, *_ = fixture_font
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "logs").mkdir()
+    rng = np.random.RandomState(0)
+    mats = rng.rand(1, 20, 20).astype(np.float32)
+    np.random.seed(3)
+    specs = matrix_to_wav(mats, size=20, start=0, end=216, sound_font=path)
+    assert specs.shape == (1, 128, 216)
+    np.random.seed(3)
+    specs2 = matrix_to_wav(mats, size=20, start=0, end=216)  # additive
+    assert not np.allclose(np.asarray(specs), np.asarray(specs2), atol=1e-3)
+    wav, sr = load_wav(str(tmp_path / "adj_sim_outputs/wav/output_0.wav"))
+    assert len(wav) > 0
