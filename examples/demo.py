@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--play", action="store_true",
+                    help="play the generated piece (pygame, like the "
+                         "reference notebook; falls back to aplay/paplay)")
+    ap.add_argument("--sound-font", default=None,
+                    help=".sf2 path: synthesize by sample playback")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -65,12 +70,20 @@ def main():
     visualize_piano_roll(rolls[0][0], save_path=os.path.join(args.out, "piano_roll.png"))
 
     # 3. synthesize + spectrogram (cells 2-4, 28)
-    audio = render_midi(mid_path)
+    audio = render_midi(mid_path, sound_font=args.sound_font)
     wav_path = os.path.join(args.out, "generation.wav")
     save_wav(wav_path, audio)
     mel = melspectrogram_db_tensor(load_wav(wav_path)[0])
     plot_spectrogram(mel, save_path=os.path.join(args.out, "spectrogram.png"))
     print(f"  {wav_path} ({len(audio) / 44100:.1f}s), spectrogram.png")
+
+    # 3b. playback (cells 25-28 used pygame.mixer on generation output)
+    if args.play:
+        from gandes_tpu.data.audio import play_wav
+
+        ok = play_wav(wav_path)
+        print("  played generation.wav" if ok
+              else "  no audio device available; wrote generation.wav")
 
     # 4. queue-length animation from the last sim log (simlog_to_vid.ipynb)
     if os.path.exists("logs/simulation.log"):

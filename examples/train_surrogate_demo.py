@@ -43,7 +43,8 @@ def build_dataset(workdir: str, n_nets: int = 24) -> str:
         out_dir = os.path.join(workdir, f"net_{seed}")
         sim_to_wav(matrices=[None], size=32, use_same_instrument=seed % 16,
                    log_path=os.path.join(workdir, "logs") + "/",
-                   out_dir=out_dir)
+                   out_dir=out_dir, render=False)  # windows come from the
+        # .mid; skipping the synth pass keeps the build CPU-cheap
         os.replace(os.path.join(out_dir, "midi", "output.mid"),
                    os.path.join(midi_dir, f"net_{seed}.mid"))
     pkl = os.path.join(workdir, "windows.pkl")
@@ -126,20 +127,41 @@ def main():
     gap1 = gap(real, fake1)
     print("final gap:  ", json.dumps(gap1, indent=None))
 
+    disc_curve = [float(np.mean(e)) for e in history["disc"]]
+    gen_curve = [float(np.mean(e)) for e in history["gen"]]
     results = {
         "epochs": epochs,
         "g_update": g_update,
         "steps": sum(len(e) for e in history["disc"]),
-        "disc_loss_first_epoch": float(np.mean(history["disc"][0])),
-        "disc_loss_last_epoch": float(np.mean(history["disc"][-1])),
-        "gen_loss_first_epoch": float(np.mean(history["gen"][0])),
-        "gen_loss_last_epoch": float(np.mean(history["gen"][-1])),
+        "disc_loss_first_epoch": disc_curve[0],
+        "disc_loss_last_epoch": disc_curve[-1],
+        "gen_loss_first_epoch": gen_curve[0],
+        "gen_loss_last_epoch": gen_curve[-1],
+        "disc_loss_per_epoch": disc_curve,
+        "gen_loss_per_epoch": gen_curve,
         "gap_initial": gap0,
         "gap_final": gap1,
         "failed_sims_eval": [int(failed0), int(failed1)],
     }
     with open(os.path.join(workdir, "RESULTS.json"), "w") as f:
         json.dump(results, f, indent=2)
+    try:  # loss-curve artifact (the reference committed losses/*.pkl;
+        # we commit both the pickles — losses_dir — and a rendered curve)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 2, figsize=(9, 3.2))
+        ax[0].plot(disc_curve); ax[0].set_title("D loss / epoch")
+        ax[1].plot(gen_curve); ax[1].set_title(f"G loss / epoch ({g_update})")
+        for a in ax:
+            a.set_xlabel("epoch")
+        fig.tight_layout()
+        fig.savefig(os.path.join(workdir, "loss_curves.png"), dpi=110)
+        plt.close(fig)
+    except Exception as e:  # pragma: no cover - headless env without mpl
+        print(f"loss-curve plot skipped: {e}")
     improved = sum(gap1[k] < gap0[k] for k in gap0)
     print(f"gap improved on {improved}/{len(gap0)} metrics "
           f"-> {workdir}/RESULTS.json")

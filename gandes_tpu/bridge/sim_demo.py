@@ -28,7 +28,7 @@ from gandes_tpu.music.synth import render_midi
 
 def sim_to_wav(matrices=(None,), size=32, use_same_instrument=None,
                sound_font="FluidR3_GM.sf2", *, log_path="logs/",
-               out_dir="adj_sim_outputs", sample_rate=44100):
+               out_dir="adj_sim_outputs", sample_rate=44100, render=True):
     num_aug = 5
     outputs = []
 
@@ -100,6 +100,10 @@ def sim_to_wav(matrices=(None,), size=32, use_same_instrument=None,
             out_path=os.path.join(out_dir, "midi", "output.mid"),
         )
 
+        if not render:  # MIDI-only mode: dataset builders that window the
+            # .mid don't need the synth pass at all
+            outputs.append(file_path)
+            continue
         output_file = os.path.join(out_dir, "wav", f"output_{index}.wav")
         os.makedirs(os.path.dirname(output_file), exist_ok=True)
         audio = render_midi(file_path, sr=sample_rate, sound_font=sound_font)

@@ -46,3 +46,53 @@ def split_audio_data(wav_file_path, hop_length_audio=5, window_size=5):
         else:
             split_wvs.append(waveform[int(i):int(i) + window_size * sample_rate])
     return split_wvs
+
+
+def play_wav(path: str, block: bool = True, timeout_s: float = 300.0) -> bool:
+    """Play a WAV through the best available backend; returns True if audio
+    actually played (or was handed to a player).
+
+    Mirrors the reference demo's pygame playback (`demo.ipynb` cells
+    25-28): pygame.mixer first, then the system players (aplay/paplay/
+    afplay). Headless boxes without an audio device return False instead
+    of raising, so demo --play degrades gracefully.
+    """
+    import os as _os
+
+    _os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
+    try:
+        import pygame
+
+        pygame.mixer.init()
+        try:
+            pygame.mixer.music.load(path)
+            pygame.mixer.music.play()
+            if block:
+                import time
+
+                t0 = time.time()
+                while (pygame.mixer.music.get_busy()
+                       and time.time() - t0 < timeout_s):
+                    time.sleep(0.1)
+            return True
+        finally:
+            if not block:
+                pass
+            else:
+                pygame.mixer.quit()
+    except Exception:
+        pass
+    import shutil
+    import subprocess
+
+    for player in ("aplay", "paplay", "afplay"):
+        exe = shutil.which(player)
+        if exe:
+            try:
+                subprocess.run([exe, path], check=True, timeout=timeout_s,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+                return True
+            except Exception:
+                continue
+    return False

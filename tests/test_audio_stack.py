@@ -258,3 +258,22 @@ def test_render_fixed_buffer_slice_equals_per_length():
     a = _render(notes, vels, ons, offs, progs, jnp.int32(E), L, W, sr)
     b = _render(notes, vels, ons, offs, progs, jnp.int32(E), 1 << 16, W, sr)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:L])
+
+
+def test_play_wav_headless(tmp_path, monkeypatch):
+    """--play degrades gracefully: plays through pygame when a (dummy)
+    device exists, returns False instead of raising when none does."""
+    import numpy as np
+
+    from gandes_tpu.data.audio import play_wav, save_wav
+
+    p = str(tmp_path / "t.wav")
+    save_wav(p, np.sin(np.linspace(0, 880 * 3.14, 2205)).astype(np.float32))
+    monkeypatch.setenv("SDL_AUDIODRIVER", "dummy")
+    assert play_wav(p) is True
+    monkeypatch.setenv("SDL_AUDIODRIVER", "nonexistent-driver")
+    import pygame
+
+    pygame.mixer.quit()
+    assert play_wav(p) in (True, False)  # False headless; True if a system
+    # player binary happens to exist
