@@ -263,6 +263,54 @@ def _cmd_export_torch(args):
     print(f"exported {args.model} torch state_dict -> {args.out}")
 
 
+def _cmd_render_graph(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gandes_tpu.eval.visualize import render_computation_graph
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    key = jax.random.key(0)
+    outs = []
+    if args.model == "mmgan":
+        from gandes_tpu.models import BeatGenerator, DiscriminatorCNN, MLPGenerator
+
+        g1, g2 = MLPGenerator(adj_size=(64, 64)), BeatGenerator(output_dim=20)
+        d = DiscriminatorCNN(roll_size=(2, 128, 50))
+        z = jnp.zeros((args.batch, 50))
+        p1 = g1.init({"params": key, "aux": key}, z[:1])
+        p2 = g2.init({"params": key, "aux": key}, z[:1], z[:1])
+        pd = d.init(key, jnp.zeros((1, 2, 128, 50)))
+        rngs = {"aux": jax.random.key(1)}
+        outs.append(render_computation_graph(
+            lambda x: g1.apply(p1, x, train=False, rngs=rngs), z,
+            save_path=os.path.join(args.out_dir, "graph_generator.png"),
+            title="MM-GAN G1 (adjacency generator)"))
+        outs.append(render_computation_graph(
+            lambda x, b: g2.apply(p2, x, b, train=False, rngs=rngs), z, z,
+            save_path=os.path.join(args.out_dir, "graph_beat_generator.png"),
+            title="MM-GAN G2 (sim-parameter generator)"))
+        outs.append(render_computation_graph(
+            lambda r: d.apply(pd, r), jnp.zeros((args.batch, 2, 128, 50)),
+            save_path=os.path.join(args.out_dir, "graph_discriminator.png"),
+            title="MM-GAN DiscriminatorCNN"))
+    else:
+        from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
+
+        g, d = DCGANGenerator(noise_dim=100), MelDiscriminator()
+        pg = g.init(key, jnp.zeros((1, 100)))
+        pd = d.init(key, jnp.zeros((1, 128, 216)))
+        outs.append(render_computation_graph(
+            lambda z: g.apply(pg, z, train=False), jnp.zeros((args.batch, 100)),
+            save_path=os.path.join(args.out_dir, "graph_generator.png"),
+            title="GAN-DES DCGANGenerator"))
+        outs.append(render_computation_graph(
+            lambda m: d.apply(pd, m), jnp.zeros((args.batch, 128, 216)),
+            save_path=os.path.join(args.out_dir, "graph_discriminator.png"),
+            title="GAN-DES MelDiscriminator"))
+    print("\n".join(outs))
+
+
 def _cmd_sim_to_wav(args):
     from gandes_tpu.bridge.sim_demo import sim_to_wav
 
@@ -440,6 +488,14 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out-dir", default="adj_sim_outputs")
     sp.set_defaults(fn=_cmd_generate_gandes)
+
+    sp = sub.add_parser("render-graph", help="render model computation "
+                        "graphs (jaxpr DAG PNG + text, the torchviz-dump "
+                        "analog)")
+    sp.add_argument("--model", choices=["mmgan", "gandes"], default="mmgan")
+    sp.add_argument("--batch", type=int, default=4)
+    sp.add_argument("--out-dir", default="graphs")
+    sp.set_defaults(fn=_cmd_render_graph)
 
     sp = sub.add_parser("doctor", help="environment self-check (device, "
                                        "native builds, engine parity)")

@@ -144,3 +144,20 @@ def test_step_timer():
     s = t.summary()
     assert s["a"]["count"] == 3 and s["a"]["total_s"] > 0.02
     assert "a" in t.report() and "frac" in t.report()
+
+
+def test_render_computation_graph(tmp_path):
+    """jaxpr DAG rendering (the reference's torchviz make_dot analog,
+    network_tests.py:180-188): PNG + pretty-printed jaxpr text."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gandes_tpu.eval.visualize import render_computation_graph
+
+    p = render_computation_graph(
+        lambda x: jnp.tanh(x @ x.T).sum(axis=1), jnp.zeros((4, 8)),
+        save_path=str(tmp_path / "g.png"), title="toy")
+    assert os.path.getsize(p) > 5000
+    txt = open(p + ".jaxpr.txt").read()
+    assert "tanh" in txt and "dot_general" in txt
