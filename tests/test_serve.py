@@ -349,3 +349,26 @@ def test_two_process_scale_out(tmp_path):
                 p.wait(timeout=20)
             except Exception:
                 p.kill()
+
+
+def test_warmup_excluded_from_stats(tmp_path, monkeypatch):
+    """run_server's compile-heavy warmup must not pollute /healthz request
+    stats (r1 advisor finding): after warmup the service reports zero
+    requests and None avg latency until real traffic arrives."""
+    import contextlib
+    import io
+
+    from gandes_tpu.serve import GenerationService
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "logs").mkdir()
+    with contextlib.redirect_stdout(io.StringIO()):
+        svc = GenerationService(model="mmgan", start=0)
+        svc.generate(n=1, seed=0)         # stands in for run_server warmup
+        svc.requests = 0                   # the reset run_server performs
+        svc._latency_sum = 0.0
+        h = svc.healthz()
+        assert h["requests"] == 0 and h["avg_latency_s"] is None
+        svc.generate(n=1, seed=1)
+        h2 = svc.healthz()
+    assert h2["requests"] == 1 and h2["avg_latency_s"] > 0
