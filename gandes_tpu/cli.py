@@ -209,6 +209,27 @@ def _cmd_doctor(args):
         melspectrogram_db_tensor(wav, sr=44100)
         return "mel front-end compiles"
 
+    def c_sf2():
+        import tempfile
+
+        from gandes_tpu.music.sf2 import G_SAMPLE_MODES, Sf2Synth, build_sf2
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = build_sf2(
+                tmp + "/t.sf2",
+                samples=[{"name": "s", "data": np.sin(
+                    2 * np.pi * np.arange(2000) / 50).astype(np.float32) * 0.5,
+                    "sample_rate": 44100, "original_pitch": 60,
+                    "loop_start": 200, "loop_end": 1800}],
+                instruments=[{"name": "i", "zones": [
+                    {"sample": 0, "gens": {G_SAMPLE_MODES: 1}}]}],
+                presets=[{"name": "p", "program": 0,
+                          "zones": [{"instrument": 0}]}])
+            synth = Sf2Synth(path)
+            voices = synth.font.select_voices(0, 60, 100)
+            assert len(voices) == 1 and voices[0]["loop"] == 1
+        return "SoundFont parse + zone selection"
+
     def c_reference():
         import os as _os
 
@@ -222,6 +243,7 @@ def _cmd_doctor(args):
     check("native MIDI decoder", c_native_decoder)
     check("engine parity", c_engine_parity)
     check("mel front-end", c_pallas)
+    check("soundfont synth", c_sf2)
     check("reference mount", c_reference)
 
     width = max(len(r[0]) for r in rows)
