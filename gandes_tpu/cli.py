@@ -262,7 +262,8 @@ def _cmd_serve(args):
     run_server(model=args.model, checkpoint=args.checkpoint,
                torch_checkpoint=args.torch_checkpoint, host=args.host,
                port=args.port, warmup=not args.no_warmup, start=args.start,
-               sequence_length=args.sequence_length)
+               sequence_length=args.sequence_length,
+               sound_font=args.sound_font)
 
 
 def _cmd_export_torch(args):
@@ -535,6 +536,8 @@ def main(argv=None):
     sp.add_argument("--no-warmup", action="store_true")
     sp.add_argument("--start", type=int, default=100)
     sp.add_argument("--sequence-length", type=int, default=50)
+    sp.add_argument("--sound-font", default=None,
+                    help=".sf2 path: WAV payloads render by sample playback")
     sp.set_defaults(fn=_cmd_serve)
 
     sp = sub.add_parser("export-torch",

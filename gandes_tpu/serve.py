@@ -61,11 +61,13 @@ class GenerationService:
     def __init__(self, model: str = "mmgan", checkpoint: str | None = None,
                  torch_checkpoint: str | None = None, start: int = 100,
                  sequence_length: int = 50, max_n: int = 64,
-                 lock: threading.Lock | None = None):
+                 lock: threading.Lock | None = None,
+                 sound_font: str | None = None):
         if model not in ("mmgan", "gandes"):
             raise ValueError(f"unknown model {model!r}")
         self.model = model
         self.max_n = max_n
+        self.sound_font = sound_font  # .sf2 -> sample-playback WAV renders
         # the process-wide default makes the safety invariant self-enforcing
         # (see _GENERATION_LOCK) — no caller plumbing required
         self._lock = lock or _GENERATION_LOCK
@@ -159,7 +161,7 @@ class GenerationService:
                     from gandes_tpu.data.audio import save_wav
                     from gandes_tpu.music.synth import render_midi
 
-                    audio = render_midi(path)
+                    audio = render_midi(path, sound_font=self.sound_font)
                     wpath = os.path.join(tmp, "generation.wav")
                     save_wav(wpath, audio)
                     with open(wpath, "rb") as f:
@@ -181,7 +183,7 @@ class GenerationService:
         wav_b64 = []
         with tempfile.TemporaryDirectory() as tmp:
             specs = matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
-                                  out_dir=tmp)
+                                  out_dir=tmp, sound_font=self.sound_font)
             for i in range(n):
                 with open(os.path.join(tmp, "wav", f"output_{i}.wav"), "rb") as f:
                     wav_b64.append(base64.b64encode(f.read()).decode())
@@ -254,7 +256,7 @@ def make_http_server(service, host: str = "127.0.0.1",
 
 def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
                host="127.0.0.1", port=8472, warmup=True, start=100,
-               sequence_length=50):
+               sequence_length=50, sound_font=None):
     """``model='both'`` hosts mmgan AND gandes in one process; checkpoint
     args are rejected in that mode (it is ambiguous which family they
     target — run one server per checkpointed model instead)."""
@@ -268,7 +270,8 @@ def run_server(model="mmgan", checkpoint=None, torch_checkpoint=None,
         # services share _GENERATION_LOCK by default — no plumbing needed
         services[m] = GenerationService(
             model=m, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint,
-            start=start, sequence_length=sequence_length)
+            start=start, sequence_length=sequence_length,
+            sound_font=sound_font)
     if warmup:  # compile + first DES round trip before accepting traffic
         for m, svc in services.items():
             svc.generate(n=1, seed=0)
