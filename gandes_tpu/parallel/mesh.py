@@ -53,9 +53,14 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None, tp: int | Non
 
 def _param_spec(path_leaf: tuple, arr, tp_size: int, min_tp_dim: int = 256) -> P:
     """Column-parallel rule: shard the output-feature (last) axis of large
-    kernels across ``tp``; replicate everything else."""
+    kernels across ``tp``. Kernels whose output axis is small but whose
+    INPUT axis is large (the discriminators' flatten->FC heads: 12288x1,
+    55296x128) shard row-parallel on the contracted axis instead — XLA
+    turns the contraction into a psum over ICI. Everything else replicates."""
     if arr.ndim >= 2 and arr.shape[-1] >= min_tp_dim and arr.shape[-1] % tp_size == 0:
         return P(*([None] * (arr.ndim - 1)), "tp")
+    if arr.ndim >= 2 and arr.shape[-2] >= min_tp_dim and arr.shape[-2] % tp_size == 0:
+        return P(*([None] * (arr.ndim - 2)), "tp", None)
     return P()
 
 
