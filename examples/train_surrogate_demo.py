@@ -92,6 +92,7 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_nets = int(sys.argv[3]) if len(sys.argv) > 3 else 24
     g_update = sys.argv[4] if len(sys.argv) > 4 else "surrogate"
+    d_lr = float(sys.argv[5]) if len(sys.argv) > 5 else None
     os.makedirs(os.path.join(workdir, "logs"), exist_ok=True)
 
     from gandes_tpu.data.datasets import MaestroDatasetPickle
@@ -106,8 +107,10 @@ def main():
         batch_size=16, start=0, sequence_length=50, num_epochs=epochs,
         g_update=g_update, des_parallel=16, resume=False,
         # the reference's lr=0.01 collapses the game within ~30 steps once G
-        # is live (PARITY.md); 1e-3 keeps D/G balanced on this small set
-        lr=1e-3, surrogate_lr=1e-3,
+        # is live (PARITY.md); 1e-3 keeps D/G balanced on this small set,
+        # and an optional slower D (d_lr) holds the balance across a full
+        # multi-epoch run
+        lr=1e-3, d_lr=d_lr, surrogate_lr=1e-3,
         models_dir=os.path.join(workdir, "models"),
         losses_dir=os.path.join(workdir, "losses"),
         log_path=os.path.join(workdir, "logs") + "/",
@@ -132,6 +135,7 @@ def main():
     results = {
         "epochs": epochs,
         "g_update": g_update,
+        "d_lr": d_lr,
         "steps": sum(len(e) for e in history["disc"]),
         "disc_loss_first_epoch": disc_curve[0],
         "disc_loss_last_epoch": disc_curve[-1],

@@ -49,6 +49,7 @@ def _cmd_train_mmgan(args):
 
     cfg = MMGANConfig(num_epochs=args.epochs, batch_size=args.batch_size,
                       start=args.start, sequence_length=args.sequence_length,
+                      lr=args.lr, d_lr=args.d_lr,
                       models_dir=args.models_dir, losses_dir=args.losses_dir,
                       faithful=args.faithful, g_update=args.g_update,
                       des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh),
@@ -435,6 +436,10 @@ def main(argv=None):
 
     sp = sub.add_parser("train-mmgan", help="train the MM-GAN")
     sp.add_argument("--data", required=True)
+    sp.add_argument("--lr", type=float, default=0.01,
+                    help="G (and default D) learning rate (reference: 0.01)")
+    sp.add_argument("--d-lr", type=float, default=None,
+                    help="separate D learning rate (GAN balance knob)")
     sp.add_argument("--epochs", type=int, default=100)
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--start", type=int, default=100)

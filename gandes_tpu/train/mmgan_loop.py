@@ -58,6 +58,10 @@ class MMGANConfig:
     start: int = 100
     instrument: int | None = 0
     lr: float = 0.01
+    # Separate D learning rate (opt-in GAN balance knob; None = lr, the
+    # reference's single-lr semantics). At the shared default the D wins
+    # the game within ~30 steps once G is live — docs/RESULTS.md.
+    d_lr: float | None = None
     steplr_epochs: int = 30
     steplr_gamma: float = 0.1
     num_epochs: int = 100
@@ -112,8 +116,10 @@ def build_mmgan(cfg: MMGANConfig):
 
 
 def make_optimizers(cfg: MMGANConfig, steps_per_epoch: int):
-    sched = make_steplr(cfg.lr, cfg.steplr_epochs, cfg.steplr_gamma, steps_per_epoch)
-    return optax.adam(sched), optax.adam(sched)
+    g_sched = make_steplr(cfg.lr, cfg.steplr_epochs, cfg.steplr_gamma, steps_per_epoch)
+    d_sched = make_steplr(cfg.d_lr if cfg.d_lr is not None else cfg.lr,
+                          cfg.steplr_epochs, cfg.steplr_gamma, steps_per_epoch)
+    return optax.adam(g_sched), optax.adam(d_sched)
 
 
 def init_state_for_config(cfg: MMGANConfig, steps_per_epoch: int = 1,
