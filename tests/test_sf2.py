@@ -256,3 +256,47 @@ def test_gandes_pipeline_with_soundfont(fixture_font, tmp_path, monkeypatch):
     assert not np.allclose(np.asarray(specs), np.asarray(specs2), atol=1e-3)
     wav, sr = load_wav(str(tmp_path / "adj_sim_outputs/wav/output_0.wav"))
     assert len(wav) > 0
+
+
+def test_gm_scale_font_many_presets_velocity_layers_stereo(tmp_path):
+    """A GM-shaped font: 16 programs, velocity-layered zones, stereo
+    sample pairs (two zones matching the same key) — the structures
+    FluidR3_GM actually uses. Parser + zone selection must scale and pick
+    exactly the right zones."""
+    path = str(tmp_path / "gm.sf2")
+    rng = np.random.RandomState(0)
+    n_prog = 16
+    samples, instruments, presets = [], [], []
+    for p in range(n_prog):
+        base = rng.randn(400).astype(np.float32) * 0.2
+        samples += [
+            {"name": f"p{p}L", "data": base, "sample_rate": SR,
+             "original_pitch": 60},
+            {"name": f"p{p}R", "data": -base, "sample_rate": SR,
+             "original_pitch": 60},
+            {"name": f"p{p}loud", "data": base * 2, "sample_rate": SR,
+             "original_pitch": 60},
+        ]
+        instruments.append({"name": f"inst{p}", "zones": [
+            # soft layer: stereo pair (both zones match the key)
+            {"sample": 3 * p, "vel_lo": 0, "vel_hi": 80},
+            {"sample": 3 * p + 1, "vel_lo": 0, "vel_hi": 80},
+            # loud layer: single sample
+            {"sample": 3 * p + 2, "vel_lo": 81, "vel_hi": 127},
+        ]})
+        presets.append({"name": f"prog{p}", "program": p,
+                        "zones": [{"instrument": p}]})
+    build_sf2(path, samples=samples, instruments=instruments, presets=presets)
+
+    font = Sf2Font(path)
+    assert len(font.presets) == n_prog and len(font.samples) == 3 * n_prog
+    for p in (0, 7, 15):
+        soft = font.select_voices(p, 60, 50)
+        loud = font.select_voices(p, 60, 120)
+        assert len(soft) == 2 and len(loud) == 1          # stereo vs single
+        starts = {v["start"] for v in soft}
+        assert font.samples[3 * p].start in starts
+        assert font.samples[3 * p + 1].start in starts
+        assert loud[0]["start"] == font.samples[3 * p + 2].start
+    # unknown program falls back to SOME preset rather than silence
+    assert font.select_voices(99, 60, 100)
