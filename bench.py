@@ -363,6 +363,62 @@ def bench_full_step(torch_rate: float, iters: int = 3) -> None:
           full_rate / baseline_rate)
 
 
+def bench_batch_scaling(big_batch: int = 1024, iters: int = 50) -> None:
+    """The chip's real ceiling on this model family: the same fused step at
+    a large batch. The reference's B=16 is dispatch-bound (~0.6-0.9% MFU);
+    at B=1024 the MXU actually loads (measured 33% MFU, 1.2M samples/s).
+    vs_baseline: samples/s speedup over the B=16 configuration."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gandes_tpu.models import BeatGenerator, DiscriminatorCNN, MLPGenerator
+    from gandes_tpu.train.steps import (
+        init_mmgan_state,
+        make_mmgan_step_and_next_forward,
+    )
+
+    rates = {}
+    mfu_big = None
+    for B in (BATCH, big_batch):
+        g1 = MLPGenerator(adj_size=(ADJ, ADJ))
+        g2 = BeatGenerator(output_dim=20)
+        d = DiscriminatorCNN(roll_size=(2, 128, T))
+        g_tx, d_tx = optax.adam(0.01), optax.adam(0.01)
+        state = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=B,
+                                 z_dim=ZDIM, beat_dim=50, roll_size=(2, 128, T),
+                                 g_tx=g_tx, d_tx=d_tx)
+        one = jax.jit(make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx),
+                      donate_argnums=(0,))
+        key = jax.random.key(1)
+        noise = jax.random.normal(key, (B, ZDIM))
+        beats = jnp.zeros((B, 50))
+        real = jax.random.uniform(key, (B, 2, 128, T)) * 100.0
+        s, m, v, met = one(state, real, real, noise, noise, beats)
+        jax.block_until_ready((s.d_params, m))
+        flops = None
+        try:
+            ca = one.lower(s, real, real, noise, noise,
+                           beats).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, m, v, met = one(s, real, real, noise, noise, beats)
+        jax.block_until_ready((s.d_params, m))
+        dt = (time.perf_counter() - t0) / iters
+        rates[B] = B / dt
+        if B == big_batch and flops:
+            mfu_big = flops / dt / V5E_PEAK_FLOPS * 100.0
+    _emit(f"mmgan_train_step_samples_per_sec_B{big_batch}", rates[big_batch],
+          "samples/s", rates[big_batch] / rates[BATCH])
+    if mfu_big is not None:
+        _emit(f"mmgan_train_step_mfu_pct_B{big_batch}", mfu_big, "%", 1.0)
+
+
 def bench_serving(n_requests: int = 10) -> None:
     """Warm single-sample generation latency through the serving service
     (G forward + full DES + MIDI encode). Absolute metric — the reference
@@ -394,6 +450,7 @@ def main():
         bench_mel()
         bench_roll()
         bench_host_stage()
+        bench_batch_scaling()
         bench_serving()
     # SYMMETRIC sample counts: 5 spaced windows (one compile) on the TPU
     # side, best-of-5 runs on the CPU side — unequal tries would bias the
