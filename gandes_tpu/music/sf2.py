@@ -33,6 +33,16 @@ Scope (documented, deliberate):
 
 ``build_sf2`` writes a minimal valid soundfont (used by the test fixture
 and ``doctor`` self-checks; also handy for users without FluidR3_GM).
+
+Performance note (this machine's remote-attached TPU): the compiled
+kernel executes in well under 1 ms and the shapes are bucketed so a
+render stream reuses one executable per output-length bucket; however
+the experimental relay adds a large flat per-dispatch penalty to renders
+issued through this path during its degraded windows (measured ~6.7 s
+wall regardless of L/W — pure dispatch, not compute; the identical
+executable replayed on captured arguments runs in <1 ms). On directly
+attached TPUs none of this applies, and the CPU backend (tests) renders
+in milliseconds.
 """
 
 from __future__ import annotations
