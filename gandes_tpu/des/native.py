@@ -7,8 +7,8 @@ core supports (the rest fall back to the Python engine transparently):
 
 * logging_mode == 'Music' (the training/data channel; 'All' has dozens of
   verbose line kinds that aren't on the hot path),
-* distribution kinds exp/normal/uniform/gamma/beta/branch/queue
-  ('discrete' stays in Python),
+* all seven distribution kinds incl. 'discrete' (sorted-support cumsum
+  searchsorted, int-vs-float support formatting per scipy rvs dtype),
 * seeds in [0, 2^32) (numpy's legacy integer seeding range).
 """
 
@@ -33,6 +33,7 @@ _DIST_CODES = {
     "beta": 4,
     "branch": 5,
     "queue": 6,
+    "discrete": 7,
 }
 
 _lib = None
@@ -107,8 +108,6 @@ def native_eligible(sim) -> bool:
         # event lines; the native path can't preserve that ordering
         return False
     for spec in sim.distributions:
-        if spec[0] == "discrete":
-            return False
         if spec[0] not in _DIST_CODES:
             return False
     for s in sim.seeds:
@@ -175,10 +174,25 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         node_is_source[i] = 1
     dist_kind = np.zeros(n, np.int8)
     dist_params = np.zeros((n, 4), np.float64)
+    nodes_by_id = {**sim.servers, **sim.sources}
+    disc_xk_flat, disc_cum_flat, disc_offsets = [], [], [0]
+    disc_int = np.zeros(n, np.int8)
     for i, spec in enumerate(sim.distributions):
         dist_kind[i] = _DIST_CODES[spec[0]]
-        for j, p in enumerate(spec[1:5]):
-            dist_params[i, j] = float(p)
+        if spec[0] == "discrete":
+            # reuse the node Sampler's sorted support/cumsum so the C++
+            # search walks bit-identical float64 tables
+            sampler = nodes_by_id[i].sampler
+            disc_xk_flat.extend(sampler._xk.tolist())
+            disc_cum_flat.extend(sampler._cum.tolist())
+            disc_int[i] = 1 if sampler._int_support else 0
+        else:
+            for j, p in enumerate(spec[1:5]):
+                dist_params[i, j] = float(p)
+        disc_offsets.append(len(disc_xk_flat))
+    disc_xk = np.asarray(disc_xk_flat, np.float64)
+    disc_cum = np.asarray(disc_cum_flat, np.float64)
+    disc_offsets = np.asarray(disc_offsets, np.int64)
     queue_caps = np.asarray(sim.queue_list, np.int64)
 
     children_flat, cdf_flat, offsets = [], [], [0]
@@ -265,6 +279,7 @@ def run_native(sim, number_of_customers: int, use_next_available_server: bool):
         C.c_int(n), ptr(node_is_source), ptr(dist_kind), ptr(dist_params),
         ptr(queue_caps), ptr(children_arr), ptr(offsets_arr), ptr(cdf_arr),
         ptr(route_mode), ptr(is_sink),
+        ptr(disc_xk), ptr(disc_cum), ptr(disc_offsets), ptr(disc_int),
         ptr(seeds_arr), C.c_int(num_seeds), C.c_int64(number_of_customers),
         C.c_int(1 if use_next_available_server else 0),
         C.c_double(float(deadline_budget)), C.c_int(1 if sim.generate_log else 0),

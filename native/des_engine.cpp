@@ -256,6 +256,7 @@ enum DistKind : int8_t {
   D_BETA = 4,
   D_BRANCH = 5,
   D_QUEUE = 6,
+  D_DISCRETE = 7,
 };
 
 enum RouteMode : int8_t {
@@ -296,6 +297,14 @@ struct Engine {
   const int8_t* node_is_source;
   const int8_t* dist_kind;
   const double* dist_params;  // n*4
+  // discrete distributions: per-node [disc_offsets[i], disc_offsets[i+1])
+  // slices of sorted support (disc_xk) and its cumsum (disc_cum);
+  // disc_int[i] != 0 -> integer support (scipy rv_discrete.rvs returns
+  // int64, which str-formats without a trailing .0 -> record kind 4)
+  const double* disc_xk = nullptr;
+  const double* disc_cum = nullptr;
+  const int64_t* disc_offsets = nullptr;
+  const int8_t* disc_int = nullptr;
   const int64_t* queue_caps;
   // routing tables
   const int32_t* children;       // flattened
@@ -363,6 +372,19 @@ struct Engine {
         return p[1] + p[2] * rng.standard_gamma(p[0]);
       case D_BETA:
         return p[2] + p[3] * rng.beta(p[0], p[1]);
+      case D_DISCRETE: {
+        // rv_discrete.rvs == ppf(random_sample()): np.searchsorted(cum, u,
+        // side='left') then clamp (core/rng.py Sampler.draw)
+        double u = rng.random_sample();
+        int64_t lo = disc_offsets[node], hi = disc_offsets[node + 1];
+        int64_t a = lo, b = hi;  // first idx with cum[idx] >= u
+        while (a < b) {
+          int64_t m = (a + b) >> 1;
+          if (disc_cum[m] < u) a = m + 1; else b = m;
+        }
+        if (a >= hi) a = hi - 1;
+        return disc_xk[a];
+      }
       default:
         return 0.0;
     }
@@ -444,7 +466,9 @@ struct Engine {
         if ((redraws & 1023) == 0 && wall_now() > wall_deadline) throw 1;
       }
     }
-    emit(1, service_time, event_id, server_id);
+    uint8_t pkind = (dist_kind[server_id] == D_DISCRETE &&
+                     disc_int && disc_int[server_id]) ? 4 : 1;
+    emit(pkind, service_time, event_id, server_id);
     s.total_time_in_service += service_time;
     Event dep{clock + service_time, event_id, server_id, -1, DEPARTURE, false, 0};
     fel.push(dep);
@@ -696,10 +720,11 @@ int py_float_repr(double v, char* out) {
   return int(q - out);
 }
 
-const char* const kKindNames[4] = {
+const char* const kKindNames[5] = {
     "arrival", "processing", "departure",
-    "Scheduling delayed departure from server"};
-const int kKindLens[4] = {7, 10, 9, 40};
+    "Scheduling delayed departure from server",
+    "processing"};  // kind 4: processing with INTEGER time formatting
+const int kKindLens[5] = {7, 10, 9, 40, 10};
 
 }  // namespace
 
@@ -722,6 +747,9 @@ int64_t des_format_records(const double* values, const int64_t* ids,
     uint8_t kk = kinds[k];
     if (kk == 1 && values[k] == 0.0) {
       *q++ = '0';
+    } else if (kk == 4) {
+      // integer-support discrete service time: Python logs the int64
+      q = std::to_chars(q, q + 24, (long long)values[k]).ptr;
     } else {
       q += py_float_repr(values[k], q);
     }
@@ -748,6 +776,9 @@ int des_run(
     const double* dist_params, const int64_t* queue_caps,
     const int32_t* children, const int64_t* child_offsets, const double* cdf,
     const int8_t* route_mode, const int8_t* is_sink,
+    // discrete-distribution tables (may be NULL when no discrete nodes)
+    const double* disc_xk, const double* disc_cum,
+    const int64_t* disc_offsets, const int8_t* disc_int,
     // run config
     const int64_t* seeds, int num_seeds, int64_t number_of_customers,
     int use_next_available, double max_sim_time_s, int gen_log,
@@ -785,6 +816,10 @@ int des_run(
   eng.cdf = cdf;
   eng.route_mode = route_mode;
   eng.is_sink = is_sink;
+  eng.disc_xk = disc_xk;
+  eng.disc_cum = disc_cum;
+  eng.disc_offsets = disc_offsets;
+  eng.disc_int = disc_int;
   eng.use_next_available = use_next_available != 0;
   eng.gen_log = gen_log != 0;
   eng.record_limit = record_limit;

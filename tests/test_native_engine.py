@@ -221,10 +221,49 @@ def test_native_log_formatting_matches_python_repr():
 
 def test_engine_fallback_for_unsupported_configs():
     adj = np.array([[1.0, 1.0], [0.0, -1.0]])
-    dists = [["discrete", [0.5, 1.5], [0.5, 0.5]], ["exponential", 0.5]]
+    dists = [["exponential", 1.0], ["exponential", 0.5]]
     np.random.seed(0)
-    sim = Sim(adj, dists, [0, 10], seeds=[1], engine="auto")
-    sim.run(number_of_customers=200)  # silently uses the python engine
+    # 'All' logging mode is Python-only: auto falls back silently
+    sim = Sim(adj, dists, [0, 10], seeds=[1], engine="auto",
+              generate_log=True, logging_mode="All")
+    sim.run(number_of_customers=200)
     assert sim.servers[1].total_customers_served > 0
     with pytest.raises(ValueError):
-        Sim(adj, dists, [0, 10], seeds=[1], engine="native").run(number_of_customers=10)
+        Sim(adj, dists, [0, 10], seeds=[1], engine="native",
+            generate_log=True, logging_mode="All").run(number_of_customers=10)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+@pytest.mark.parametrize("support", ["int", "float"])
+def test_native_discrete_distribution_parity(tmp_path, support):
+    """Discrete service/interarrival nodes run natively with byte-identical
+    logs — including the int-vs-float 'processing' time formatting that
+    follows the support array's dtype (scipy rv_discrete.rvs)."""
+    adj = np.array([
+        [1.0, 0.6, 0.4],
+        [0.0, -1.0, 1.0],
+        [0.0, 0.0, -1.0],
+    ])
+    if support == "int":
+        service = [["discrete", [1, 2, 5], [0.25, 0.5, 0.25]],
+                   ["discrete", [2, 3], [0.5, 0.5]]]
+    else:
+        service = [["discrete", [0.5, 1.25, 2.0], [0.25, 0.5, 0.25]],
+                   ["discrete", [1.5, 3.25], [0.5, 0.5]]]
+    dists = [["exponential", 0.8]] + service
+    logs = {}
+    for engine in ("python", "native"):
+        np.random.seed(11)
+        sim = Sim(adj, dists, [0, 8, 8], seeds=[5, 6], generate_log=True,
+                  log_path=str(tmp_path) + f"/{engine}_", logging_mode="Music",
+                  max_sim_time=60, engine=engine)
+        sim.run(number_of_customers=300)
+        logs[engine] = (tmp_path / f"{engine}_simulation.log").read_text()
+    assert logs["python"] == logs["native"]
+    processing = [l for l in logs["native"].splitlines() if "processing" in l]
+    assert len(processing) > 50
+    times = [l.split(" - ")[0].split(":")[-1] for l in processing]
+    if support == "int":
+        assert all("." not in t for t in times)  # '2', never '2.0'
+    else:
+        assert any("." in t for t in times)
