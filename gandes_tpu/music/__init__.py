@@ -30,6 +30,9 @@ _EXPORTS = {
     "FluidSynth": "gandes_tpu.music.synth",
     "midi_to_audio_fluidsynth": "gandes_tpu.music.synth",
     "render_midi": "gandes_tpu.music.synth",
+    "Sf2Font": "gandes_tpu.music.sf2",
+    "Sf2Synth": "gandes_tpu.music.sf2",
+    "build_sf2": "gandes_tpu.music.sf2",
 }
 
 __all__ = sorted(_EXPORTS)
