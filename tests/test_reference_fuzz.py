@@ -178,3 +178,35 @@ def test_random_topology_log_byte_parity(tmp_path, case):
     for src in ref_sim.sources:
         assert (our_sim.sources[src].customers_generated
                 == ref_sim.sources[src].customers_generated)
+
+
+@pytest.mark.parametrize("case", range(max(5, N_CASES // 5)))
+def test_random_topology_all_mode_parity(tmp_path, case):
+    """'All' logging mode (verbose lifecycle lines, <100-customer gates) on
+    randomized topologies — always the Python engine (native is
+    Music-only). The reference's last line embeds wall-clock elapsed time;
+    compare everything except that token."""
+    import re
+
+    adj, dists, qlist, n_customers, use_nas, seeds = _random_network(900 + case)
+    ref = _load_reference()
+
+    def run_all(sim_cls, tag):
+        _clear_root_logger()
+        np.random.seed(123)
+        sim = sim_cls(np.array(adj, dtype=np.float64),
+                      [list(d) for d in dists], list(qlist),
+                      seeds=list(seeds), generate_log=True,
+                      log_path=str(tmp_path) + f"/{tag}_",
+                      logging_mode="All", max_sim_time=60)
+        sim.run(number_of_customers=min(n_customers, 80), use_next_available_server=use_nas)
+        _clear_root_logger()
+        return (tmp_path / f"{tag}_simulation.log").read_text().splitlines()
+
+    scrub = lambda lines: [
+        re.sub(r"\d+\.\d+(e-?\d+)? elapsed time", "<T> elapsed time", l)
+        for l in lines]
+    ref_lines = run_all(ref.Sim, "ref")
+    our_lines = run_all(Sim, "ours")
+    assert len(ref_lines) > 50
+    assert scrub(our_lines) == scrub(ref_lines)
