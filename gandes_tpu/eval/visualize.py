@@ -239,7 +239,7 @@ def render_computation_graph(fn, *example_args, save_path="computation_graph.png
     ax.set_xlim(-width / 2 - 1, width / 2 + 1)
     ax.set_ylim(-depth - 1, 1)
     ax.axis("off")
-    ax.set_title(title or f"jaxpr: {len(jaxpr.jaxpr.eqns)} eqns"
+    ax.set_title((title or f"jaxpr: {len(jaxpr.jaxpr.eqns)} eqns")
                  + (" (head shown)" if truncated else ""), fontsize=9)
     fig.tight_layout()
     fig.savefig(save_path, dpi=130)

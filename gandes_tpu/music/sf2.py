@@ -410,8 +410,7 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int):
     return jnp.where(peak > 1.0, audio / (peak + 1e-6), audio)
 
 
-def _pow2(x: int) -> int:
-    return 1 << max(0, int(x) - 1).bit_length()
+from gandes_tpu.music.synth import _pow2  # one bucketing rule for both renderers
 
 
 class Sf2Synth:
@@ -423,14 +422,18 @@ class Sf2Synth:
         self.font = Sf2Font(sound_font)
         self.bank = jnp.asarray(self.font.bank)
 
-    def midi_to_voices(self, midi, sr: int, max_voices: int = 2048):
+    def midi_to_voices(self, midi, sr: int, max_voices: int = 2048,
+                       max_events: int | None = None):
         """Flatten a MidiFile into per-voice parameter columns (host side:
-        zone selection is dict lookups; the sample math runs on device)."""
+        zone selection is dict lookups; the sample math runs on device).
+        ``max_events`` bounds the extracted MIDI events (the
+        ``synth.render_midi`` knob); ``max_voices`` bounds the flattened
+        per-zone voices (a note can expand to several, e.g. stereo pairs)."""
         from gandes_tpu.music.midi import MidiFile
         from gandes_tpu.music.synth import midi_to_event_arrays
 
         m = MidiFile(midi) if isinstance(midi, str) else midi
-        events = midi_to_event_arrays(m, max_events=max_voices)
+        events = midi_to_event_arrays(m, max_events=max_events or max_voices)
         return self.events_to_voices(events, sr, max_voices=max_voices)
 
     def events_to_voices(self, events, sr: int, max_voices: int = 2048):
@@ -442,9 +445,13 @@ class Sf2Synth:
         cols["start_i"] = []
         for i in range(n):
             key, vel = int(notes[i]), int(vels[i])
-            for vp in self.font.select_voices(int(progs[i]), key, vel):
-                if len(cols["on_s"]) >= max_voices:
-                    break
+            zones = self.font.select_voices(int(progs[i]), key, vel)
+            if len(cols["on_s"]) + len(zones) > max_voices:
+                # cap at a NOTE boundary: a stereo sample pair must render
+                # whole or not at all (a split pair sums to half-amplitude
+                # mono), and once full there is nothing left to select
+                break
+            for vp in zones:
                 start = int(vp["start"])
                 cols["on_s"].append(float(ons[i]))
                 cols["dur_s"].append(max(min(float(offs[i] - ons[i]), MAX_NOTE_S), 0.0))
@@ -466,23 +473,25 @@ class Sf2Synth:
 
     def render_midi(self, midi, sr: int = 44100, min_seconds: float = 0.5,
                     tail: float = 0.3, max_voices: int = 2048,
-                    as_jax: bool = False):
-        cols, nv, end_t = self.midi_to_voices(midi, sr, max_voices=max_voices)
+                    pad_to_bucket: bool = False, as_jax: bool = False,
+                    max_events: int | None = None):
+        cols, nv, end_t = self.midi_to_voices(midi, sr, max_voices=max_voices,
+                                              max_events=max_events)
         return self._render_cols(cols, nv, end_t, sr, min_seconds, tail,
-                                 max_voices, as_jax)
+                                 max_voices, pad_to_bucket, as_jax)
 
     def render_events(self, events, sr: int = 44100, min_seconds: float = 0.5,
                       tail: float = 0.3, max_voices: int = 2048,
-                      as_jax: bool = False):
+                      pad_to_bucket: bool = False, as_jax: bool = False):
         """Render pre-extracted event arrays — same surface as
         ``synth.render_events`` (the GAN-DES fast path feeds the native
         decoder's event arrays straight in)."""
         cols, nv, end_t = self.events_to_voices(events, sr, max_voices=max_voices)
         return self._render_cols(cols, nv, end_t, sr, min_seconds, tail,
-                                 max_voices, as_jax)
+                                 max_voices, pad_to_bucket, as_jax)
 
     def _render_cols(self, cols, nv, end_t, sr, min_seconds, tail,
-                     max_voices, as_jax):
+                     max_voices, pad_to_bucket, as_jax):
         from gandes_tpu.music.synth import RENDER_MAX_S
         length_s = min(max(float(end_t) + tail, min_seconds), RENDER_MAX_S)
         L = max(_pow2(int(length_s * sr)), 1 << 15)
@@ -515,7 +524,8 @@ class Sf2Synth:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract
             return audio, int(length_s * sr)
-        return np.asarray(audio)[: int(length_s * sr)]
+        audio = np.asarray(audio)
+        return audio if pad_to_bucket else audio[: int(length_s * sr)]
 
 
 # ------------------------------------------------------------- SF2 writer

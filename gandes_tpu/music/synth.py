@@ -178,7 +178,8 @@ def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
     midi = MidiFile(midi_input) if isinstance(midi_input, str) else midi_input
     if sound_font and _os.path.isfile(sound_font):
         return _get_sf2_synth(sound_font).render_midi(
-            midi, sr=sr, min_seconds=min_seconds, tail=tail, as_jax=as_jax)
+            midi, sr=sr, min_seconds=min_seconds, tail=tail,
+            pad_to_bucket=pad_to_bucket, as_jax=as_jax, max_events=max_events)
     events = midi_to_event_arrays(midi, max_events)
     return render_events(events, sr=sr, max_events=max_events,
                          min_seconds=min_seconds, tail=tail,
@@ -196,7 +197,8 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
 
     if sound_font and _os.path.isfile(sound_font):
         return _get_sf2_synth(sound_font).render_events(
-            events, sr=sr, min_seconds=min_seconds, tail=tail, as_jax=as_jax)
+            events, sr=sr, min_seconds=min_seconds, tail=tail,
+            pad_to_bucket=pad_to_bucket, as_jax=as_jax)
     import jax as _jax
 
     notes_l, vels_l, ons_l, offs_l, progs_l, n, end = events

@@ -455,19 +455,24 @@ struct Engine {
     s.in_service = 1;
     s.total_customers_served += 1;
     double service_time = 0;
+    bool fell_back = false;  // redraw-cap fallback yields a Python *float*
     if (dist_kind[server_id] != D_QUEUE && dist_kind[server_id] != D_BRANCH) {
       int redraws = 0;
       while (service_time <= 0) {
         service_time = draw_dist(server_id, s.rng);
         if (++redraws >= 10000) {
           service_time = 1e-9;
+          fell_back = true;
           break;
         }
         if ((redraws & 1023) == 0 && wall_now() > wall_deadline) throw 1;
       }
     }
+    // int-support discrete draws log as Python ints ("3"), but the 1e-9
+    // fallback is assigned as a float in the Python engine and must log
+    // as "1e-09" — kind must follow the VALUE's provenance, not the node.
     uint8_t pkind = (dist_kind[server_id] == D_DISCRETE &&
-                     disc_int && disc_int[server_id]) ? 4 : 1;
+                     disc_int && disc_int[server_id] && !fell_back) ? 4 : 1;
     emit(pkind, service_time, event_id, server_id);
     s.total_time_in_service += service_time;
     Event dep{clock + service_time, event_id, server_id, -1, DEPARTURE, false, 0};

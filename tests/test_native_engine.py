@@ -267,3 +267,27 @@ def test_native_discrete_distribution_parity(tmp_path, support):
         assert all("." not in t for t in times)  # '2', never '2.0'
     else:
         assert any("." in t for t in times)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_native_discrete_redraw_fallback_parity(tmp_path):
+    """An int-support discrete service node whose support is all non-positive
+    hits the 10000-redraw cap; the 1e-9 fallback is assigned as a Python
+    *float* and must log as '1e-09' in both engines — not as the int-kind
+    '0' the node's dtype would otherwise imply (review finding, r2)."""
+    adj = np.array([
+        [1.0, 1.0],
+        [0.0, -1.0],
+    ])
+    dists = [["exponential", 0.8],
+             ["discrete", [-1, 0], [0.5, 0.5]]]
+    logs = {}
+    for engine in ("python", "native"):
+        np.random.seed(3)
+        sim = Sim(adj, dists, [0, 4], seeds=[9], generate_log=True,
+                  log_path=str(tmp_path) + f"/{engine}_", logging_mode="Music",
+                  max_sim_time=60, engine=engine)
+        sim.run(number_of_customers=40)
+        logs[engine] = (tmp_path / f"{engine}_simulation.log").read_text()
+    assert logs["python"] == logs["native"]
+    assert "1e-09 - " in logs["native"]  # the fallback actually fired

@@ -305,9 +305,15 @@ def test_two_process_scale_out(tmp_path):
       A-queue-depth multiples of it.)
     """
     import concurrent.futures
+    import socket
     import time
 
-    ports = (18473, 18474)
+    def _free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    ports = (_free_port(), _free_port())
     procs = [_start_server_proc(str(tmp_path / f"srv{i}"), p)
              for i, p in enumerate(ports)]
     bases = [f"http://127.0.0.1:{p}" for p in ports]
