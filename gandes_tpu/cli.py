@@ -363,9 +363,7 @@ def _cmd_eval_metrics(args):
     rm = roll_metrics(real)
     rm = dict(rm, pitch_classes=pitch_class_histogram(real))
 
-    out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()
-                    if k != "pitch_classes"}, "n_real": take}
-    if args.checkpoint or args.torch_checkpoint:
+    def _gaps_for(checkpoint=None, torch_checkpoint=None):
         import jax
 
         from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
@@ -373,7 +371,7 @@ def _cmd_eval_metrics(args):
         from gandes_tpu.train.mmgan_loop import MMGANConfig, _eval_forward
 
         cfg = MMGANConfig()
-        state = load_mmgan_state(cfg, args.checkpoint, args.torch_checkpoint,
+        state = load_mmgan_state(cfg, checkpoint, torch_checkpoint,
                                  batch_size=take)
         key = jax.random.key(args.seed)
         noise1 = jax.random.normal(jax.random.fold_in(key, 0), (take, cfg.noise_dim))
@@ -392,10 +390,49 @@ def _cmd_eval_metrics(args):
         fake = np.stack(rolls)
         fm = roll_metrics(fake)
         fm = dict(fm, pitch_classes=pitch_class_histogram(fake))
-        out["generated"] = {k: float(np.mean(np.asarray(v))) for k, v in fm.items()
-                            if k != "pitch_classes"}
-        out["gaps"] = compare_distributions(rm, fm)
-        out["failed_sims"] = failed
+        gen = {k: float(np.mean(np.asarray(v))) for k, v in fm.items()
+               if k != "pitch_classes"}
+        return gen, compare_distributions(rm, fm), failed
+
+    out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()
+                    if k != "pitch_classes"}, "n_real": take}
+    if args.checkpoints_dir:
+        # checkpoint SELECTION: evaluate every epoch checkpoint under the
+        # training run's models/ dir with identical noise/seed/data, rank
+        # by --rank-by (a gap key, or 'avg_rank': the scale-free mean of
+        # per-metric ranks), and report the winner. Adversarial gaps
+        # oscillate epoch to epoch (docs/RESULTS.md), so picking the
+        # checkpoint is part of the workflow, not an afterthought.
+        epochs = {}
+        for name in sorted(os.listdir(args.checkpoints_dir)):
+            parts = name.rsplit("_epoch_", 1)
+            if len(parts) != 2 or not parts[1].isdigit():
+                continue  # skip companion dirs (e.g. *_surrogate) and misc
+            epochs[int(parts[1])] = os.path.join(args.checkpoints_dir, name)
+        if not epochs:
+            raise SystemExit(f"no *_epoch_N checkpoints in {args.checkpoints_dir}")
+        per_epoch = {}
+        for e in sorted(epochs):
+            _, gaps, failed = _gaps_for(checkpoint=epochs[e])
+            per_epoch[e] = dict(gaps, failed_sims=failed)
+        keys = [k for k in next(iter(per_epoch.values())) if k != "failed_sims"]
+        ranks = {e: 0.0 for e in per_epoch}
+        for k in keys:
+            for r, e in enumerate(sorted(per_epoch, key=lambda e: per_epoch[e][k])):
+                ranks[e] += r / max(1, len(per_epoch) - 1)
+        for e in per_epoch:
+            per_epoch[e]["avg_rank"] = ranks[e] / len(keys)
+        rank_by = args.rank_by
+        if rank_by != "avg_rank" and rank_by not in keys:
+            raise SystemExit(f"--rank-by must be 'avg_rank' or one of {keys}")
+        best = min(per_epoch, key=lambda e: per_epoch[e][rank_by])
+        out["per_epoch"] = {str(e): per_epoch[e] for e in sorted(per_epoch)}
+        out["rank_by"] = rank_by
+        out["best_epoch"] = best
+        out["best_checkpoint"] = epochs[best]
+    elif args.checkpoint or args.torch_checkpoint:
+        out["generated"], out["gaps"], out["failed_sims"] = _gaps_for(
+            args.checkpoint, args.torch_checkpoint)
     print(json.dumps(out, indent=2, sort_keys=True))
 
 
@@ -566,6 +603,13 @@ def main(argv=None):
     sp.add_argument("--data", required=True, help="windowed roll pickle")
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--torch-checkpoint", default=None)
+    sp.add_argument("--checkpoints-dir", default=None,
+                    help="evaluate every *_epoch_N checkpoint in a training "
+                         "run's models/ dir and rank them (checkpoint "
+                         "selection)")
+    sp.add_argument("--rank-by", default="avg_rank",
+                    help="gap key to select the best epoch by, or "
+                         "'avg_rank' (default): mean of per-metric ranks")
     sp.add_argument("--n", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--des-parallel", type=int, default=None)

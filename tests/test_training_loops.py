@@ -259,3 +259,52 @@ def test_cli_sim_to_wav(tmp_path):
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "demo_out" / "wav" / "output_0.wav").exists()
     assert (tmp_path / "demo_out" / "midi" / "output.mid").exists()
+
+
+def test_cli_eval_metrics_checkpoint_selection(midi_fixture_dir, tmp_path,
+                                               monkeypatch, capsys):
+    """`eval-metrics --checkpoints-dir` sweeps every epoch checkpoint of a
+    training run with identical noise/data and ranks them — the
+    checkpoint-selection workflow docs/RESULTS.md describes (adversarial
+    gaps oscillate epoch to epoch, so users pick by measured gap)."""
+    import json
+
+    from gandes_tpu.cli import main
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    cfg = MMGANConfig(batch_size=2, num_epochs=2, start=100, sequence_length=50,
+                      models_dir=str(tmp_path / "models"),
+                      losses_dir=str(tmp_path / "losses"), seed=1)
+    np.random.seed(0)
+    train_mmgan(ds, cfg, max_batches=1)
+
+    def _json_tail(text):
+        # generation progress lines may print before the JSON object; the
+        # object itself (indent=2) is the last thing on stdout
+        return json.loads(text[text.rindex("\n{") + 1:] if "\n{" in text
+                          else text)
+
+    main(["eval-metrics", "--data", out, "--checkpoints-dir",
+          str(tmp_path / "models"), "--n", "2", "--des-parallel", "2"])
+    res = _json_tail(capsys.readouterr().out)
+    assert sorted(res["per_epoch"]) == ["1", "2"]
+    assert res["rank_by"] == "avg_rank"
+    assert str(res["best_epoch"]) in res["per_epoch"]
+    assert res["best_checkpoint"].endswith(f"epoch_{res['best_epoch']}")
+    for e, gaps in res["per_epoch"].items():
+        assert {"pitch_class_l1", "velocity_mean_gap", "avg_rank"} <= set(gaps)
+
+    # a named gap key also works as the ranking criterion
+    main(["eval-metrics", "--data", out, "--checkpoints-dir",
+          str(tmp_path / "models"), "--n", "2", "--des-parallel", "2",
+          "--rank-by", "pitch_class_l1"])
+    res2 = _json_tail(capsys.readouterr().out)
+    best = str(res2["best_epoch"])
+    assert all(res2["per_epoch"][best]["pitch_class_l1"]
+               <= g["pitch_class_l1"] for g in res2["per_epoch"].values())
