@@ -175,9 +175,14 @@ class Sf2Font:
         if data[:4] != b"RIFF" or data[8:12] != b"sfbk":
             raise ValueError(f"{path}: not a SoundFont 2 (RIFF sfbk) file")
         chunks = self._walk(data)
-        if "smpl" not in chunks:
-            raise ValueError(f"{path}: no sample data (smpl) chunk")
+        missing = [c for c in ("smpl", "shdr", "pbag", "pgen", "ibag",
+                               "igen", "inst", "phdr") if c not in chunks]
+        if missing:
+            raise ValueError(
+                f"{path}: missing required SF2 chunk(s) {missing} "
+                "(truncated or not a complete soundfont)")
         raw = chunks["smpl"]
+        raw = raw[: len(raw) // 2 * 2]  # tolerate an odd trailing byte
         self.bank = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
 
         self.samples = [
@@ -190,27 +195,32 @@ class Sf2Font:
             for r in struct.iter_unpack("<20sIIIIIBbHH", chunks["shdr"])
         ][:-1]  # terminal EOS record
 
-        pbag = list(struct.iter_unpack("<HH", chunks["pbag"]))
-        pgen = list(struct.iter_unpack("<HH", chunks["pgen"]))
-        ibag = list(struct.iter_unpack("<HH", chunks["ibag"]))
-        igen = list(struct.iter_unpack("<HH", chunks["igen"]))
+        try:
+            pbag = list(struct.iter_unpack("<HH", chunks["pbag"]))
+            pgen = list(struct.iter_unpack("<HH", chunks["pgen"]))
+            ibag = list(struct.iter_unpack("<HH", chunks["ibag"]))
+            igen = list(struct.iter_unpack("<HH", chunks["igen"]))
 
-        inst_recs = list(struct.iter_unpack("<20sH", chunks["inst"]))
-        self.instruments = []
-        for k in range(len(inst_recs) - 1):
-            gz, zones = _parse_zone_records(
-                ibag, igen, inst_recs[k][1], inst_recs[k + 1][1], G_SAMPLE_ID)
-            self.instruments.append(Instrument(
-                inst_recs[k][0].split(b"\0")[0].decode("latin-1"), gz, zones))
+            inst_recs = list(struct.iter_unpack("<20sH", chunks["inst"]))
+            self.instruments = []
+            for k in range(len(inst_recs) - 1):
+                gz, zones = _parse_zone_records(
+                    ibag, igen, inst_recs[k][1], inst_recs[k + 1][1], G_SAMPLE_ID)
+                self.instruments.append(Instrument(
+                    inst_recs[k][0].split(b"\0")[0].decode("latin-1"), gz, zones))
 
-        phdr_recs = list(struct.iter_unpack("<20sHHHIII", chunks["phdr"]))
-        self.presets = {}
-        for k in range(len(phdr_recs) - 1):
-            name, prog, bank_n, bag_ndx = phdr_recs[k][:4]
-            gz, zones = _parse_zone_records(
-                pbag, pgen, bag_ndx, phdr_recs[k + 1][3], G_INSTRUMENT)
-            self.presets[(bank_n, prog)] = Preset(
-                name.split(b"\0")[0].decode("latin-1"), prog, bank_n, gz, zones)
+            phdr_recs = list(struct.iter_unpack("<20sHHHIII", chunks["phdr"]))
+            self.presets = {}
+            for k in range(len(phdr_recs) - 1):
+                name, prog, bank_n, bag_ndx = phdr_recs[k][:4]
+                gz, zones = _parse_zone_records(
+                    pbag, pgen, bag_ndx, phdr_recs[k + 1][3], G_INSTRUMENT)
+                self.presets[(bank_n, prog)] = Preset(
+                    name.split(b"\0")[0].decode("latin-1"), prog, bank_n, gz, zones)
+        except (IndexError, struct.error) as e:
+            # corrupt bag/gen indices point past their tables; surface one
+            # clean error instead of an IndexError deep in zone walking
+            raise ValueError(f"{path}: malformed SF2 hydra records ({e})") from e
         self._voice_cache: dict = {}
 
     @staticmethod

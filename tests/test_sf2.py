@@ -300,3 +300,46 @@ def test_gm_scale_font_many_presets_velocity_layers_stereo(tmp_path):
         assert loud[0]["start"] == font.samples[3 * p + 2].start
     # unknown program falls back to SOME preset rather than silence
     assert font.select_voices(99, 60, 100)
+
+
+def test_malformed_sf2_fails_cleanly(tmp_path):
+    """Users plug in arbitrary .sf2 files; corrupt ones must raise one
+    clean ValueError naming the file, never a deep IndexError/KeyError."""
+    import struct
+
+    from gandes_tpu.music.sf2 import Sf2Font, build_sf2
+
+    # not a soundfont at all
+    p = tmp_path / "bogus.sf2"
+    p.write_bytes(b"not a riff file at all, just junk bytes" * 4)
+    with pytest.raises(ValueError, match="not a SoundFont"):
+        Sf2Font(str(p))
+
+    # a valid font, then truncated mid-hydra: required chunks go missing
+    good = tmp_path / "good.sf2"
+    t = np.arange(2000) / 44100.0
+    build_sf2(str(good),
+              samples=[dict(name="s", data=np.sin(2 * np.pi * 440 * t),
+                            sample_rate=44100, original_pitch=69,
+                            loop_start=100, loop_end=1900)],
+              instruments=[dict(name="i", zones=[dict(sample=0, gens={})])],
+              presets=[dict(name="p", program=0, bank=0,
+                            zones=[dict(instrument=0)])])
+    data = good.read_bytes()
+    Sf2Font(str(good))  # sanity: the untruncated font parses
+    trunc = tmp_path / "trunc.sf2"
+    trunc.write_bytes(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="missing required SF2 chunk"):
+        Sf2Font(str(trunc))
+
+    # corrupt hydra: a pbag zone spanning gen records [0, 60000) walks far
+    # past the real pgen table
+    pos = data.index(b"pbag")
+    (size,) = struct.unpack_from("<I", data, pos + 4)
+    bad = bytearray(data)
+    recs = struct.pack("<HH", 0, 0) + struct.pack("<HH", 60000, 0) * (size // 4 - 1)
+    bad[pos + 8:pos + 8 + size] = recs[:size]
+    badf = tmp_path / "badbag.sf2"
+    badf.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="malformed SF2 hydra"):
+        Sf2Font(str(badf))
