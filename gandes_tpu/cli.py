@@ -357,6 +357,9 @@ def _cmd_eval_metrics(args):
         roll_metrics,
     )
 
+    if args.family == "gandes":
+        return _eval_metrics_gandes(args)
+
     ds = MaestroDatasetPickle(args.data, data_dir=".")
     take = min(args.n, len(ds))
     real = np.stack([np.stack([ds[i][0], ds[i][1]]) for i in range(take)])
@@ -397,39 +400,117 @@ def _cmd_eval_metrics(args):
     out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()
                     if k != "pitch_classes"}, "n_real": take}
     if args.checkpoints_dir:
-        # checkpoint SELECTION: evaluate every epoch checkpoint under the
-        # training run's models/ dir with identical noise/seed/data, rank
-        # by --rank-by (a gap key, or 'avg_rank': the scale-free mean of
-        # per-metric ranks), and report the winner. Adversarial gaps
-        # oscillate epoch to epoch (docs/RESULTS.md), so picking the
-        # checkpoint is part of the workflow, not an afterthought.
-        epochs = {}
-        for name in sorted(os.listdir(args.checkpoints_dir)):
-            parts = name.rsplit("_epoch_", 1)
-            if len(parts) != 2 or not parts[1].isdigit():
-                continue  # skip companion dirs (e.g. *_surrogate) and misc
-            epochs[int(parts[1])] = os.path.join(args.checkpoints_dir, name)
-        if not epochs:
-            raise SystemExit(f"no *_epoch_N checkpoints in {args.checkpoints_dir}")
-        per_epoch = {}
-        for e in sorted(epochs):
-            _, gaps, failed = _gaps_for(checkpoint=epochs[e])
-            per_epoch[e] = dict(gaps, failed_sims=failed)
-        keys = [k for k in next(iter(per_epoch.values())) if k != "failed_sims"]
-        ranks = {e: 0.0 for e in per_epoch}
-        for k in keys:
-            for r, e in enumerate(sorted(per_epoch, key=lambda e: per_epoch[e][k])):
-                ranks[e] += r / max(1, len(per_epoch) - 1)
-        for e in per_epoch:
-            per_epoch[e]["avg_rank"] = ranks[e] / len(keys)
-        rank_by = args.rank_by
-        if rank_by != "avg_rank" and rank_by not in keys:
-            raise SystemExit(f"--rank-by must be 'avg_rank' or one of {keys}")
-        best = min(per_epoch, key=lambda e: per_epoch[e][rank_by])
-        out["per_epoch"] = {str(e): per_epoch[e] for e in sorted(per_epoch)}
-        out["rank_by"] = rank_by
-        out["best_epoch"] = best
-        out["best_checkpoint"] = epochs[best]
+        _sweep_checkpoints(args, out, _gaps_for, _mmgan_epoch_key)
+    elif args.checkpoint or args.torch_checkpoint:
+        out["generated"], out["gaps"], out["failed_sims"] = _gaps_for(
+            args.checkpoint, args.torch_checkpoint)
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
+def _mmgan_epoch_key(name: str):
+    """mmgan_{a}_{b}_epoch_{e} -> e (skips *_surrogate companions, misc)."""
+    parts = name.rsplit("_epoch_", 1)
+    return int(parts[1]) if len(parts) == 2 and parts[1].isdigit() else None
+
+
+def _gandes_step_key(name: str):
+    """gen_{step}_{timestamp} -> step (skips *_surrogate companions)."""
+    import re
+
+    m = re.fullmatch(r"gen_(\d+)_[\d.]+", name)
+    return int(m.group(1)) if m else None
+
+
+def _sweep_checkpoints(args, out, gaps_for, key_of):
+    """Checkpoint SELECTION: evaluate every checkpoint of a training run
+    under --checkpoints-dir with identical noise/seed/data, rank by
+    --rank-by (a gap key, or 'avg_rank': the scale-free mean of per-metric
+    ranks), and report the winner. Adversarial gaps oscillate across a run
+    (docs/RESULTS.md), so picking the checkpoint is part of the workflow,
+    not an afterthought. For MM-GAN the key is the epoch; for GAN-DES the
+    saved step (reference layouts: mmgan_{a}_{b}_epoch_{e} /
+    gen_{step}_{ts})."""
+    import json
+
+    epochs = {}
+    for name in sorted(os.listdir(args.checkpoints_dir)):
+        key = key_of(name)
+        if key is not None:
+            epochs[key] = os.path.join(args.checkpoints_dir, name)
+    if not epochs:
+        raise SystemExit(f"no checkpoints found in {args.checkpoints_dir}")
+    per_epoch = {}
+    for e in sorted(epochs):
+        _, gaps, failed = gaps_for(checkpoint=epochs[e])
+        per_epoch[e] = dict(gaps, failed_sims=failed)
+    keys = [k for k in next(iter(per_epoch.values())) if k != "failed_sims"]
+    ranks = {e: 0.0 for e in per_epoch}
+    for k in keys:
+        for r, e in enumerate(sorted(per_epoch, key=lambda e: per_epoch[e][k])):
+            ranks[e] += r / max(1, len(per_epoch) - 1)
+    for e in per_epoch:
+        per_epoch[e]["avg_rank"] = ranks[e] / len(keys)
+    rank_by = args.rank_by
+    if rank_by != "avg_rank" and rank_by not in keys:
+        raise SystemExit(f"--rank-by must be 'avg_rank' or one of {keys}")
+    best = min(per_epoch, key=lambda e: per_epoch[e][rank_by])
+    out["per_epoch"] = {str(e): per_epoch[e] for e in sorted(per_epoch)}
+    out["rank_by"] = rank_by
+    out["best_epoch"] = best
+    out["best_checkpoint"] = epochs[best]
+
+
+def _eval_metrics_gandes(args):
+    """GAN-DES family eval: real = MIDI dir -> synth -> 5 s mel slices
+    (the discriminator's actual input distribution); generated =
+    checkpoint G -> matrix_to_wav mels. Gaps over mel spectral statistics
+    (eval/metrics.py::mel_metrics)."""
+    import json
+
+    import numpy as np
+
+    import jax
+
+    from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+    from gandes_tpu.data.datasets import MaestroDatasetGanDes
+    from gandes_tpu.eval.metrics import compare_distributions, mel_metrics
+    from gandes_tpu.train.gandes_loop import GanDesConfig
+    from gandes_tpu.train.loading import gandes_eval_forward, load_gandes_state
+
+    ds = MaestroDatasetGanDes(batch_size=args.n, input_folder=args.data,
+                              sound_font=args.sound_font)
+    mels, got = [], 0
+    for i in range(len(ds)):
+        m = np.asarray(ds[i])
+        mels.append(m)
+        got += m.shape[0]
+        if got >= args.n:
+            break
+    if not mels:
+        raise SystemExit(f"no MIDI files under {args.data}")
+    real = np.concatenate(mels)[: args.n]
+    rm = mel_metrics(real)
+
+    def _gaps_for(checkpoint=None, torch_checkpoint=None):
+        cfg = GanDesConfig()
+        state, gen = load_gandes_state(cfg, checkpoint, torch_checkpoint,
+                                       batch_size=args.n)
+        noise = jax.random.normal(jax.random.key(args.seed), (args.n, cfg.z_dim))
+        mats = gandes_eval_forward(gen)(state.g_params, state.g_stats, noise)
+        np.random.seed(args.seed)
+        os.makedirs("logs", exist_ok=True)
+        specs = matrix_to_wav(np.asarray(mats), size=20, start=0,
+                              end=real.shape[-1], write_wav=False,
+                              parallel=args.des_parallel,
+                              sound_font=args.sound_font)
+        fm = mel_metrics(np.asarray(specs))
+        gen_stats = {k: float(np.mean(np.asarray(v))) for k, v in fm.items()}
+        return gen_stats, compare_distributions(rm, fm), 0
+
+    out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()},
+           "n_real": int(real.shape[0]), "family": "gandes"}
+    if args.checkpoints_dir:
+        _sweep_checkpoints(args, out, _gaps_for, _gandes_step_key)
     elif args.checkpoint or args.torch_checkpoint:
         out["generated"], out["gaps"], out["failed_sims"] = _gaps_for(
             args.checkpoint, args.torch_checkpoint)
@@ -600,13 +681,19 @@ def main(argv=None):
 
     sp = sub.add_parser("eval-metrics",
                         help="music-quality statistics: dataset vs generated")
-    sp.add_argument("--data", required=True, help="windowed roll pickle")
+    sp.add_argument("--data", required=True,
+                    help="windowed roll pickle (mmgan) or a MIDI dir (gandes)")
+    sp.add_argument("--family", choices=("mmgan", "gandes"), default="mmgan",
+                    help="model family: mmgan ranks piano-roll gaps, gandes "
+                         "ranks mel-spectral gaps")
+    sp.add_argument("--sound-font", default=None,
+                    help="optional .sf2 for the gandes audio path")
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--torch-checkpoint", default=None)
     sp.add_argument("--checkpoints-dir", default=None,
-                    help="evaluate every *_epoch_N checkpoint in a training "
-                         "run's models/ dir and rank them (checkpoint "
-                         "selection)")
+                    help="evaluate every checkpoint in a training run's "
+                         "models/ dir and rank them (checkpoint selection; "
+                         "mmgan: *_epoch_N, gandes: gen_<step>_<ts>)")
     sp.add_argument("--rank-by", default="avg_rank",
                     help="gap key to select the best epoch by, or "
                          "'avg_rank' (default): mean of per-metric ranks")

@@ -308,3 +308,34 @@ def test_cli_eval_metrics_checkpoint_selection(midi_fixture_dir, tmp_path,
     best = str(res2["best_epoch"])
     assert all(res2["per_epoch"][best]["pitch_class_l1"]
                <= g["pitch_class_l1"] for g in res2["per_epoch"].values())
+
+
+def test_cli_eval_metrics_gandes_selection(midi_fixture_dir, tmp_path,
+                                           monkeypatch, capsys):
+    """The symmetric GAN-DES selection: `eval-metrics --family gandes`
+    ranks gen_<step>_<ts> checkpoints by mel-spectral gaps against real
+    MIDI rendered through the audio path."""
+    import json
+
+    from gandes_tpu.cli import main
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(2, 128, 216).astype(np.float32) * 40 - 40 for _ in range(3)]
+    cfg = GanDesConfig(batch_size=2, model_path=str(tmp_path / "models"),
+                       number_of_customers=120, max_sim_time=0.3, save_step=1)
+    np.random.seed(2)
+    train_gandes(iter(batches), cfg, max_steps=3)  # saves steps 1 and 2
+
+    main(["eval-metrics", "--family", "gandes", "--data", str(midi_fixture_dir),
+          "--checkpoints-dir", str(tmp_path / "models"), "--n", "2",
+          "--des-parallel", "2"])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.rindex("\n{") + 1:] if "\n{" in out else out)
+    assert res["family"] == "gandes"
+    assert sorted(res["per_epoch"]) == ["1", "2"]  # saved steps 1 and 2
+    assert {"db_mean_gap", "centroid_gap", "flux_gap", "avg_rank"} <= set(
+        res["per_epoch"]["1"])
+    assert res["best_checkpoint"].startswith(str(tmp_path / "models"))
