@@ -70,7 +70,10 @@ def _cmd_train_gandes(args):
     cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir,
                        g_update=args.g_update, des_parallel=args.des_parallel,
                        mesh_shape=_mesh(args.mesh), profile=args.profile,
-                       trace_dir=args.trace_dir)
+                       trace_dir=args.trace_dir,
+                       # the fake path must render with the SAME synth as
+                       # the real dataset, or D separates on timbre alone
+                       sound_font=args.sound_font)
     state, history = train_gandes(loader, cfg, max_steps=args.steps)
     print(f"done: {len(history['disc'])} steps")
 

@@ -24,6 +24,7 @@ Semantics are identical to the two-phase path; pinned bitwise by
 
 from __future__ import annotations
 
+import dataclasses
 import numpy as np
 
 import jax
@@ -83,11 +84,7 @@ def make_mmgan_full_step_io(
         mats, vec, new_stats = gen_forward(state, noise1, noise2, beats, aux_key)
         fake, failed = io_callback(host_stage, result_shapes, mats, vec,
                                    count, ordered=True)
-        state = GANState(
-            g_params=state.g_params, g_stats=new_stats,
-            d_params=state.d_params, d_stats=state.d_stats,
-            g_opt=state.g_opt, d_opt=state.d_opt, step=state.step,
-        )
+        state = dataclasses.replace(state, g_stats=new_stats)
         new_state, metrics = train_step(state, real, fake)
         return new_state, mats, vec, {**metrics, "failed_simulations": failed}
 

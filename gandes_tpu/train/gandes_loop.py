@@ -13,6 +13,7 @@ naming, :344-347) — full state, not bare params.
 from __future__ import annotations
 
 import os
+import dataclasses
 from dataclasses import dataclass
 from datetime import datetime
 
@@ -52,6 +53,16 @@ class GanDesConfig:
     # False skips the per-sample WAV artifacts (the reference writes them
     # every step; training never reads them)
     write_wav: bool = True
+    # .sf2 path: the fake path renders by sample playback from this
+    # soundfont — MUST match the real dataset's sound_font, or D separates
+    # real from fake on timbre alone (None = additive synth on both sides)
+    sound_font: str | None = None
+    # pad short my_collate batches up to batch_size by cycling their own
+    # samples: every step then compiles ONE program shape (each distinct
+    # batch size otherwise recompiles the fused step — expensive on a
+    # remote-attached backend). Opt-in; default is the reference's
+    # variable-size batches.
+    pad_batches: bool = False
     # 'none' (reference semantics: G gets zero gradient through the DES),
     # 'surrogate' (opt-in: G trains straight-through via a learned
     # matrix->mel surrogate fitted online to the real pipeline output), or
@@ -136,10 +147,14 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     for epoch in range(cfg.n_epochs):
         for real in dataloader:
             if max_steps is not None and cur_step >= max_steps:
-                hist = {"gen": gen_losses, "disc": disc_losses}
+                hist = {"gen": [float(x) for x in jax.device_get(gen_losses)],
+                        "disc": [float(x) for x in jax.device_get(disc_losses)]}
                 if cfg.profile:  # phases only honest when steps block
                     hist["profile"] = timer.summary()
                 return state, hist
+            if cfg.pad_batches and 0 < len(real) < cfg.batch_size:
+                reps = -(-cfg.batch_size // len(real))  # cycle own samples
+                real = np.concatenate([np.asarray(real)] * reps)[: cfg.batch_size]
             cur_batch_size = len(real)
             real = jnp.asarray(real, jnp.float32)
 
@@ -150,7 +165,7 @@ def _train_gandes(dataloader, cfg, max_steps=None):
             if mesh is not None:
                 real, noise = shard_batch((real, noise), mesh)
             fake_mats, new_stats = gen_forward(state, noise)
-            state = state.__class__(**{**state.__dict__, "g_stats": new_stats})
+            state = dataclasses.replace(state, g_stats=new_stats)
             if cfg.g_update == "reinforce":
                 # the pipeline consumes a SAMPLE from N(G(z), sigma^2) —
                 # clip to [0,1] to keep the decode semantics
@@ -166,7 +181,7 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                     overwrite=True, log_path=cfg.log_path, out_dir=cfg.out_dir,
                     number_of_customers=cfg.number_of_customers,
                     max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
-                    write_wav=cfg.write_wav,
+                    write_wav=cfg.write_wav, sound_font=cfg.sound_font,
                 )
             fake = jnp.asarray(fake)
             if mesh is not None:
@@ -182,13 +197,18 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                     state, metrics = train_step(state, real, fake)
                 if cfg.profile:
                     jax.block_until_ready(metrics["d_loss"])
-            disc_losses.append(float(metrics["d_loss"]))
-            gen_losses.append(float(metrics["g_loss"]))
+            # keep losses on device; a d2h fetch per scalar would block the
+            # host on the device step before the next DES stage (the MM-GAN
+            # loop documents the same rule) — fetched in bulk at display
+            # time and on return
+            disc_losses.append(metrics["d_loss"])
+            gen_losses.append(metrics["g_loss"])
 
             if cur_step % cfg.display_step == 0 and cur_step > 0:
                 print(
-                    f"Epoch:{epoch} Step {cur_step}: Generator loss: {np.mean(gen_losses)}, "
-                    f"discriminator loss: {np.mean(disc_losses)}"
+                    f"Epoch:{epoch} Step {cur_step}: Generator loss: "
+                    f"{np.mean(jax.device_get(gen_losses))}, "
+                    f"discriminator loss: {np.mean(jax.device_get(disc_losses))}"
                 )
                 if cfg.profile:
                     print(timer.report())
@@ -202,7 +222,8 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                     ckpt.save_state(path + "_surrogate", s_state)
             cur_step += 1
 
-    hist = {"gen": gen_losses, "disc": disc_losses}
+    hist = {"gen": [float(x) for x in jax.device_get(gen_losses)],
+            "disc": [float(x) for x in jax.device_get(disc_losses)]}
     if cfg.profile:
         hist["profile"] = timer.summary()
     return state, hist
@@ -223,5 +244,8 @@ def generate_song(ckpt_path, cfg: GanDesConfig = GanDesConfig(), n_samples=1):
     state = ckpt.restore_state(ckpt_path, state)
     noise = jax.random.normal(jax.random.key(42), (n_samples, cfg.z_dim))
     mats = gandes_eval_forward(gen)(state.g_params, state.g_stats, noise)
-    return matrix_to_wav(np.asarray(mats), size=20, start=0, end=216,
-                         log_path=cfg.log_path, out_dir=cfg.out_dir)
+    return matrix_to_wav(np.asarray(mats), size=20, start=0, end=cfg.mel_shape[1],
+                         log_path=cfg.log_path, out_dir=cfg.out_dir,
+                         number_of_customers=cfg.number_of_customers,
+                         max_sim_time=cfg.max_sim_time,
+                         parallel=cfg.des_parallel, sound_font=cfg.sound_font)

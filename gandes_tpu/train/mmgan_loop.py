@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import numpy as np
 
@@ -39,7 +39,6 @@ from gandes_tpu.models.mmgan import BeatGenerator, DiscriminatorCNN, MLPGenerato
 from gandes_tpu.train import checkpoint as ckpt
 from gandes_tpu.train.losses import bce_with_logits
 from gandes_tpu.train.steps import (
-    GANState,
     init_mmgan_state,
     make_mmgan_gen_forward,
     make_mmgan_train_step,
@@ -166,6 +165,13 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
         if cfg.batch_size % dp:
             raise ValueError(f"batch_size {cfg.batch_size} not divisible by dp={dp}")
 
+    if cfg.faithful and cfg.g_update != "none":
+        raise ValueError(
+            "faithful=True re-runs the fake path and replaces the generator "
+            f"loss with plain BCE, which would silently discard the "
+            f"g_update={cfg.g_update!r} objective — use one or the other"
+        )
+
     start_epoch = 0
     if cfg.resume:
         path, epoch = ckpt.latest_epoch_checkpoint(
@@ -241,14 +247,22 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
     from gandes_tpu.core.profiling import StepTimer
 
     timer = StepTimer()
-    count = 0
+    # resume must CONTINUE the run's RNG streams, not replay them: every
+    # per-batch key is derived from count, so restart it where the restored
+    # run left off (epochs before start_epoch each ran steps_per_epoch)
+    count = start_epoch * steps_per_epoch
     total_failures = 0
     total_seen = 0
     history = {"disc": [], "gen": []}
 
+    def aux_key(count):
+        # G1/G2 aux-input stream: seeded like the noise streams (seed+4
+        # namespace) so different-seed runs draw independent aux inputs
+        return jax.random.fold_in(jax.random.key(cfg.seed + 4), count)
+
     def fake_batch(state, noise1, noise2, beats, count):
         mats, vec, new_stats = gen_forward(state, noise1, noise2, beats,
-                                           jax.random.key(count))
+                                           aux_key(count))
         if cfg.g_update == "reinforce":
             # the DES consumes a SAMPLE from N(G(z), sigma^2) — that
             # stochasticity is what the score-function gradient needs.
@@ -269,10 +283,11 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             end=cfg.start + cfg.sequence_length, count=count,
             log_path=cfg.log_path, out_dir=cfg.midi_out_dir,
             parallel=cfg.des_parallel,
-            # surrogate regression / reinforce rewards need the DES's actual
-            # rolls — decode them even when the reference's save gate would
-            # leave them blank
-            force_roll=cfg.g_update in ("surrogate", "reinforce"),
+            # surrogate regression / reinforce rewards / the direct
+            # straight-through value all need the DES's actual rolls —
+            # decode them even when the reference's save gate would leave
+            # them blank
+            force_roll=cfg.g_update in ("surrogate", "reinforce", "direct"),
         )
         fake = jnp.asarray(np.stack(rolls), jnp.float32)
         if mesh is not None:
@@ -300,7 +315,7 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                 with timer.phase("full_step(fwd+des+update)"):
                     state, _, _, metrics = full_step(
                         state, real, noise1, noise2, beats_j,
-                        jnp.int32(count), jax.random.key(count))
+                        jnp.int32(count), aux_key(count))
                     if cfg.profile:
                         jax.block_until_ready(metrics["d_loss"])
                 # device scalar, summed lazily — fetched only at print time
@@ -309,19 +324,19 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             else:
                 with timer.phase("host_des"):
                     fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
-                state = GANState(**{**state.__dict__, "g_stats": new_stats})
+                state = replace(state, g_stats=new_stats)
                 with timer.phase("device_step"):
                     if cfg.g_update == "surrogate":
                         state, s_state, metrics = train_step(
                             state, s_state, real, fake, mats, vec, noise1, noise2,
-                            beats_j, jax.random.key(count))
+                            beats_j, aux_key(count))
                     elif cfg.g_update == "reinforce":
                         state, metrics = train_step(
                             state, real, fake, mats, vec, noise1, noise2,
-                            beats_j, jax.random.key(count))
+                            beats_j, aux_key(count))
                     elif cfg.g_update == "direct":
                         state, metrics = train_step(state, real, fake, noise1, noise2,
-                                                    beats_j, jax.random.key(count))
+                                                    beats_j, aux_key(count))
                     else:
                         state, metrics = train_step(state, real, fake)
                     if cfg.profile:
@@ -331,7 +346,7 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                 if cfg.faithful:
                     # reference runs the whole fake path again for the G step
                     fake2, failed2, new_stats, _, _ = fake_batch(state, noise1, noise2, beats_j, count)
-                    state = GANState(**{**state.__dict__, "g_stats": new_stats})
+                    state = replace(state, g_stats=new_stats)
                     g_loss = g_loss_only(state.d_params, fake2)
                     failed += failed2
 

@@ -23,6 +23,7 @@ against D on a device-side differentiable proxy (provided by the caller as
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -138,8 +139,13 @@ def make_default_fake_proxy(g1, g2):
         )
         B, _, H, T = fake_roll.shape
         img = jax.image.resize(mats, (B, H, T), method="bilinear")
-        vel = img * (126.0 * vec[:, 3][:, None, None])
-        dur = img * (20.0 * vec[:, 5][:, None, None])
+        # gen2's MIDI-meta block is vec[10:] (mmgan_decode passes
+        # gen2_output[10:] to MidiGeneratorV2): velocity base = vec[13]*90,
+        # tempo (which scales note durations in roll steps) = vec[14]*1e6 —
+        # scale the rendered channels by the knobs the decoder actually
+        # consumes so their gradients reach G2
+        vel = img * (126.0 * vec[:, 13][:, None, None])
+        dur = img * (20.0 * vec[:, 14][:, None, None])
         surrogate = jnp.stack([vel, dur], axis=1)
         return fake_roll + surrogate - jax.lax.stop_gradient(surrogate)
 
@@ -394,11 +400,7 @@ def make_mmgan_step_and_next_forward(g1, g2, d, g_tx, d_tx):
              aux_key=None):
         new_state, metrics = train_step(state, real_roll, fake_roll)
         mats, vec, new_stats = gen_forward(new_state, noise1, noise2, beats, aux_key)
-        new_state = GANState(
-            g_params=new_state.g_params, g_stats=new_stats,
-            d_params=new_state.d_params, d_stats=new_state.d_stats,
-            g_opt=new_state.g_opt, d_opt=new_state.d_opt, step=new_state.step,
-        )
+        new_state = dataclasses.replace(new_state, g_stats=new_stats)
         return new_state, mats, vec, metrics
 
     return step

@@ -339,3 +339,110 @@ def test_cli_eval_metrics_gandes_selection(midi_fixture_dir, tmp_path,
     assert {"db_mean_gap", "centroid_gap", "flux_gap", "avg_rank"} <= set(
         res["per_epoch"]["1"])
     assert res["best_checkpoint"].startswith(str(tmp_path / "models"))
+
+
+def test_mmgan_resume_continues_rng_streams(midi_fixture_dir, tmp_path,
+                                            monkeypatch):
+    """Resume must CONTINUE the per-batch RNG streams, not replay them:
+    every key derives from `count`, so a resumed run's counts pick up
+    where the restored epochs left off (review finding, r2)."""
+    import gandes_tpu.train.mmgan_loop as ml
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+
+    seen_counts = []
+    real_m2m = ml.matrix_to_midi
+
+    def recording_m2m(*a, **kw):
+        seen_counts.append(kw.get("count"))
+        return real_m2m(*a, **kw)
+
+    monkeypatch.setattr(ml, "matrix_to_midi", recording_m2m)
+    cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
+                      models_dir=str(tmp_path / "models"),
+                      losses_dir=str(tmp_path / "losses"), seed=1)
+    np.random.seed(0)
+    train_mmgan(ds, cfg)
+    first_run = list(seen_counts)
+    assert first_run[0] == 1
+
+    seen_counts.clear()
+    cfg2 = MMGANConfig(**{**cfg.__dict__, "num_epochs": 2})
+    np.random.seed(0)
+    train_mmgan(ds, cfg2)  # resumes from epoch 1
+    # the resumed epoch's counts continue past the first run's, so noise/
+    # aux keys (all fold_in(key, count)) are fresh draws, not replays
+    assert seen_counts[0] == first_run[-1] + 1
+
+
+def test_mmgan_direct_mode_decodes_rolls_and_faithful_guard(
+        midi_fixture_dir, tmp_path, monkeypatch):
+    import gandes_tpu.train.mmgan_loop as ml
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+
+    seen_force = []
+    real_m2m = ml.matrix_to_midi
+
+    def recording_m2m(*a, **kw):
+        seen_force.append(kw.get("force_roll"))
+        return real_m2m(*a, **kw)
+
+    monkeypatch.setattr(ml, "matrix_to_midi", recording_m2m)
+    cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
+                      models_dir=str(tmp_path / "m_d"), resume=False,
+                      losses_dir=str(tmp_path / "l_d"), seed=1,
+                      g_update="direct")
+    np.random.seed(0)
+    train_mmgan(ds, cfg, max_batches=1)
+    # the straight-through value must be the DES's ACTUAL roll, not the
+    # save-gated blank (review finding, r2)
+    assert seen_force == [True]
+
+    # faithful re-runs the fake path and would silently overwrite the
+    # g_update objective's generator loss — rejected up front
+    bad = MMGANConfig(**{**cfg.__dict__, "faithful": True})
+    with pytest.raises(ValueError, match="faithful"):
+        train_mmgan(ds, bad, max_batches=1)
+
+
+def test_gandes_sound_font_and_pad_batches(tmp_path, monkeypatch):
+    """The fake path renders with the configured soundfont (same synth as
+    the real dataset) and pad_batches pins one compiled batch shape."""
+    import gandes_tpu.train.gandes_loop as gl
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+
+    seen = []
+    real_m2w = gl.matrix_to_wav
+
+    def recording_m2w(*a, **kw):
+        seen.append((kw.get("sound_font"), len(a[0])))
+        return real_m2w(*a, **kw)
+
+    monkeypatch.setattr(gl, "matrix_to_wav", recording_m2w)
+    rng = np.random.RandomState(0)
+    # variable my_collate-style sizes: 3 then 2
+    batches = [rng.rand(3, 128, 216).astype(np.float32) * 40 - 40,
+               rng.rand(2, 128, 216).astype(np.float32) * 40 - 40]
+    sf = str(tmp_path / "absent.sf2")  # path recorded even if not a file
+    cfg = GanDesConfig(batch_size=4, model_path=str(tmp_path / "models"),
+                       number_of_customers=120, max_sim_time=0.3,
+                       save_step=99, sound_font=sf, pad_batches=True)
+    np.random.seed(2)
+    state, history = train_gandes(iter(batches), cfg, max_steps=2)
+    assert [s for s, _ in seen] == [sf, sf]
+    assert [n for _, n in seen] == [4, 4]  # both batches padded to batch_size
+    assert all(np.isfinite(v) for v in history["disc"])
