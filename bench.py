@@ -28,6 +28,18 @@ BATCH, T, ADJ, ZDIM = 16, 50, 64, 50
 V5E_PEAK_FLOPS = 197e12
 
 
+def _step_flops(jitted, *args):
+    """Exact per-call FLOPs from the compiled executable's cost analysis
+    (None when the backend can't say) — the numerator of the MFU rows."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def bench_jax(iters: int = 100, windows: int = 3):
     import jax
     import jax.numpy as jnp
@@ -69,15 +81,7 @@ def bench_jax(iters: int = 100, windows: int = 3):
     # compiled executable for the MFU row (None if the backend can't say)
     s, mats, vec, metrics = one(fresh(), real, fake, noise1, noise2, beats)
     jax.block_until_ready((s.d_params, mats, metrics))
-    flops = None
-    try:
-        ca = one.lower(fresh(), real, fake, noise1, noise2,
-                       beats).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    flops = _step_flops(one, fresh(), real, fake, noise1, noise2, beats)
 
     # several measurement windows per compile: the remote relay's load is
     # bursty, with swings of 10-100x in dispatch latency lasting minutes —
@@ -415,15 +419,7 @@ def bench_batch_scaling(big_batch: int = 1024, iters: int = 50) -> None:
         real = jax.random.uniform(key, (B, 2, 128, T)) * 100.0
         s, m, v, met = one(state, real, real, noise, noise, beats)
         jax.block_until_ready((s.d_params, m))
-        flops = None
-        try:
-            ca = one.lower(s, real, real, noise, noise,
-                           beats).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            flops = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            pass
+        flops = _step_flops(one, s, real, real, noise, noise, beats)
         # ride out relay-degraded windows (see bench_jax): retry on a long
         # stride while the rate reads far under the known healthy range
         best_dt = None

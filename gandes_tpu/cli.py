@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -231,7 +232,10 @@ def _cmd_doctor(args):
                           "zones": [{"instrument": 0}]}])
             synth = Sf2Synth(path)
             voices = synth.font.select_voices(0, 60, 100)
-            assert len(voices) == 1 and voices[0]["loop"] == 1
+            if len(voices) != 1 or voices[0]["loop"] != 1:
+                # not assert: stripped under python -O, and doctor must
+                # never report a vacuous pass
+                raise RuntimeError(f"zone selection returned {voices!r}")
         return "SoundFont parse + zone selection"
 
     def c_reference():
@@ -403,38 +407,50 @@ def _cmd_eval_metrics(args):
     out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()
                     if k != "pitch_classes"}, "n_real": take}
     if args.checkpoints_dir:
-        _sweep_checkpoints(args, out, _gaps_for, _mmgan_epoch_key)
+        _sweep_checkpoints(args, out, _gaps_for, _mmgan_epoch_key,
+                           gap_keys=set(compare_distributions(rm, rm)))
     elif args.checkpoint or args.torch_checkpoint:
         out["generated"], out["gaps"], out["failed_sims"] = _gaps_for(
             args.checkpoint, args.torch_checkpoint)
     print(json.dumps(out, indent=2, sort_keys=True))
 
 
+def _strip_torch_suffix(name: str):
+    for suf in (".pth", ".pt"):
+        if name.endswith(suf):
+            return name[: -len(suf)]
+    return name
+
+
 def _mmgan_epoch_key(name: str):
-    """mmgan_{a}_{b}_epoch_{e} -> e (skips *_surrogate companions, misc)."""
-    parts = name.rsplit("_epoch_", 1)
+    """mmgan_{a}_{b}_epoch_{e}[.pth] -> e (skips *_surrogate companions)."""
+    parts = _strip_torch_suffix(name).rsplit("_epoch_", 1)
     return int(parts[1]) if len(parts) == 2 and parts[1].isdigit() else None
 
 
 def _gandes_step_key(name: str):
-    """gen_{step}_{timestamp} -> step (skips *_surrogate companions)."""
+    """gen_{step}_{timestamp}[.pt] -> step (skips *_surrogate companions)."""
     import re
 
-    m = re.fullmatch(r"gen_(\d+)_[\d.]+", name)
+    m = re.fullmatch(r"gen_(\d+)_[\d.]+", _strip_torch_suffix(name))
     return int(m.group(1)) if m else None
 
 
-def _sweep_checkpoints(args, out, gaps_for, key_of):
+def _sweep_checkpoints(args, out, gaps_for, key_of, gap_keys):
     """Checkpoint SELECTION: evaluate every checkpoint of a training run
     under --checkpoints-dir with identical noise/seed/data, rank by
     --rank-by (a gap key, or 'avg_rank': the scale-free mean of per-metric
     ranks), and report the winner. Adversarial gaps oscillate across a run
     (docs/RESULTS.md), so picking the checkpoint is part of the workflow,
     not an afterthought. For MM-GAN the key is the epoch; for GAN-DES the
-    saved step (reference layouts: mmgan_{a}_{b}_epoch_{e} /
-    gen_{step}_{ts})."""
-    import json
-
+    saved step. Both this framework's orbax checkpoint dirs and the
+    reference's torch files sweep (layouts: mmgan_{a}_{b}_epoch_{e}[.pth] /
+    gen_{step}_{ts}[.pt])."""
+    rank_by = args.rank_by  # validate BEFORE the (expensive) sweep: a typo'd
+    # key must not cost a full multi-checkpoint evaluation
+    if rank_by != "avg_rank" and rank_by not in gap_keys:
+        raise SystemExit(
+            f"--rank-by must be 'avg_rank' or one of {sorted(gap_keys)}")
     epochs = {}
     for name in sorted(os.listdir(args.checkpoints_dir)):
         key = key_of(name)
@@ -444,7 +460,10 @@ def _sweep_checkpoints(args, out, gaps_for, key_of):
         raise SystemExit(f"no checkpoints found in {args.checkpoints_dir}")
     per_epoch = {}
     for e in sorted(epochs):
-        _, gaps, failed = gaps_for(checkpoint=epochs[e])
+        if os.path.isfile(epochs[e]):  # reference torch state_dict
+            _, gaps, failed = gaps_for(torch_checkpoint=epochs[e])
+        else:  # this framework's orbax checkpoint dir
+            _, gaps, failed = gaps_for(checkpoint=epochs[e])
         per_epoch[e] = dict(gaps, failed_sims=failed)
     keys = [k for k in next(iter(per_epoch.values())) if k != "failed_sims"]
     ranks = {e: 0.0 for e in per_epoch}
@@ -453,9 +472,6 @@ def _sweep_checkpoints(args, out, gaps_for, key_of):
             ranks[e] += r / max(1, len(per_epoch) - 1)
     for e in per_epoch:
         per_epoch[e]["avg_rank"] = ranks[e] / len(keys)
-    rank_by = args.rank_by
-    if rank_by != "avg_rank" and rank_by not in keys:
-        raise SystemExit(f"--rank-by must be 'avg_rank' or one of {keys}")
     best = min(per_epoch, key=lambda e: per_epoch[e][rank_by])
     out["per_epoch"] = {str(e): per_epoch[e] for e in sorted(per_epoch)}
     out["rank_by"] = rank_by
@@ -491,7 +507,15 @@ def _eval_metrics_gandes(args):
             break
     if not mels:
         raise SystemExit(f"no MIDI files under {args.data}")
-    real = np.concatenate(mels)[: args.n]
+    # files that render shorter than the 5 s window produce fewer mel
+    # frames (the slicer right-aligns on [-5s:], reference util.py:103-119);
+    # they can't stack with the full windows, so drop them with a note
+    frames = max(m.shape[-1] for m in mels)
+    full = [m for m in mels if m.shape[-1] == frames]
+    if len(full) < len(mels):
+        print(f"eval-metrics: skipped {len(mels) - len(full)} file(s) "
+              f"rendering shorter than the 5 s mel window", file=sys.stderr)
+    real = np.concatenate(full)[: args.n]
     rm = mel_metrics(real)
 
     def _gaps_for(checkpoint=None, torch_checkpoint=None):
@@ -513,7 +537,8 @@ def _eval_metrics_gandes(args):
     out = {"real": {k: float(np.mean(np.asarray(v))) for k, v in rm.items()},
            "n_real": int(real.shape[0]), "family": "gandes"}
     if args.checkpoints_dir:
-        _sweep_checkpoints(args, out, _gaps_for, _gandes_step_key)
+        _sweep_checkpoints(args, out, _gaps_for, _gandes_step_key,
+                           gap_keys=set(compare_distributions(rm, rm)))
     elif args.checkpoint or args.torch_checkpoint:
         out["generated"], out["gaps"], out["failed_sims"] = _gaps_for(
             args.checkpoint, args.torch_checkpoint)

@@ -76,9 +76,7 @@ def play_wav(path: str, block: bool = True, timeout_s: float = 300.0) -> bool:
                     time.sleep(0.1)
             return True
         finally:
-            if not block:
-                pass
-            else:
+            if block:  # non-blocking playback must keep the mixer alive
                 pygame.mixer.quit()
     except Exception:
         pass

@@ -362,6 +362,9 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int):
     valid = cols["amp"] > 0
     on_samp = jnp.round(cols["on_s"] * sr).astype(jnp.int32)
     E = start_i.shape[0]
+    if E % EVENT_BLOCK:  # the scan below walks whole blocks only; a ragged
+        # capacity would silently drop the trailing voices
+        raise ValueError(f"voice capacity {E} must be a multiple of {EVENT_BLOCK}")
     n_blocks = E // EVENT_BLOCK
     w_steps = jnp.arange(W, dtype=jnp.float32)  # output sample index
 
@@ -421,6 +424,23 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int):
 
 
 from gandes_tpu.music.synth import _pow2  # one bucketing rule for both renderers
+
+
+def _dynamic_buckets() -> bool:
+    """CPU compiles are cheap: bucket E/W to the actual content. On an
+    accelerator every distinct shape is a full (remote) compile, so
+    `_render_cols` uses fixed capacity buckets instead."""
+    return jax.devices()[0].platform == "cpu"
+
+
+def _voice_bucket(n: int) -> int:
+    """Round a requested voice capacity up to a whole number of
+    EVENT_BLOCK-voice scan blocks. `_render_sf2` walks E // EVENT_BLOCK
+    blocks, so a capacity that is not a multiple of EVENT_BLOCK would
+    silently drop the trailing voices (pad voices carry amp == 0, so
+    rounding up is free)."""
+    n = max(int(n), EVENT_BLOCK)
+    return -(-n // EVENT_BLOCK) * EVENT_BLOCK
 
 
 class Sf2Synth:
@@ -506,9 +526,9 @@ class Sf2Synth:
         length_s = min(max(float(end_t) + tail, min_seconds), RENDER_MAX_S)
         L = max(_pow2(int(length_s * sr)), 1 << 15)
 
-        on_cpu = jax.devices()[0].platform == "cpu"
+        on_cpu = _dynamic_buckets()
         if on_cpu:
-            E = max(_pow2(nv), EVENT_BLOCK)
+            E = _voice_bucket(_pow2(nv))
             max_w = (max(cols["dur_s"][:nv]) if nv else 0.25) + MAX_RELEASE_S
             W = _pow2(int(max_w * sr) + 1)
         else:
@@ -518,7 +538,7 @@ class Sf2Synth:
             # RENDER_MAX_S cap) and is the kernel's own output size — no
             # post-hoc eager slicing, and the D2H transfer is exactly the
             # audio window (the relay bills per byte AND per call).
-            E = max(max_voices, EVENT_BLOCK)
+            E = _voice_bucket(max_voices)
             W = _pow2(int((MAX_NOTE_S + MAX_RELEASE_S) * sr) + 1)
 
         pad = E - min(nv, E)

@@ -343,3 +343,31 @@ def test_malformed_sf2_fails_cleanly(tmp_path):
     badf.write_bytes(bytes(bad))
     with pytest.raises(ValueError, match="malformed SF2 hydra"):
         Sf2Font(str(badf))
+
+
+def test_fixed_bucket_capacity_keeps_trailing_voices(fixture_font, monkeypatch):
+    """Regression: the fixed-bucket (accelerator) path used E = max_voices
+    verbatim; _render_sf2 walks E // EVENT_BLOCK whole blocks, so a
+    capacity that wasn't a multiple of EVENT_BLOCK silently dropped the
+    trailing voices (e.g. voice 33 of 33 at max_voices=33). Capacities now
+    round up to whole blocks; fixed- and dynamic-bucket renders of a
+    33-voice piece must agree."""
+    path, _, _ = fixture_font
+    assert sf2mod._voice_bucket(1) == sf2mod.EVENT_BLOCK
+    assert sf2mod._voice_bucket(32) == 32
+    assert sf2mod._voice_bucket(33) == 64
+    assert sf2mod._voice_bucket(100) == 128
+
+    n = sf2mod.EVENT_BLOCK + 1  # one voice past a whole block
+    notes = [(40 + i % 20, 100, 0.01 * i, 0.01 * i + 0.3) for i in range(n)]
+    synth = Sf2Synth(path)
+    ref = synth.render_midi(_midi(notes), sr=SR, max_voices=n)
+
+    monkeypatch.setattr(sf2mod, "_dynamic_buckets", lambda: False)
+    fixed = synth.render_midi(_midi(notes), sr=SR, max_voices=n)
+    m = min(len(ref), len(fixed))
+    np.testing.assert_allclose(fixed[:m], ref[:m], atol=1e-5)
+    # and the raw kernel refuses ragged capacities outright
+    with pytest.raises(ValueError, match="multiple of"):
+        sf2mod._render_sf2(synth.bank, np.zeros((len(sf2mod._F), 33), np.float32),
+                           np.zeros(33, np.int32), 1 << 15, 1 << 10, SR)

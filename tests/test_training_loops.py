@@ -446,3 +446,84 @@ def test_gandes_sound_font_and_pad_batches(tmp_path, monkeypatch):
     assert [s for s, _ in seen] == [sf, sf]
     assert [n for _, n in seen] == [4, 4]  # both batches padded to batch_size
     assert all(np.isfinite(v) for v in history["disc"])
+
+
+def test_sweep_validates_rank_by_and_routes_torch_files(tmp_path):
+    """Regression pair for the checkpoint sweep: (1) a typo'd --rank-by
+    dies BEFORE any checkpoint is evaluated (a sweep is minutes-to-hours
+    of G+DES work); (2) the reference's torch state_dict files
+    (mmgan_{a}_{b}_epoch_{e}.pth / gen_{step}_{ts}.pt) sweep alongside
+    this framework's orbax dirs, routed through the torch loader."""
+    import argparse
+
+    from gandes_tpu.cli import (
+        _gandes_step_key,
+        _mmgan_epoch_key,
+        _sweep_checkpoints,
+    )
+
+    assert _mmgan_epoch_key("mmgan_64_64_epoch_35.pth") == 35
+    assert _mmgan_epoch_key("mmgan_64_64_epoch_35") == 35
+    assert _mmgan_epoch_key("mmgan_64_64_epoch_7_surrogate") is None
+    assert _gandes_step_key("gen_100_1699999999.25.pt") == 100
+    assert _gandes_step_key("gen_100_1699999999.25") == 100
+    assert _gandes_step_key("gen_100_1699999999.25.pt.bak") is None
+
+    ckdir = tmp_path / "models"
+    ckdir.mkdir()
+    (ckdir / "mmgan_64_64_epoch_1").mkdir()          # orbax-style dir
+    (ckdir / "mmgan_64_64_epoch_2.pth").write_bytes(b"x")  # torch file
+    calls = []
+
+    def gaps_for(checkpoint=None, torch_checkpoint=None):
+        calls.append((checkpoint, torch_checkpoint))
+        e = 1 if checkpoint else 2
+        return {}, {"duration_mean": float(e)}, 0
+
+    args = argparse.Namespace(checkpoints_dir=str(ckdir), rank_by="oops")
+    with pytest.raises(SystemExit, match="--rank-by must be"):
+        _sweep_checkpoints(args, {}, gaps_for, _mmgan_epoch_key,
+                           gap_keys={"duration_mean"})
+    assert calls == []  # nothing was evaluated for the bad key
+
+    args.rank_by = "duration_mean"
+    out = {}
+    _sweep_checkpoints(args, out, gaps_for, _mmgan_epoch_key,
+                       gap_keys={"duration_mean"})
+    assert calls == [(str(ckdir / "mmgan_64_64_epoch_1"), None),
+                     (None, str(ckdir / "mmgan_64_64_epoch_2.pth"))]
+    assert out["best_epoch"] == 1 and sorted(out["per_epoch"]) == ["1", "2"]
+
+
+def test_eval_metrics_gandes_skips_short_renders(midi_fixture_dir, tmp_path,
+                                                 monkeypatch, capsys):
+    """A MIDI that renders shorter than the 5 s mel window must be skipped
+    with a note, not crash the whole eval with a ragged concatenate."""
+    import json
+    import shutil
+
+    from gandes_tpu.cli import main
+    from gandes_tpu.music.midi import Message, MetaMessage, MidiFile, MidiTrack
+
+    data = tmp_path / "data"
+    data.mkdir()
+    for p in midi_fixture_dir.rglob("*.mid"):
+        shutil.copy(p, data / f"{p.parent.parent.name}_{p.name}")
+    mid = MidiFile(type=0, ticks_per_beat=480)
+    tr = MidiTrack()
+    tr.append(MetaMessage("set_tempo", tempo=500000, time=0))
+    tr.append(Message("note_on", note=60, velocity=90, time=0))
+    tr.append(Message("note_off", note=60, velocity=0, time=120))  # ~0.12 s
+    tr.append(MetaMessage("end_of_track", time=0))
+    mid.tracks.append(tr)
+    mid.save(str(data / "0short.mid"))  # sorts first -> definitely read
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    main(["eval-metrics", "--family", "gandes", "--data", str(data),
+          "--n", "1000"])  # > total windows: every file is read
+    cap = capsys.readouterr()
+    assert "rendering shorter than the 5 s mel window" in cap.err
+    res = json.loads(cap.out[cap.out.rindex("\n{") + 1:]
+                     if "\n{" in cap.out else cap.out)
+    assert res["family"] == "gandes" and res["n_real"] >= 1
