@@ -55,7 +55,8 @@ def _cmd_train_mmgan(args):
                       faithful=args.faithful, g_update=args.g_update,
                       des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh),
                       fused_io=args.fused_io, profile=args.profile,
-                      trace_dir=args.trace_dir)
+                      trace_dir=args.trace_dir,
+                      compute_dtype=args.compute_dtype)
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -74,7 +75,8 @@ def _cmd_train_gandes(args):
                        trace_dir=args.trace_dir,
                        # the fake path must render with the SAME synth as
                        # the real dataset, or D separates on timbre alone
-                       sound_font=args.sound_font)
+                       sound_font=args.sound_font,
+                       compute_dtype=args.compute_dtype)
     state, history = train_gandes(loader, cfg, max_steps=args.steps)
     print(f"done: {len(history['disc'])} steps")
 
@@ -615,6 +617,11 @@ def main(argv=None):
     sp.add_argument("--trace-dir", default=None,
                     help="write a jax.profiler device trace here "
                          "(view with xprof/TensorBoard)")
+    sp.add_argument("--compute-dtype", choices=["float32", "bf16"],
+                    default="float32", dest="compute_dtype",
+                    help="bf16: dense math in bfloat16 (MXU-native), params/"
+                         "optimizer/BN stats stay float32; default keeps the "
+                         "reference's float32 numerics")
     sp.set_defaults(fn=_cmd_train_mmgan)
 
     sp = sub.add_parser("train-gandes", help="train the GAN-DES spectrogram GAN")
@@ -638,6 +645,10 @@ def main(argv=None):
                     help="print a per-phase StepTimer table every display_step")
     sp.add_argument("--trace-dir", default=None,
                     help="write a jax.profiler device trace here")
+    sp.add_argument("--compute-dtype", choices=["float32", "bf16"],
+                    default="float32", dest="compute_dtype",
+                    help="bf16: dense math in bfloat16 (MXU-native), params/"
+                         "optimizer/BN stats stay float32")
     sp.set_defaults(fn=_cmd_train_gandes)
 
     sp = sub.add_parser("generate-mmgan", help="generate a MIDI from a checkpoint")

@@ -76,6 +76,9 @@ class GanDesConfig:
     # (dp, tp) device mesh for sharded training; None = single device.
     # my_collate batches vary in size — non-divisible batches replicate.
     mesh_shape: tuple | None = None
+    # 'float32' (reference numerics) or 'bf16': dense math in bfloat16,
+    # params/optimizer/BN stats in float32 (mixed precision, opt-in).
+    compute_dtype: str = "float32"
     seed: int = 0
     # observability (same surface as MMGANConfig): per-phase StepTimer
     # tables at display_step + history["profile"]; jax.profiler device
@@ -98,8 +101,11 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     from gandes_tpu.core.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    gen = DCGANGenerator(noise_dim=cfg.z_dim)
-    disc = MelDiscriminator()
+    from gandes_tpu.train.mmgan_loop import _compute_dtype
+
+    dt = _compute_dtype(cfg)
+    gen = DCGANGenerator(noise_dim=cfg.z_dim, dtype=dt)
+    disc = MelDiscriminator(dtype=dt)
     g_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)
     d_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)
     state = init_gandes_state(gen, disc, jax.random.key(cfg.seed),

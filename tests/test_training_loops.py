@@ -527,3 +527,46 @@ def test_eval_metrics_gandes_skips_short_renders(midi_fixture_dir, tmp_path,
     res = json.loads(cap.out[cap.out.rindex("\n{") + 1:]
                      if "\n{" in cap.out else cap.out)
     assert res["family"] == "gandes" and res["n_real"] >= 1
+
+
+def test_bf16_compute_dtype_trains_with_f32_state(midi_fixture_dir, tmp_path,
+                                                  monkeypatch):
+    """Opt-in mixed precision: compute_dtype='bf16' runs the dense math in
+    bfloat16 while params / optimizer state / BN stats stay float32 (so
+    checkpoints interop with f32 runs); losses stay finite in both loops.
+    Default remains the reference's float32 numerics."""
+    import jax.numpy as jnp
+
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+    from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
+
+    out = str(tmp_path / "w.pkl")
+    build_window_pickle(str(midi_fixture_dir), out, sequence_length=50)
+    ds = MaestroDatasetPickle(out, data_dir=".")
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
+                      models_dir=str(tmp_path / "models"),
+                      losses_dir=str(tmp_path / "losses"), seed=1,
+                      compute_dtype="bf16", resume=False)
+    np.random.seed(0)
+    state, history = train_mmgan(ds, cfg, max_batches=2)
+    assert all(np.isfinite(v) for e in history["disc"] for v in e)
+    leaves = jax.tree.leaves((state.g_params, state.d_params, state.g_opt,
+                              state.d_opt, state.g_stats))
+    assert all(l.dtype != jnp.bfloat16 for l in leaves if hasattr(l, "dtype"))
+
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(2, 128, 216).astype(np.float32) * 40 - 40]
+    gcfg = GanDesConfig(batch_size=2, model_path=str(tmp_path / "gmodels"),
+                        number_of_customers=120, max_sim_time=0.3,
+                        compute_dtype="bf16")
+    np.random.seed(2)
+    gstate, ghistory = train_gandes(iter(batches), gcfg, max_steps=1)
+    assert all(np.isfinite(v) for v in ghistory["disc"])
+    gleaves = jax.tree.leaves((gstate.g_params, gstate.d_params))
+    assert all(l.dtype != jnp.bfloat16 for l in gleaves if hasattr(l, "dtype"))
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        train_mmgan(ds, MMGANConfig(**{**cfg.__dict__,
+                                       "compute_dtype": "fp8"}), max_batches=1)
