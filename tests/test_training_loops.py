@@ -545,16 +545,19 @@ def test_bf16_compute_dtype_trains_with_f32_state(midi_fixture_dir, tmp_path,
     ds = MaestroDatasetPickle(out, data_dir=".")
     monkeypatch.chdir(tmp_path)
     os.makedirs("logs", exist_ok=True)
-    cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0, sequence_length=50,
+    cfg = MMGANConfig(batch_size=4, num_epochs=1, start=0, sequence_length=50,
                       models_dir=str(tmp_path / "models"),
                       losses_dir=str(tmp_path / "losses"), seed=1,
-                      compute_dtype="bf16", resume=False)
+                      compute_dtype="bf16", resume=False,
+                      mesh_shape=(4, 2))  # bf16 composes with dp/tp sharding
     np.random.seed(0)
     state, history = train_mmgan(ds, cfg, max_batches=2)
     assert all(np.isfinite(v) for e in history["disc"] for v in e)
     leaves = jax.tree.leaves((state.g_params, state.d_params, state.g_opt,
                               state.d_opt, state.g_stats))
     assert all(l.dtype != jnp.bfloat16 for l in leaves if hasattr(l, "dtype"))
+    kern = state.g_params["g1"]["_GenBlock_3"]["Dense_0"]["kernel"]
+    assert "tp" in str(kern.sharding.spec)  # sharding survives the bf16 cast
 
     rng = np.random.RandomState(0)
     batches = [rng.rand(2, 128, 216).astype(np.float32) * 40 - 40]
