@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# runnable without an install step: `python examples/demo.py` from anywhere
+# finds the package at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

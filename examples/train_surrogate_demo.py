@@ -26,6 +26,10 @@ import json
 import os
 import sys
 
+# runnable without an install step: `python examples/train_surrogate_demo.py`
+# from anywhere finds the package at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
