@@ -273,3 +273,41 @@ def test_multichip_sharded_step():
     assert np.isfinite(metrics["d_loss"])
     # dp sharding of inputs preserved end-to-end
     assert "dp" in str(batch["real"].sharding.spec)
+
+
+def test_multichip_sharded_step_matches_single_device():
+    """The jit+NamedSharding mesh path computes the same math as one
+    device: D update and metrics agree, and — the sync-BN claim in
+    docs/SCALING.md — the generators' BatchNorm batch statistics from the
+    sharded forward equal the single-device statistics (their mean/var
+    reductions run over the dp-sharded batch axis, so GSPMD inserts the
+    cross-shard reduction; nothing per-shard leaks into the stats)."""
+    mesh = make_mesh(dp=4, tp=2)
+    state, fwd, step = _mmgan_setup(batch=8)
+    sstate = shard_state(state, mesh)
+
+    noise1 = jax.random.normal(jax.random.key(11), (8, 50))
+    noise2 = jax.random.normal(jax.random.key(12), (8, 50))
+    beats = jnp.zeros((8, 50))
+    real = jax.random.uniform(jax.random.key(13), (8, 2, 128, 50)) * 100
+    fake = jax.random.uniform(jax.random.key(14), (8, 2, 128, 50))
+    batch = shard_batch({"noise1": noise1, "noise2": noise2, "beats": beats,
+                         "real": real, "fake": fake}, mesh)
+
+    mats0, vec0, stats0 = fwd(state, noise1, noise2, beats)
+    mats1, vec1, stats1 = fwd(sstate, batch["noise1"], batch["noise2"],
+                              batch["beats"])
+    np.testing.assert_allclose(np.asarray(mats1), np.asarray(mats0),
+                               rtol=0, atol=1e-5)
+    for p0, p1 in zip(jax.tree.leaves(stats0), jax.tree.leaves(stats1)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-6)
+
+    new0, m0 = step(state, real, fake)
+    new1, m1 = step(sstate, batch["real"], batch["fake"])
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m0["d_loss"]),
+                               rtol=1e-5)
+    for p0, p1 in zip(jax.tree.leaves(new0.d_params),
+                      jax.tree.leaves(new1.d_params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-4, atol=1e-6)
