@@ -58,28 +58,40 @@ def test_fused_io_step_matches_two_phase(tmp_path, monkeypatch):
     real = jax.random.uniform(jax.random.fold_in(k, 2), (B, 2, 128, T)) * 100
     aux = jax.random.key(5)
 
-    # two-phase reference path
     fwd = jax.jit(make_mmgan_gen_forward(g1, g2))
     step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
-    mats, vec, new_stats = fwd(state, noise1, noise2, beats, aux)
-    rolls, ref_failed = matrix_to_midi(
-        np.asarray(mats)[:, None], np.asarray(vec), adj_size=(64, 64),
-        instrument=0, start=100, end=150, count=7,
-        log_path="logs/", out_dir="./adj_sim_outputs/midi",
-    )
-    ref_fake = np.stack(rolls).astype(np.float32)
-    ref_state, ref_metrics = step(
-        GANState(**{**state.__dict__, "g_stats": new_stats}), real,
-        jnp.asarray(ref_fake))
-
-    # fused single-launch path, same seeds/count
     full_step = jax.jit(make_mmgan_full_step_io(
         g1, g2, d, g_tx, d_tx, batch_size=B, sequence_length=T,
         adj_size=(64, 64), instrument=0, start=100,
         log_path="logs/", out_dir="./adj_sim_outputs/midi",
     ))
-    new_state, f_mats, f_vec, metrics = full_step(
-        state, real, noise1, noise2, beats, jnp.int32(7), aux)
+
+    # The host sims carry a 2.5 s cooperative deadline (wall clock, by
+    # parity design — CLAUDE.md: never assert across truncation points).
+    # On an overloaded box a sim can cross it in one path but not the
+    # other, which is machine load, not a code divergence — retry, and
+    # skip if the box stays saturated.
+    for attempt in range(3):
+        # two-phase reference path
+        mats, vec, new_stats = fwd(state, noise1, noise2, beats, aux)
+        rolls, ref_failed = matrix_to_midi(
+            np.asarray(mats)[:, None], np.asarray(vec), adj_size=(64, 64),
+            instrument=0, start=100, end=150, count=7,
+            log_path="logs/", out_dir="./adj_sim_outputs/midi",
+        )
+        ref_fake = np.stack(rolls).astype(np.float32)
+        ref_state, ref_metrics = step(
+            GANState(**{**state.__dict__, "g_stats": new_stats}), real,
+            jnp.asarray(ref_fake))
+
+        # fused single-launch path, same seeds/count
+        new_state, f_mats, f_vec, metrics = full_step(
+            state, real, noise1, noise2, beats, jnp.int32(7), aux)
+        if ref_failed == 0 and int(metrics["failed_simulations"]) == 0:
+            break
+    else:
+        pytest.skip("host sims kept hitting their wall-clock deadline — "
+                    "machine too loaded for a truncation-free comparison")
 
     np.testing.assert_array_equal(np.asarray(f_mats), np.asarray(mats))
     np.testing.assert_array_equal(np.asarray(f_vec), np.asarray(vec))
