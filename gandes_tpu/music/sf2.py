@@ -17,9 +17,14 @@ Scope (documented, deliberate):
   1/3 continuous loop — 3 is treated as 1, i.e. the loop also runs through
   the short release), overridingRootKey, coarse/fineTune + the sample
   header's pitchCorrection, scaleTuning, initialAttenuation, the sample
-  start/end/loop address offsets (fine + coarse), and the volume envelope
-  (delay/attack/hold/decay/sustain/release). Preset-level generators add
-  to instrument-level values per spec section 9.4.
+  start/end/loop address offsets (fine + coarse), the volume envelope
+  (delay/attack/hold/decay/sustain/release), and the low-pass filter
+  (initialFilterFc/initialFilterQ — static per-voice cutoff/resonance,
+  applied as a zero-phase 2-pole magnitude response in the frequency
+  domain, with the spec's half-Q DC-gain drop; the filter has no
+  modulation sources here, so the time-invariant magnitude response is
+  exact up to phase). Preset-level generators add to instrument-level
+  values per spec section 9.4.
 * The volume envelope is the spec shape: linear-amplitude attack, hold,
   decay linear-in-dB to the sustain attenuation, release linear-in-dB at
   96 dB per ``release_s``. Velocity maps to gain as the spec's concave
@@ -71,6 +76,8 @@ G_HOLD_VOL = 35
 G_DECAY_VOL = 36
 G_SUSTAIN_VOL = 37
 G_RELEASE_VOL = 38
+G_INITIAL_FILTER_FC = 8
+G_INITIAL_FILTER_Q = 9
 G_KEY_RANGE = 43
 G_VEL_RANGE = 44
 G_INITIAL_ATT = 48
@@ -84,12 +91,22 @@ G_INSTRUMENT = 41
 
 _TIMECENT_GENS = (G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL, G_RELEASE_VOL)
 _DEFAULTS = {g: -12000 for g in _TIMECENT_GENS}
-_DEFAULTS.update({G_SUSTAIN_VOL: 0, G_INITIAL_ATT: 0, G_COARSE_TUNE: 0,
+_DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
+                  G_SUSTAIN_VOL: 0, G_INITIAL_ATT: 0, G_COARSE_TUNE: 0,
                   G_FINE_TUNE: 0, G_SCALE_TUNING: 100, G_SAMPLE_MODES: 0,
                   G_ROOT_KEY: -1,
                   G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
                   G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
                   G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
+
+
+def _q_from_peak(peak: float) -> float:
+    """Invert the 2-pole low-pass peak gain P = Q / sqrt(1 - 1/(4Q^2)):
+    the spec's initialFilterQ is the resonance height ABOVE DC, so P = 1
+    (0 cB) must give the maximally flat response — this lands exactly on
+    Butterworth Q = 1/sqrt(2), and ~P for strong resonance."""
+    p2 = peak * peak
+    return ((p2 + max(p2 * p2 - p2, 0.0) ** 0.5) / 2.0) ** 0.5
 
 
 def _timecents_to_s(tc: int) -> float:
@@ -310,6 +327,17 @@ class Sf2Font:
         att_cb = max(0, gen(G_INITIAL_ATT))
         sustain_cb = min(max(0, gen(G_SUSTAIN_VOL)), 1440)
         mode = igens.get(G_SAMPLE_MODES, 0)
+        # SF2 low-pass (gens 8/9, spec 8.1.3): cutoff in absolute cents
+        # above 8.176 Hz, range [1500, 13500]; >= 13500 means the filter is
+        # fully open -> bypass (fc_hz = 0 sentinel). Q in centibels is the
+        # resonance-peak height above DC gain; the DC gain itself drops by
+        # half the Q (spec), so a resonant voice isn't net-louder.
+        fc_cents = gen(G_INITIAL_FILTER_FC)
+        q_cb = min(max(0, gen(G_INITIAL_FILTER_Q)), 960)
+        if fc_cents >= 13500 and q_cb == 0:
+            fc_hz = 0.0  # open: skip the filter entirely
+        else:
+            fc_hz = 8.176 * 2.0 ** (min(max(fc_cents, 1500), 13500) / 1200.0)
         return {
             "start": float(start),
             "end": float(min(end, len(self.bank) - 1)),
@@ -318,13 +346,17 @@ class Sf2Font:
             "loop": 1 if mode in (1, 3) else 0,
             "rate_ratio": ratio,
             "sample_rate": sh.sample_rate,
-            "amp": (vel / 127.0) ** 2 * 10.0 ** (-att_cb / 200.0),
+            # filter DC drop (half the Q, spec 8.1.3) folds into the gain
+            "amp": ((vel / 127.0) ** 2 * 10.0 ** (-att_cb / 200.0)
+                    * 10.0 ** (-q_cb / 400.0)),
             "delay_s": _timecents_to_s(gen(G_DELAY_VOL)),
             "attack_s": _timecents_to_s(gen(G_ATTACK_VOL)),
             "hold_s": _timecents_to_s(gen(G_HOLD_VOL)),
             "decay_s": _timecents_to_s(gen(G_DECAY_VOL)),
             "sustain_amp": 10.0 ** (-sustain_cb / 200.0),
             "release_s": max(_timecents_to_s(gen(G_RELEASE_VOL)), 1e-3),
+            "fc_hz": fc_hz,
+            "q_lin": _q_from_peak(10.0 ** (q_cb / 200.0)),
         }
 
 
@@ -347,17 +379,24 @@ EVENT_BLOCK = 32
 # sample segment and any W-window advance stay well within f32 exactness.
 _F = ("on_s", "dur_s", "amp", "end_rel", "loop_start_rel",
       "loop_end_rel", "loop", "inc", "delay_s", "attack_s", "hold_s",
-      "decay_s", "sustain_amp", "release_s")
+      "decay_s", "sustain_amp", "release_s", "fc_hz", "q_lin")
 
 
-@partial(jax.jit, static_argnames=("L", "W", "sr"))
-def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int):
+@partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter"))
+def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
+                use_filter: bool = False):
     """Sample-playback render: per voice, W output samples gather from the
     bank at per-voice phase increments (linear interpolation, loop folding),
     under the SF2 volume envelope; scatter-added at the onset sample. Same
     block-scan + dump-slot scatter structure as synth._render. Pad voices
     carry amp == 0. The audio buffer IS the L-sample output window —
-    events and window tails beyond it drop in the scatter."""
+    events and window tails beyond it drop in the scatter.
+
+    ``use_filter`` (static: fonts without filtered zones skip the FFT work
+    and compile the exact pre-filter program) applies the SF2 low-pass
+    (gens 8/9) as a zero-phase magnitude filter in the frequency domain:
+    the per-voice static 2-pole response is multiplied onto the voice's
+    rfft. W is a power of two, so the FFT is the cheap case."""
     cols = {k: packed[i] for i, k in enumerate(_F)}
     valid = cols["amp"] > 0
     on_samp = jnp.round(cols["on_s"] * sr).astype(jnp.int32)
@@ -391,6 +430,22 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int):
         s0 = jnp.take(bank, i0.reshape(-1), mode="clip").reshape(i0.shape)
         s1 = jnp.take(bank, (i0 + 1).reshape(-1), mode="clip").reshape(i0.shape)
         sig = s0 * (1.0 - frac) + s1 * frac
+
+        if use_filter:
+            # SF2 low-pass, zero-phase: analog 2-pole magnitude
+            # |H|^2 = 1 / ((1 - r^2)^2 + (r/Q)^2) at r = f/fc, Q floored at
+            # Butterworth so q_cb == 0 is flat; fc_hz == 0 bypasses. The
+            # in_range mask folds in BEFORE the FFT so the clip-held tail
+            # past sample end doesn't smear through the filter.
+            sig = sig * in_range
+            freqs = jnp.arange(W // 2 + 1, dtype=jnp.float32) * (sr / W)
+            fc = b["fc_hz"][:, None]
+            rr = freqs[None, :] / jnp.maximum(fc, 1.0)
+            mag = jax.lax.rsqrt((1.0 - rr * rr) ** 2
+                                + (rr / b["q_lin"][:, None]) ** 2 + 1e-12)
+            H = jnp.where(fc > 0.0, mag, 1.0)
+            sig = jnp.fft.irfft(jnp.fft.rfft(sig) * H, n=W)
+            in_range = jnp.float32(1.0)
 
         # ---- SF2 volume envelope (delay, linear-amp attack, hold,
         # linear-dB decay to sustain, linear-dB release at 96 dB/release_s)
@@ -499,6 +554,8 @@ class Sf2Synth:
                 cols["decay_s"].append(min(vp["decay_s"], 100.0))
                 cols["sustain_amp"].append(vp["sustain_amp"])
                 cols["release_s"].append(min(vp["release_s"], MAX_RELEASE_S))
+                cols["fc_hz"].append(vp["fc_hz"])
+                cols["q_lin"].append(vp["q_lin"])
         return cols, len(cols["on_s"]), float(end_t)
 
     def render_midi(self, midi, sr: int = 44100, min_seconds: float = 0.5,
@@ -548,8 +605,13 @@ class Sf2Synth:
         start_i = np.zeros(E, dtype=np.int32)
         start_i[:E - pad] = cols["start_i"][:E]
 
+        # static filter toggle: only fonts whose selected zones set
+        # initialFilterFc/Q pay the per-voice FFT; filterless renders run
+        # the exact pre-filter program (same executable, bitwise output)
+        use_filter = any(f > 0.0 for f in cols["fc_hz"][:nv])
         audio = _render_sf2(self.bank, jnp.asarray(packed),
-                            jnp.asarray(start_i), L, W, sr)
+                            jnp.asarray(start_i), L, W, sr,
+                            use_filter=use_filter)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

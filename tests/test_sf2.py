@@ -198,6 +198,81 @@ def test_velocity_maps_to_gain(fixture_font):
     assert ratio == pytest.approx((64 / 127) ** 2, rel=0.05)
 
 
+def _noise_font(path, filter_gens):
+    """Broadband looped-noise font (flat-ish spectrum) for filter checks."""
+    noise = np.random.RandomState(0).uniform(-0.5, 0.5, 8000).astype(np.float32)
+    build_sf2(
+        path,
+        samples=[{"name": "noise", "data": noise, "sample_rate": SR,
+                  "original_pitch": 60, "loop_start": 100, "loop_end": 7900}],
+        instruments=[{"name": "n", "zones": [
+            {"sample": 0, "gens": {G_SAMPLE_MODES: 1, G_HOLD_VOL: 2786,
+                                   **filter_gens}}]}],
+        presets=[{"name": "n", "program": 0, "zones": [{"instrument": 0}]}],
+    )
+    return path
+
+
+def _band_energy(audio, lo_hz, hi_hz):
+    spec = np.abs(np.fft.rfft(audio)) ** 2
+    freqs = np.fft.rfftfreq(len(audio), 1.0 / SR)
+    return spec[(freqs >= lo_hz) & (freqs < hi_hz)].mean()
+
+
+def test_filter_cutoff_attenuates_highs(tmp_path):
+    """initialFilterFc (gen 8): a 1.5 kHz low-pass kills the noise energy
+    above ~4x the cutoff while leaving the sub-cutoff plateau in place
+    (q_cb == 0 -> Butterworth-flat passband, no DC-gain drop)."""
+    from gandes_tpu.music.sf2 import G_INITIAL_FILTER_FC
+
+    fc_cents = int(round(1200 * np.log2(1500 / 8.176)))  # ~1.5 kHz
+    open_path = _noise_font(str(tmp_path / "open.sf2"), {})
+    lp_path = _noise_font(str(tmp_path / "lp.sf2"),
+                          {G_INITIAL_FILTER_FC: fc_cents})
+    mid = _midi([(60, 127, 0.05, 0.55)])
+    a_open = Sf2Synth(open_path).render_midi(mid, sr=SR)
+    a_lp = Sf2Synth(lp_path).render_midi(mid, sr=SR)
+    steady = slice(int(0.1 * SR), int(0.5 * SR))
+    hf = _band_energy(a_lp[steady], 6000, 15000) / \
+        _band_energy(a_open[steady], 6000, 15000)
+    lf = _band_energy(a_lp[steady], 100, 400) / \
+        _band_energy(a_open[steady], 100, 400)
+    assert hf < 0.05, f"highs not attenuated: {hf:.4f}"
+    assert 0.7 < lf < 1.3, f"passband changed: {lf:.4f}"
+
+
+def test_filter_resonance_peaks_at_cutoff(tmp_path):
+    """initialFilterQ (gen 9): resonance lifts the band around fc well above
+    the low-frequency plateau, and the spec's half-Q DC-gain drop scales the
+    passband down."""
+    from gandes_tpu.music.sf2 import G_INITIAL_FILTER_FC, G_INITIAL_FILTER_Q
+
+    fc_cents = int(round(1200 * np.log2(1500 / 8.176)))
+    open_path = _noise_font(str(tmp_path / "open.sf2"), {})
+    res_path = _noise_font(
+        str(tmp_path / "res.sf2"),
+        {G_INITIAL_FILTER_FC: fc_cents, G_INITIAL_FILTER_Q: 240})  # 24 dB peak
+    mid = _midi([(60, 127, 0.05, 0.55)])
+    a_open = Sf2Synth(open_path).render_midi(mid, sr=SR)
+    a_res = Sf2Synth(res_path).render_midi(mid, sr=SR)
+    steady = slice(int(0.1 * SR), int(0.5 * SR))
+    peak_band = _band_energy(a_res[steady], 1200, 1875)
+    lf_band = _band_energy(a_res[steady], 100, 400)
+    assert peak_band > 5.0 * lf_band, (peak_band, lf_band)
+    # DC gain drops by q_cb/2 = 12 dB -> passband energy scales ~0.25^2
+    lf = _band_energy(a_res[steady], 100, 400) / \
+        _band_energy(a_open[steady], 100, 400)
+    assert lf == pytest.approx(0.25 ** 2, rel=0.5)
+
+
+def test_filter_defaults_bypass(fixture_font):
+    """Fonts that don't set gens 8/9 resolve to fc_hz == 0 (bypass) so the
+    render skips the FFT path entirely."""
+    path, *_ = fixture_font
+    for vp in Sf2Font(path).select_voices(0, 60, 100):
+        assert vp["fc_hz"] == 0.0 and vp["q_lin"] == pytest.approx(2 ** -0.5)
+
+
 def test_polyphony_sums(fixture_font):
     path, *_ = fixture_font
     synth = Sf2Synth(path)
