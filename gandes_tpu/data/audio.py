@@ -87,9 +87,17 @@ def play_wav(path: str, block: bool = True, timeout_s: float = 300.0) -> bool:
         exe = shutil.which(player)
         if exe:
             try:
-                subprocess.run([exe, path], check=True, timeout=timeout_s,
-                               stdout=subprocess.DEVNULL,
-                               stderr=subprocess.DEVNULL)
+                if block:
+                    subprocess.run([exe, path], check=True, timeout=timeout_s,
+                                   stdout=subprocess.DEVNULL,
+                                   stderr=subprocess.DEVNULL)
+                else:
+                    # honor the non-blocking contract on the CLI-player
+                    # fallback too: fire and return (the player exits on
+                    # its own at end of file)
+                    subprocess.Popen([exe, path],
+                                     stdout=subprocess.DEVNULL,
+                                     stderr=subprocess.DEVNULL)
                 return True
             except Exception:
                 continue

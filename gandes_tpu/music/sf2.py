@@ -161,25 +161,38 @@ class Preset:
 def _parse_zone_records(bag, gens, lo_bag, hi_bag, terminal_gen):
     """Split a [lo_bag, hi_bag) bag range into (global_zone, zones) per the
     SF2 rule: a first zone without the terminal generator (sampleID /
-    instrument) is the global zone."""
+    instrument) is the global zone. Global-zone generators are DEFAULTS for
+    the other zones (spec 7.3/7.7) — that includes keyRange/velRange, so a
+    global range folds into every zone that doesn't set its own."""
     zones = []
     global_zone = None
+    own_ranges = []  # (has_key_range, has_vel_range) per zones[i]
     for zi in range(lo_bag, hi_bag):
         g_lo, g_hi = bag[zi][0], bag[zi + 1][0]
         z = Zone()
+        has_key = has_vel = False
         for gi in range(g_lo, g_hi):
             oper, raw = gens[gi]
             if oper == G_KEY_RANGE:
                 z.key_lo, z.key_hi = raw & 0xFF, (raw >> 8) & 0xFF
+                has_key = True
             elif oper == G_VEL_RANGE:
                 z.vel_lo, z.vel_hi = raw & 0xFF, (raw >> 8) & 0xFF
+                has_vel = True
             else:
                 amt = raw - 0x10000 if raw >= 0x8000 else raw  # signed short
                 z.gens[oper] = amt
         if terminal_gen in z.gens:
             zones.append(z)
+            own_ranges.append((has_key, has_vel))
         elif zi == lo_bag and global_zone is None:
             global_zone = z
+    if global_zone is not None:
+        for z, (has_key, has_vel) in zip(zones, own_ranges):
+            if not has_key:
+                z.key_lo, z.key_hi = global_zone.key_lo, global_zone.key_hi
+            if not has_vel:
+                z.vel_lo, z.vel_hi = global_zone.vel_lo, global_zone.vel_hi
     return global_zone, zones
 
 
@@ -642,9 +655,10 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
       original_pitch, loop_start, loop_end (relative to the sample),
       pitch_correction (opt)}.
     instruments: list of dicts {name, zones: [{sample: idx, gens: {oper:
-      amount}, key_lo, key_hi, vel_lo, vel_hi}]}.
+      amount}, key_lo, key_hi, vel_lo, vel_hi}]}. A zone dict WITHOUT the
+      'sample' key writes a global zone (must come first, spec 7.7).
     presets: list of dicts {name, program, bank, zones: [{instrument: idx,
-      key_lo...}]}.
+      key_lo...}]}; a zone without 'instrument' is the preset global zone.
     """
     smpl_parts = []
     shdr = b""
@@ -675,7 +689,9 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
                 opers.append((G_VEL_RANGE, z.get("vel_lo", 0) | (z.get("vel_hi", 127) << 8)))
             for oper, amt in z.get("gens", {}).items():
                 opers.append((oper, amt & 0xFFFF))
-            opers.append((terminal_oper, z[terminal_key]))
+            if terminal_key in z:
+                opers.append((terminal_oper, z[terminal_key]))
+            # else: a GLOBAL zone (first zone without sampleID/instrument)
             for oper, amt in opers:
                 gen += struct.pack("<HH", oper, amt)
             g_count += len(opers)

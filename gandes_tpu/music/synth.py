@@ -170,13 +170,14 @@ def render_midi(midi_input, sr: int = 44100, max_events: int = 1024,
     (zero tail) so downstream dynamic-hop mels also reuse one compiled
     program per bucket.
 
-    ``sound_font``: path to a ``.sf2`` file — when it exists, rendering is
-    SAMPLE PLAYBACK from that soundfont (music/sf2.py, the reference's
-    FluidSynth+FluidR3_GM pipeline); otherwise this additive model."""
-    import os as _os
-
+    ``sound_font``: path to a ``.sf2`` file — rendering is then SAMPLE
+    PLAYBACK from that soundfont (music/sf2.py, the reference's
+    FluidSynth+FluidR3_GM pipeline); None uses this additive model. A
+    missing path raises, except the reference's default font name
+    (see ``_resolve_sound_font``)."""
     midi = MidiFile(midi_input) if isinstance(midi_input, str) else midi_input
-    if sound_font and _os.path.isfile(sound_font):
+    sound_font = _resolve_sound_font(sound_font)
+    if sound_font:
         return _get_sf2_synth(sound_font).render_midi(
             midi, sr=sr, min_seconds=min_seconds, tail=tail,
             pad_to_bucket=pad_to_bucket, as_jax=as_jax, max_events=max_events)
@@ -193,9 +194,8 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
     """Render pre-extracted event arrays (the ``midi_to_event_arrays``
     tuple — or the native decoder's identical output) — same bucketing,
     soundfont dispatch, and return conventions as :func:`render_midi`."""
-    import os as _os
-
-    if sound_font and _os.path.isfile(sound_font):
+    sound_font = _resolve_sound_font(sound_font)
+    if sound_font:
         return _get_sf2_synth(sound_font).render_events(
             events, sr=sr, min_seconds=min_seconds, tail=tail,
             pad_to_bucket=pad_to_bucket, as_jax=as_jax)
@@ -238,6 +238,30 @@ def render_events(events, sr: int = 44100, max_events: int = 1024,
 
 _SF2_CACHE: dict = {}
 
+# the reference's hardcoded soundfont name (sim_to_wav's default,
+# `SIMULATOR/simulation_to_wav.py:7`): when THIS name is absent the render
+# falls back to the additive synth silently — the reference repo ships
+# without the font too. Any other missing path is a user error.
+DEFAULT_SOUND_FONT = "FluidR3_GM.sf2"
+
+
+def _resolve_sound_font(sound_font: str | None) -> str | None:
+    """None/"" -> additive synth; an existing path -> SF2 sample playback;
+    a missing path raises (a typo'd --sound-font must not silently train/
+    serve/eval on the wrong timbre) unless it is the reference's default
+    font name, which is allowed to be absent."""
+    import os as _os
+
+    if not sound_font:
+        return None
+    if _os.path.isfile(sound_font):
+        return sound_font
+    if _os.path.basename(sound_font) == DEFAULT_SOUND_FONT:
+        return None
+    raise FileNotFoundError(
+        f"sound font not found: {sound_font!r} (pass None for the additive "
+        f"synth; the default name {DEFAULT_SOUND_FONT!r} may be absent)")
+
 
 def _get_sf2_synth(sound_font: str):
     """Parsed-font + device-bank cache (one per soundfont path)."""
@@ -257,14 +281,10 @@ class FluidSynth:
     the additive-harmonic instrument model above."""
 
     def __init__(self, sound_font: str | None = None, sample_rate: int = 44100):
-        import os
-
         self.sample_rate = sample_rate
         self.sound_font = sound_font
-        self._sf2 = (
-            _get_sf2_synth(sound_font)
-            if sound_font and os.path.isfile(sound_font) else None
-        )
+        resolved = _resolve_sound_font(sound_font)
+        self._sf2 = _get_sf2_synth(resolved) if resolved else None
 
     def midi_to_audio(self, midi_path: str, wav_path: str):
         if self._sf2 is not None:

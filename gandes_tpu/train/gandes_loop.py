@@ -149,6 +149,11 @@ def _train_gandes(dataloader, cfg, max_steps=None):
 
     timer = StepTimer()
     gen_losses, disc_losses = [], []
+    # display prints the running mean over the whole run (reference
+    # semantics, SIMNN.py:337-342) — keep host-side running sums and fetch
+    # only the window since the last display, not the full history every
+    # time (each 0-d fetch is a relay round trip on this platform)
+    fetched_n, g_sum, d_sum = 0, 0.0, 0.0
     cur_step = 0
     for epoch in range(cfg.n_epochs):
         for real in dataloader:
@@ -211,10 +216,13 @@ def _train_gandes(dataloader, cfg, max_steps=None):
             gen_losses.append(metrics["g_loss"])
 
             if cur_step % cfg.display_step == 0 and cur_step > 0:
+                g_sum += float(np.sum(jax.device_get(gen_losses[fetched_n:])))
+                d_sum += float(np.sum(jax.device_get(disc_losses[fetched_n:])))
+                fetched_n = len(gen_losses)
                 print(
                     f"Epoch:{epoch} Step {cur_step}: Generator loss: "
-                    f"{np.mean(jax.device_get(gen_losses))}, "
-                    f"discriminator loss: {np.mean(jax.device_get(disc_losses))}"
+                    f"{g_sum / fetched_n}, "
+                    f"discriminator loss: {d_sum / fetched_n}"
                 )
                 if cfg.profile:
                     print(timer.report())

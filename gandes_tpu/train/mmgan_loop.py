@@ -266,8 +266,12 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
     timer = StepTimer()
     # resume must CONTINUE the run's RNG streams, not replay them: every
     # per-batch key is derived from count, so restart it where the restored
-    # run left off (epochs before start_epoch each ran steps_per_epoch)
-    count = start_epoch * steps_per_epoch
+    # run left off — epochs before start_epoch each ran steps_per_epoch
+    # batches, capped by max_batches when that cap was in effect (the CLI's
+    # --max-batches flow would otherwise skip ahead in every stream)
+    past_epoch_steps = (steps_per_epoch if max_batches is None
+                        else min(steps_per_epoch, max_batches))
+    count = start_epoch * past_epoch_steps
     total_failures = 0
     total_seen = 0
     history = {"disc": [], "gen": []}

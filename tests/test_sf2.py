@@ -304,6 +304,45 @@ def test_filter_defaults_bypass(fixture_font):
         assert vp["fc_hz"] == 0.0 and vp["q_lin"] == pytest.approx(2 ** -0.5)
 
 
+def test_global_zone_ranges_are_zone_defaults(tmp_path):
+    """Spec 7.3/7.7: global-zone generators (incl. keyRange/velRange) are
+    defaults for zones that don't set their own; a zone's own range
+    overrides."""
+    path = str(tmp_path / "g.sf2")
+    data = _ramp_sample(1200)
+    build_sf2(
+        path,
+        samples=[{"name": "s", "data": data, "sample_rate": SR,
+                  "original_pitch": 60}],
+        instruments=[{"name": "i", "zones": [
+            {"key_lo": 40, "key_hi": 80, "vel_lo": 20, "vel_hi": 100},  # GLOBAL
+            {"sample": 0},                                # inherits 40-80/20-100
+            {"sample": 0, "key_lo": 90, "key_hi": 127},   # own key range wins
+        ]}],
+        presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}],
+    )
+    font = Sf2Font(path)
+    assert len(font.select_voices(0, 30, 64)) == 0      # below global range
+    assert len(font.select_voices(0, 60, 64)) == 1      # inherited range
+    assert len(font.select_voices(0, 60, 10)) == 0      # inherited vel range
+    assert len(font.select_voices(0, 100, 64)) == 1     # override zone only
+
+
+def test_missing_sound_font_fails_loudly(tmp_path):
+    """A typo'd --sound-font path must not silently train/serve/eval on the
+    additive timbre; only the reference's hardcoded default font name is
+    allowed to be absent (sim_to_wav's signature default)."""
+    from gandes_tpu.music.synth import FluidSynth, render_midi
+
+    with pytest.raises(FileNotFoundError, match="typo"):
+        FluidSynth(str(tmp_path / "typo.sf2"))
+    with pytest.raises(FileNotFoundError):
+        render_midi(_midi([(60, 100, 0.0, 0.2)]),
+                    sound_font=str(tmp_path / "nope.sf2"))
+    fs = FluidSynth(str(tmp_path / "FluidR3_GM.sf2"))  # absent default: additive
+    assert fs._sf2 is None
+
+
 def test_polyphony_sums(fixture_font):
     path, *_ = fixture_font
     synth = Sf2Synth(path)

@@ -437,7 +437,17 @@ def test_gandes_sound_font_and_pad_batches(tmp_path, monkeypatch):
     # variable my_collate-style sizes: 3 then 2
     batches = [rng.rand(3, 128, 216).astype(np.float32) * 40 - 40,
                rng.rand(2, 128, 216).astype(np.float32) * 40 - 40]
-    sf = str(tmp_path / "absent.sf2")  # path recorded even if not a file
+    # a real minimal font: a missing --sound-font path fails loudly by
+    # contract (tests/test_sf2.py::test_missing_sound_font_fails_loudly)
+    from gandes_tpu.music.sf2 import build_sf2
+
+    sf = build_sf2(
+        str(tmp_path / "mini.sf2"),
+        samples=[{"name": "s", "data": np.sin(np.arange(800) / 8.0) * 0.4,
+                  "sample_rate": 44100, "original_pitch": 60}],
+        instruments=[{"name": "i", "zones": [{"sample": 0}]}],
+        presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}],
+    )
     cfg = GanDesConfig(batch_size=4, model_path=str(tmp_path / "models"),
                        number_of_customers=120, max_sim_time=0.3,
                        save_step=99, sound_font=sf, pad_batches=True)
