@@ -30,10 +30,21 @@ Scope (documented, deliberate):
   decay linear-in-dB to the sustain attenuation, release linear-in-dB at
   96 dB per ``release_s``. Velocity maps to gain as the spec's concave
   default modulator, approximated by amp = (vel/127)^2 (= -40 log10 dB).
-* Mono render: stereo sample pairs (both zones match the key) are summed.
-  Pan, chorus/reverb sends, modulation envelope/LFO, and custom modulators
-  are out of scope — they shape spatial/motion character, not the
-  mel-spectrogram note/timbre structure the GAN pipelines consume.
+* LFOs: vibLfoToPitch / modLfoToPitch warp the playback-position ramp by
+  the closed-form integral of the spec's triangle LFO (2^cents linearized;
+  < 3 cents error at a 100-cent depth), modLfoToVolume is a triangle
+  tremolo in centibels on the envelope; freqVibLFO/freqModLFO and both
+  LFO delays are honored (delayModLFO gates tremolo and mod-pitch alike).
+* Mono render: stereo sample pairs (both zones match the key) are summed;
+  pan (gen 17) folds down as the constant-power legs' mono sum, normalized
+  so center pan is unity (a hard-panned leg contributes 1/sqrt(2)).
+  Chorus/reverb sends, the modulation envelope (gens 7/11/25-30, which
+  would make the filter time-varying), and custom modulators are out of
+  scope. Note on the dry render: per the spec's default modulators,
+  reverb/chorus send levels come from MIDI CC 91/93 — controllers the
+  GAN pipelines' MIDI streams never emit (fresh controllers start at 0)
+  — so a dry render is what the default-modulator semantics prescribe
+  for these streams.
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
@@ -79,6 +90,14 @@ G_SUSTAIN_VOL = 37
 G_RELEASE_VOL = 38
 G_INITIAL_FILTER_FC = 8
 G_INITIAL_FILTER_Q = 9
+G_MOD_LFO_TO_PITCH = 5
+G_VIB_LFO_TO_PITCH = 6
+G_MOD_LFO_TO_VOL = 13
+G_PAN = 17
+G_DELAY_MOD_LFO = 21
+G_FREQ_MOD_LFO = 22
+G_DELAY_VIB_LFO = 23
+G_FREQ_VIB_LFO = 24
 G_KEY_RANGE = 43
 G_VEL_RANGE = 44
 G_INITIAL_ATT = 48
@@ -90,12 +109,16 @@ G_SCALE_TUNING = 56
 G_ROOT_KEY = 58
 G_INSTRUMENT = 41
 
-_TIMECENT_GENS = (G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL, G_RELEASE_VOL)
+_TIMECENT_GENS = (G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL,
+                  G_RELEASE_VOL, G_DELAY_MOD_LFO, G_DELAY_VIB_LFO)
 _DEFAULTS = {g: -12000 for g in _TIMECENT_GENS}
 _DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
                   G_SUSTAIN_VOL: 0, G_INITIAL_ATT: 0, G_COARSE_TUNE: 0,
                   G_FINE_TUNE: 0, G_SCALE_TUNING: 100, G_SAMPLE_MODES: 0,
                   G_ROOT_KEY: -1,
+                  G_MOD_LFO_TO_PITCH: 0, G_VIB_LFO_TO_PITCH: 0,
+                  G_MOD_LFO_TO_VOL: 0, G_PAN: 0,
+                  G_FREQ_MOD_LFO: 0, G_FREQ_VIB_LFO: 0,
                   G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
                   G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
                   G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
@@ -348,6 +371,18 @@ class Sf2Font:
         # half the Q (spec), so a resonant voice isn't net-louder.
         fc_cents = gen(G_INITIAL_FILTER_FC)
         q_cb = min(max(0, gen(G_INITIAL_FILTER_Q)), 960)
+        # LFOs (spec 8.1.2: triangular, starting at zero rising). Frequency
+        # generators are absolute cents above 8.176 Hz; amounts are cents of
+        # peak pitch deviation / centibels of peak volume deviation.
+        vib_cents = min(max(gen(G_VIB_LFO_TO_PITCH), -12000), 12000)
+        mod_cents = min(max(gen(G_MOD_LFO_TO_PITCH), -12000), 12000)
+        mod_vol_cb = min(max(gen(G_MOD_LFO_TO_VOL), -960), 960)
+        _lfo_hz = lambda g: 8.176 * 2.0 ** (min(max(gen(g), -16000), 4500) / 1200.0)
+        # pan (gen 17, -500 full left .. +500 full right): constant-power
+        # legs fold into this mono render as (cos+sin)/sqrt(2), normalized
+        # so center pan == 1 (a hard-panned leg lands at 1/sqrt(2))
+        pan_ang = (min(max(gen(G_PAN), -500), 500) / 1000.0 + 0.5) * (np.pi / 2.0)
+        pan_gain = (np.cos(pan_ang) + np.sin(pan_ang)) / np.sqrt(2.0)
         if fc_cents >= 13500:
             # open: skip the filter entirely. With Q set but fc open, the
             # resonant peak would sit at ~19.9 kHz (edge of audibility);
@@ -366,7 +401,7 @@ class Sf2Font:
             "sample_rate": sh.sample_rate,
             # filter DC drop (half the Q, spec 8.1.3) folds into the gain
             "amp": ((vel / 127.0) ** 2 * 10.0 ** (-att_cb / 200.0)
-                    * 10.0 ** (-q_cb / 400.0)),
+                    * 10.0 ** (-q_cb / 400.0) * pan_gain),
             "delay_s": _timecents_to_s(gen(G_DELAY_VOL)),
             "attack_s": _timecents_to_s(gen(G_ATTACK_VOL)),
             "hold_s": _timecents_to_s(gen(G_HOLD_VOL)),
@@ -375,6 +410,16 @@ class Sf2Font:
             "release_s": max(_timecents_to_s(gen(G_RELEASE_VOL)), 1e-3),
             "fc_hz": fc_hz,
             "q_lin": _q_from_peak(10.0 ** (q_cb / 200.0)),
+            # linearized pitch-LFO gain: d(rel)/dw = inc * 2^(c*tri/1200)
+            # ~= inc * (1 + k*tri) with k = c*ln2/1200 (< 3 cents error at
+            # the extreme 100-cent depth; exact to first order)
+            "vib_k": vib_cents * (np.log(2.0) / 1200.0),
+            "vib_freq_hz": _lfo_hz(G_FREQ_VIB_LFO),
+            "vib_delay_s": _timecents_to_s(gen(G_DELAY_VIB_LFO)),
+            "mod_k": mod_cents * (np.log(2.0) / 1200.0),
+            "mod_freq_hz": _lfo_hz(G_FREQ_MOD_LFO),
+            "mod_delay_s": _timecents_to_s(gen(G_DELAY_MOD_LFO)),
+            "mod_vol_cb": float(mod_vol_cb),
         }
 
 
@@ -397,12 +442,31 @@ EVENT_BLOCK = 32
 # sample segment and any W-window advance stay well within f32 exactness.
 _F = ("on_s", "dur_s", "amp", "end_rel", "loop_start_rel",
       "loop_end_rel", "loop", "inc", "delay_s", "attack_s", "hold_s",
-      "decay_s", "sustain_amp", "release_s", "fc_hz", "q_lin")
+      "decay_s", "sustain_amp", "release_s", "fc_hz", "q_lin",
+      "vib_k", "vib_freq_hz", "vib_delay_s",
+      "mod_k", "mod_freq_hz", "mod_delay_s", "mod_vol_cb")
 
 
-@partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter"))
+def _tri(u):
+    """Triangle LFO (spec 8.1.2): period 1, starts at 0 rising, +1 at
+    u=0.25, -1 at u=0.75."""
+    p = u - jnp.floor(u)
+    return jnp.where(p < 0.25, 4.0 * p,
+                     jnp.where(p < 0.75, 2.0 - 4.0 * p, 4.0 * p - 4.0))
+
+
+def _tri_integral(u):
+    """∫0^u tri(v) dv — whole periods integrate to 0, so only the
+    fractional part contributes (piecewise quadratic, max 1/8 at u=0.5)."""
+    p = u - jnp.floor(u)
+    return jnp.where(p < 0.25, 2.0 * p * p,
+                     jnp.where(p < 0.75, 2.0 * p - 2.0 * p * p - 0.25,
+                               2.0 * (p - 1.0) ** 2))
+
+
+@partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo"))
 def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
-                use_filter: bool = False):
+                use_filter: bool = False, use_lfo: bool = False):
     """Sample-playback render: per voice, W output samples gather from the
     bank at per-voice phase increments (linear interpolation, loop folding),
     under the SF2 volume envelope; scatter-added at the onset sample. Same
@@ -414,7 +478,15 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
     and compile the exact pre-filter program) applies the SF2 low-pass
     (gens 8/9) as a zero-phase magnitude filter in the frequency domain:
     the per-voice static 2-pole response is multiplied onto the voice's
-    rfft. W is a power of two, so the FFT is the cheap case."""
+    rfft. W is a power of two, so the FFT is the cheap case.
+
+    ``use_lfo`` (static, same rationale: LFO-less fonts compile — and
+    render bitwise — the exact pre-LFO program) applies the vibrato and
+    modulation LFOs (gens 5/6/13/22/24 with their delays): pitch
+    modulation warps the bank-position ramp by the closed-form integral
+    of the triangle LFO (linearized 2^x, see ``_voice_params``), and
+    modLfoToVolume multiplies a triangle tremolo in dB onto the
+    envelope."""
     cols = {k: packed[i] for i, k in enumerate(_F)}
     valid = cols["amp"] > 0
     on_samp = jnp.round(cols["on_s"] * sr).astype(jnp.int32)
@@ -432,7 +504,21 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
         bvalid, bons = sl(valid), sl(on_samp)
 
         # ---- start-relative sample position with loop folding
-        rel = b["inc"][:, None] * w_steps[None, :]                  # (EB, W)
+        t_local = w_steps[None, :] / sr
+        pos = w_steps[None, :]
+        if use_lfo:
+            # pitch LFOs warp the position ramp: ∫(1 + k*tri(f*(t-d))) dw
+            # = w + k*sr*P(frac)/f with P the closed-form triangle integral
+            u_v = jnp.maximum(t_local - b["vib_delay_s"][:, None], 0.0) \
+                * b["vib_freq_hz"][:, None]
+            u_m = jnp.maximum(t_local - b["mod_delay_s"][:, None], 0.0) \
+                * b["mod_freq_hz"][:, None]
+            pos = (pos
+                   + b["vib_k"][:, None] * _tri_integral(u_v)
+                   * (sr / jnp.maximum(b["vib_freq_hz"][:, None], 1e-3))
+                   + b["mod_k"][:, None] * _tri_integral(u_m)
+                   * (sr / jnp.maximum(b["mod_freq_hz"][:, None], 1e-3)))
+        rel = b["inc"][:, None] * pos                               # (EB, W)
         span = jnp.maximum(b["loop_end_rel"] - b["loop_start_rel"], 1.0)[:, None]
         # loop region is [loop_start, loop_end): position loop_end wraps
         fold = (b["loop"][:, None] > 0) & (rel >= b["loop_end_rel"][:, None])
@@ -451,7 +537,6 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
 
         # ---- SF2 volume envelope (delay, linear-amp attack, hold,
         # linear-dB decay to sustain, linear-dB release at 96 dB/release_s)
-        t_local = w_steps[None, :] / sr
         t = t_local - b["delay_s"][:, None]
         a_s = b["attack_s"][:, None]
         att = jnp.where(a_s > 1e-9,  # 0 timecents-clamped attack is INSTANT
@@ -465,6 +550,9 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
         rel_db = jnp.clip(t_rel, 0.0, None) / b["release_s"][:, None] * 96.0
         env = att * 10.0 ** (-(dec_db + rel_db) / 20.0)
         env = jnp.where(rel_db < 96.0, env, 0.0)
+        if use_lfo:
+            # modLfoToVolume: triangle tremolo in centibels on the envelope
+            env = env * 10.0 ** (b["mod_vol_cb"][:, None] * _tri(u_m) / 200.0)
 
         win = sig * env * in_range
 
@@ -580,6 +668,10 @@ class Sf2Synth:
                 cols["release_s"].append(min(vp["release_s"], MAX_RELEASE_S))
                 cols["fc_hz"].append(vp["fc_hz"])
                 cols["q_lin"].append(vp["q_lin"])
+                for k in ("vib_k", "vib_freq_hz", "vib_delay_s",
+                          "mod_k", "mod_freq_hz", "mod_delay_s",
+                          "mod_vol_cb"):
+                    cols[k].append(vp[k])
         return cols, len(cols["on_s"]), float(end_t)
 
     def render_midi(self, midi, sr: int = 44100, min_seconds: float = 0.5,
@@ -633,9 +725,15 @@ class Sf2Synth:
         # initialFilterFc/Q pay the per-voice FFT; filterless renders run
         # the exact pre-filter program (same executable, bitwise output)
         use_filter = any(f > 0.0 for f in cols["fc_hz"][:nv])
+        # static LFO toggle, same contract as use_filter: fonts whose
+        # selected zones carry no LFO generators compile — and render
+        # bitwise — the exact pre-LFO program
+        use_lfo = any(cols[k][i] != 0.0
+                      for k in ("vib_k", "mod_k", "mod_vol_cb")
+                      for i in range(nv))
         audio = _render_sf2(self.bank, jnp.asarray(packed),
                             jnp.asarray(start_i), L, W, sr,
-                            use_filter=use_filter)
+                            use_filter=use_filter, use_lfo=use_lfo)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

@@ -516,3 +516,143 @@ def test_fixed_bucket_capacity_keeps_trailing_voices(fixture_font, monkeypatch):
     with pytest.raises(ValueError, match="multiple of"):
         sf2mod._render_sf2(synth.bank, np.zeros((len(sf2mod._F), 33), np.float32),
                            np.zeros(33, np.int32), 1 << 15, 1 << 10, SR)
+
+
+# ------------------------------------------------------------- LFOs / pan
+
+
+def _sine_font(path, extra_gens, f0=441.0, seconds=1.0):
+    """One continuously-looped pure sine (whole cycles, so the loop fold is
+    seamless) under a flat envelope — the cleanest carrier for measuring
+    pitch/volume modulation."""
+    from gandes_tpu.music.sf2 import G_HOLD_VOL as HOLD, G_SAMPLE_MODES as MODES
+
+    n = int(SR * seconds)
+    data = (0.5 * np.sin(2 * np.pi * f0 * np.arange(n) / SR)).astype(np.float32)
+    gens = {MODES: 1, HOLD: 2786}  # ~5 s hold: env == 1 while held
+    gens.update(extra_gens)
+    build_sf2(path, samples=[{"name": "sine", "data": data, "sample_rate": SR,
+                              "original_pitch": 60, "loop_start": 0,
+                              "loop_end": n}],
+              instruments=[{"name": "i", "zones": [{"sample": 0, "gens": gens}]}],
+              presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}])
+    return path
+
+
+def _inst_freq(audio, sr):
+    """Instantaneous frequency from the FFT analytic signal (Hz/sample)."""
+    n = len(audio)
+    X = np.fft.fft(audio)
+    h = np.zeros(n)
+    h[0] = 1.0
+    h[1:n // 2] = 2.0
+    h[n // 2] = 1.0
+    analytic = np.fft.ifft(X * h)
+    phase = np.unwrap(np.angle(analytic))
+    return np.diff(phase) * sr / (2 * np.pi)
+
+
+def _np_tri(u):
+    p = np.mod(u, 1.0)
+    return np.where(p < 0.25, 4 * p, np.where(p < 0.75, 2 - 4 * p, 4 * p - 4))
+
+
+def test_vibrato_tracks_triangle_lfo(tmp_path):
+    """vibLfoToPitch: instantaneous frequency follows f0 * (1 + k*tri(f*t))
+    with k = cents*ln2/1200 (the renderer's documented linearization) and
+    the triangle starting at zero rising (spec 8.1.2)."""
+    from gandes_tpu.music.sf2 import G_FREQ_VIB_LFO, G_VIB_LFO_TO_PITCH
+
+    f_lfo = 2.0
+    freq_cents = int(round(1200 * np.log2(f_lfo / 8.176)))
+    path = _sine_font(str(tmp_path / "vib.sf2"),
+                      {G_VIB_LFO_TO_PITCH: 200, G_FREQ_VIB_LFO: freq_cents})
+    audio = Sf2Synth(path).render_midi(_midi([(60, 127, 0.0, 2.2)]), sr=SR)
+
+    finst = _inst_freq(audio[: int(2.0 * SR)], SR)
+    k = 200 * np.log(2.0) / 1200.0
+    # 10 ms moving average knocks down interpolation noise
+    w = int(0.010 * SR)
+    kern = np.ones(w) / w
+    sm = np.convolve(finst, kern, mode="same")
+    t = np.arange(len(sm)) / SR
+    lo, hi = int(0.2 * SR), int(1.8 * SR)
+    # the LFO frequency itself resolves within ~1% (8.176 * 2^(cents/1200))
+    f_lfo_real = 8.176 * 2.0 ** (freq_cents / 1200.0)
+    expected = 441.0 * (1.0 + k * _np_tri(f_lfo_real * t[lo:hi]))
+    rel_err = np.abs(sm[lo:hi] / expected - 1.0)
+    assert np.max(rel_err) < 0.02
+    # and the modulation is real: +-11.5% swing, not a flat line
+    assert sm[lo:hi].max() > 441 * 1.08 and sm[lo:hi].min() < 441 * 0.92
+
+
+def test_vibrato_delay_gates_onset(tmp_path):
+    """delayVibLFO: no pitch modulation before the delay elapses."""
+    from gandes_tpu.music.sf2 import (G_DELAY_VIB_LFO, G_FREQ_VIB_LFO,
+                                      G_VIB_LFO_TO_PITCH)
+
+    freq_cents = int(round(1200 * np.log2(4.0 / 8.176)))
+    path = _sine_font(str(tmp_path / "vibdelay.sf2"),
+                      {G_VIB_LFO_TO_PITCH: 200, G_FREQ_VIB_LFO: freq_cents,
+                       G_DELAY_VIB_LFO: 0})  # 0 timecents == 1.0 s
+    audio = Sf2Synth(path).render_midi(_midi([(60, 127, 0.0, 2.2)]), sr=SR)
+    finst = _inst_freq(audio[: int(2.0 * SR)], SR)
+    w = int(0.010 * SR)
+    sm = np.convolve(finst, np.ones(w) / w, mode="same")
+    before = sm[int(0.2 * SR): int(0.9 * SR)]
+    after = sm[int(1.1 * SR): int(1.9 * SR)]
+    assert np.max(np.abs(before - 441.0)) < 2.0          # flat until 1 s
+    assert after.max() > 441 * 1.08 and after.min() < 441 * 0.92
+
+
+def test_tremolo_volume_oscillation(tmp_path):
+    """modLfoToVolume: amplitude swings by the generator's centibels at the
+    mod-LFO rate (peak/trough amplitude ratio = 10^(2*cb/200))."""
+    from gandes_tpu.music.sf2 import G_FREQ_MOD_LFO, G_MOD_LFO_TO_VOL
+
+    f_lfo_cents = int(round(1200 * np.log2(4.0 / 8.176)))
+    path = _sine_font(str(tmp_path / "trem.sf2"),
+                      {G_MOD_LFO_TO_VOL: 120, G_FREQ_MOD_LFO: f_lfo_cents})
+    audio = Sf2Synth(path).render_midi(_midi([(60, 127, 0.0, 2.2)]), sr=SR)
+    f_lfo = 8.176 * 2.0 ** (f_lfo_cents / 1200.0)
+
+    def rms_at(t):
+        c = int(t * SR)
+        w = int(0.008 * SR)
+        return float(np.sqrt(np.mean(audio[c - w:c + w] ** 2)))
+
+    # triangle peaks at u=0.25 (+1) and u=0.75 (-1); average several periods
+    peaks = [rms_at((0.25 + p) / f_lfo) for p in range(1, 7)]
+    troughs = [rms_at((0.75 + p) / f_lfo) for p in range(1, 7)]
+    ratio = np.mean(peaks) / np.mean(troughs)
+    assert 10.0 < ratio < 25.0  # expected 10^1.2 ~ 15.8
+
+
+def test_pan_mono_folddown(tmp_path):
+    """pan (gen 17): a hard-panned leg folds into the mono render at
+    1/sqrt(2) of the center-pan level (constant-power legs summed)."""
+    from gandes_tpu.music.sf2 import G_PAN
+
+    center = _sine_font(str(tmp_path / "center.sf2"), {})
+    hard = _sine_font(str(tmp_path / "hard.sf2"), {G_PAN: 500})
+    note = [(60, 127, 0.0, 1.0)]
+    a_c = Sf2Synth(center).render_midi(_midi(note), sr=SR)
+    a_h = Sf2Synth(hard).render_midi(_midi(note), sr=SR)
+    seg = slice(int(0.1 * SR), int(0.9 * SR))
+    ratio = np.sqrt(np.mean(a_h[seg] ** 2) / np.mean(a_c[seg] ** 2))
+    assert abs(ratio - 1 / np.sqrt(2)) < 0.02
+
+
+def test_zero_amount_lfo_gens_stay_on_prelfo_program(tmp_path):
+    """LFO freq/delay generators without any amount (vib/mod pitch cents and
+    mod volume all zero) must keep use_lfo False — the render is bitwise
+    the pre-LFO program (the static-toggle contract, like use_filter)."""
+    from gandes_tpu.music.sf2 import G_DELAY_MOD_LFO, G_FREQ_VIB_LFO
+
+    plain = _sine_font(str(tmp_path / "plain.sf2"), {})
+    freq_only = _sine_font(str(tmp_path / "freqonly.sf2"),
+                           {G_FREQ_VIB_LFO: -1200, G_DELAY_MOD_LFO: -2400})
+    note = [(60, 100, 0.0, 0.8)]
+    a = Sf2Synth(plain).render_midi(_midi(note), sr=SR)
+    b = Sf2Synth(freq_only).render_midi(_midi(note), sr=SR)
+    assert np.array_equal(a, b)
