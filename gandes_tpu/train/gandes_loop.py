@@ -73,6 +73,15 @@ class GanDesConfig:
     g_update: str = "none"
     surrogate_lr: float = 1e-3
     reinforce_sigma: float = 0.05
+    # Separate D learning rate (opt-in GAN balance knob; None = lr, the
+    # reference's single-lr semantics) — same rationale as the MM-GAN
+    # loop's, but sharper here: with mel-dB-scale inputs one Adam step at
+    # d_lr >= 1e-4 shifts the pre-sigmoid logits past float32 sigmoid
+    # underflow (sigma(x) == 0.0 exactly, so sigma' == 0 — D is dead
+    # FOREVER after step 1, the bit-flat d_loss == 2*ln2 / g_loss == ln2
+    # signature), which starves every G-update mode of gradient. Measured
+    # at 1e-5 the game stays alive (docs/RESULTS.md).
+    d_lr: float | None = None
     # (dp, tp) device mesh for sharded training; None = single device.
     # my_collate batches vary in size — non-divisible batches replicate.
     mesh_shape: tuple | None = None
@@ -107,7 +116,8 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     gen = DCGANGenerator(noise_dim=cfg.z_dim, dtype=dt)
     disc = MelDiscriminator(dtype=dt)
     g_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)
-    d_tx = optax.adam(cfg.lr, b1=0.5, b2=0.999)
+    d_tx = optax.adam(cfg.d_lr if cfg.d_lr is not None else cfg.lr,
+                      b1=0.5, b2=0.999)
     state = init_gandes_state(gen, disc, jax.random.key(cfg.seed),
                               batch_size=cfg.batch_size, z_dim=cfg.z_dim,
                               mel_shape=cfg.mel_shape, g_tx=g_tx, d_tx=d_tx)
