@@ -18,7 +18,8 @@ Scope (documented, deliberate):
   the short release), overridingRootKey, coarse/fineTune + the sample
   header's pitchCorrection, scaleTuning, initialAttenuation, the sample
   start/end/loop address offsets (fine + coarse), the volume envelope
-  (delay/attack/hold/decay/sustain/release), and the low-pass filter
+  (delay/attack/hold/decay/sustain/release, plus keynumToVolEnvHold/
+  Decay key scaling), and the low-pass filter
   (initialFilterFc/initialFilterQ — static per-voice cutoff/resonance,
   applied as a zero-phase 2-pole magnitude response in the frequency
   domain over the enveloped voice, with the spec's half-Q DC-gain drop;
@@ -101,6 +102,8 @@ G_FREQ_VIB_LFO = 24
 G_KEY_RANGE = 43
 G_VEL_RANGE = 44
 G_INITIAL_ATT = 48
+G_KEYNUM_TO_VOL_HOLD = 39
+G_KEYNUM_TO_VOL_DECAY = 40
 G_COARSE_TUNE = 51
 G_FINE_TUNE = 52
 G_SAMPLE_ID = 53
@@ -119,6 +122,7 @@ _DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
                   G_MOD_LFO_TO_PITCH: 0, G_VIB_LFO_TO_PITCH: 0,
                   G_MOD_LFO_TO_VOL: 0, G_PAN: 0,
                   G_FREQ_MOD_LFO: 0, G_FREQ_VIB_LFO: 0,
+                  G_KEYNUM_TO_VOL_HOLD: 0, G_KEYNUM_TO_VOL_DECAY: 0,
                   G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
                   G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
                   G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
@@ -404,8 +408,14 @@ class Sf2Font:
                     * 10.0 ** (-q_cb / 400.0) * pan_gain),
             "delay_s": _timecents_to_s(gen(G_DELAY_VOL)),
             "attack_s": _timecents_to_s(gen(G_ATTACK_VOL)),
-            "hold_s": _timecents_to_s(gen(G_HOLD_VOL)),
-            "decay_s": _timecents_to_s(gen(G_DECAY_VOL)),
+            # keynumToVolEnvHold/Decay (gens 39/40): +X timecents per
+            # keynumber below middle key 60 (spec 8.1.3)
+            "hold_s": (_timecents_to_s(gen(G_HOLD_VOL))
+                       * 2.0 ** (min(max(gen(G_KEYNUM_TO_VOL_HOLD), -1200),
+                                     1200) * (60 - key) / 1200.0)),
+            "decay_s": (_timecents_to_s(gen(G_DECAY_VOL))
+                        * 2.0 ** (min(max(gen(G_KEYNUM_TO_VOL_DECAY), -1200),
+                                      1200) * (60 - key) / 1200.0)),
             "sustain_amp": 10.0 ** (-sustain_cb / 200.0),
             "release_s": max(_timecents_to_s(gen(G_RELEASE_VOL)), 1e-3),
             "fc_hz": fc_hz,

@@ -656,3 +656,26 @@ def test_zero_amount_lfo_gens_stay_on_prelfo_program(tmp_path):
     a = Sf2Synth(plain).render_midi(_midi(note), sr=SR)
     b = Sf2Synth(freq_only).render_midi(_midi(note), sr=SR)
     assert np.array_equal(a, b)
+
+
+def test_keynum_scales_vol_env_hold_and_decay(tmp_path):
+    """keynumToVolEnvHold/Decay (gens 39/40): hold/decay stretch by
+    2^(amt*(60-key)/1200) with amt in timecents PER KEYNUMBER — the
+    key-scaled piano-decay idiom real GM fonts use. amt=100 tc/key means
+    one octave below middle (key 48, +1200 tc) doubles, one above
+    halves, key 60 unchanged."""
+    from gandes_tpu.music.sf2 import (G_DECAY_VOL, G_HOLD_VOL,
+                                      G_KEYNUM_TO_VOL_DECAY,
+                                      G_KEYNUM_TO_VOL_HOLD)
+
+    path = _sine_font(str(tmp_path / "keyscale.sf2"),
+                      {G_HOLD_VOL: 0, G_DECAY_VOL: 0,   # 1.0 s each
+                       G_KEYNUM_TO_VOL_HOLD: 100,
+                       G_KEYNUM_TO_VOL_DECAY: 100})
+    font = Sf2Font(path)
+    v60 = font.select_voices(0, 60, 100)[0]
+    v48 = font.select_voices(0, 48, 100)[0]
+    v72 = font.select_voices(0, 72, 100)[0]
+    assert abs(v60["hold_s"] - 1.0) < 1e-9 and abs(v60["decay_s"] - 1.0) < 1e-9
+    assert abs(v48["hold_s"] - 2.0) < 1e-9 and abs(v48["decay_s"] - 2.0) < 1e-9
+    assert abs(v72["hold_s"] - 0.5) < 1e-9 and abs(v72["decay_s"] - 0.5) < 1e-9
