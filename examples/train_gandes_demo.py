@@ -68,19 +68,13 @@ def build_dataset(workdir: str, n_nets: int = 16) -> str:
 
 
 def real_mels(midi_dir: str, n: int):
-    from gandes_tpu.data.datasets import MaestroDatasetGanDes
+    # balanced round-robin across all nets' MIDIs, short renders dropped
+    # BEFORE counting (a naive take-until-n over-weights the first nets)
+    from gandes_tpu.data.datasets import collect_real_mels
 
-    ds = MaestroDatasetGanDes(batch_size=n, input_folder=midi_dir)
-    mels, got = [], 0
-    for i in range(len(ds)):
-        m = np.asarray(ds[i])
-        mels.append(m)
-        got += m.shape[0]
-        if got >= n:
-            break
-    frames = max(m.shape[-1] for m in mels)
-    full = [m for m in mels if m.shape[-1] == frames]
-    return np.concatenate(full)[:n]
+    mels, n_files = collect_real_mels(midi_dir, n, seed=0)
+    print(f"real side drawn from {n_files} network MIDIs")
+    return mels
 
 
 def generated_mels(state, cfg, n: int, seed: int, workdir: str):
@@ -134,7 +128,9 @@ def main():
         model_path=os.path.join(workdir, "models") + "/",
         log_path=os.path.join(workdir, "logs") + "/",
         out_dir=os.path.join(workdir, "train_out"),
-        save_step=max(steps // 4, 1), display_step=16, seed=0,
+        # checkpoint every 32 steps (capped so long runs keep a rich
+        # eval-metrics --checkpoints-dir selection grid)
+        save_step=max(min(steps // 4, 32), 1), display_step=16, seed=0,
     )
 
     n_eval = 48

@@ -494,31 +494,22 @@ def _eval_metrics_gandes(args):
     import jax
 
     from gandes_tpu.bridge.gandes_decode import matrix_to_wav
-    from gandes_tpu.data.datasets import MaestroDatasetGanDes
     from gandes_tpu.eval.metrics import compare_distributions, mel_metrics
     from gandes_tpu.train.gandes_loop import GanDesConfig
     from gandes_tpu.train.loading import gandes_eval_forward, load_gandes_state
 
-    ds = MaestroDatasetGanDes(batch_size=args.n, input_folder=args.data,
-                              sound_font=args.sound_font)
-    mels, got = [], 0
-    for i in range(len(ds)):
-        m = np.asarray(ds[i])
-        mels.append(m)
-        got += m.shape[0]
-        if got >= args.n:
-            break
-    if not mels:
-        raise SystemExit(f"no MIDI files under {args.data}")
-    # files that render shorter than the 5 s window produce fewer mel
-    # frames (the slicer right-aligns on [-5s:], reference util.py:103-119);
-    # they can't stack with the full windows, so drop them with a note
-    frames = max(m.shape[-1] for m in mels)
-    full = [m for m in mels if m.shape[-1] == frames]
-    if len(full) < len(mels):
-        print(f"eval-metrics: skipped {len(mels) - len(full)} file(s) "
-              f"rendering shorter than the 5 s mel window", file=sys.stderr)
-    real = np.concatenate(full)[: args.n]
+    from gandes_tpu.data.datasets import collect_real_mels
+
+    try:
+        # balanced across files (round-robin), short-window renders dropped
+        # before counting — see collect_real_mels
+        real, n_files = collect_real_mels(args.data, args.n,
+                                          sound_font=args.sound_font,
+                                          seed=args.seed)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(f"eval-metrics: real side = {real.shape[0]} mel slices from "
+          f"{n_files} file(s)", file=sys.stderr)
     rm = mel_metrics(real)
 
     def _gaps_for(checkpoint=None, torch_checkpoint=None):

@@ -382,3 +382,38 @@ class MaestroDatasetGanDes(Dataset):
 def my_collate(batch):
     """Concatenate variable split counts (`GAN_DES/datasets.py:94-100`)."""
     return np.concatenate(batch, axis=0)
+
+
+def collect_real_mels(midi_dir, n, sound_font=None, sample_rate=44100,
+                      seed=0):
+    """A balanced real-side mel pool for evaluation: up to ``n`` full-window
+    mel slices drawn ROUND-ROBIN across the directory's MIDI files.
+
+    The naive loop (take batches file-by-file until n) over-weights the
+    first files and counts slices toward n before the short-file filter
+    drops them; evaluation statistics then measure distance to the first
+    network(s) rather than the directory's distribution. Here each file
+    contributes ceil(n/len(files)) candidate slices, short-file renders
+    (fewer mel frames than the full 5 s window) are dropped BEFORE
+    counting, and the final pool interleaves files so truncation at n
+    stays balanced. Returns (mels, n_files_contributing)."""
+    ds = MaestroDatasetGanDes(batch_size=1, input_folder=midi_dir,
+                              sample_rate=sample_rate, sound_font=sound_font)
+    if len(ds) == 0:
+        raise ValueError(f"no MIDI files under {midi_dir}")
+    ds.k = max(1, -(-n // len(ds)))  # ceil(n / n_files) per file
+    _random.seed(seed)  # long files subsample their slices via random.sample
+    batches = []
+    for i in range(len(ds)):
+        m = np.asarray(ds[i])
+        batches.append(m)
+        frames = max(b.shape[-1] for b in batches)
+        kept = sum(b.shape[0] for b in batches if b.shape[-1] == frames)
+        if kept >= n:
+            break
+    frames = max(b.shape[-1] for b in batches)
+    full = [b for b in batches if b.shape[-1] == frames]
+    # interleave: slice j of every file before slice j+1 of any
+    order = [b[j] for j in range(max(b.shape[0] for b in full))
+             for b in full if j < b.shape[0]]
+    return np.stack(order[:n]), len(full)

@@ -33,9 +33,11 @@ Scope (documented, deliberate):
   default modulator, approximated by amp = (vel/127)^2 (= -40 log10 dB).
 * LFOs: vibLfoToPitch / modLfoToPitch warp the playback-position ramp by
   the closed-form integral of the spec's triangle LFO (2^cents linearized;
-  < 3 cents error at a 100-cent depth), modLfoToVolume is a triangle
-  tremolo in centibels on the envelope; freqVibLFO/freqModLFO and both
-  LFO delays are honored (delayModLFO gates tremolo and mod-pitch alike).
+  < 3 cents error at a 100-cent depth; depths clamp to +-1200 cents, the
+  linearization's monotone regime, not the spec's +-12000),
+  modLfoToVolume is a triangle tremolo in centibels on the envelope;
+  freqVibLFO/freqModLFO and both LFO delays are honored (delayModLFO
+  gates tremolo and mod-pitch alike).
 * Mono render: stereo sample pairs (both zones match the key) are summed;
   pan (gen 17) folds down as the constant-power legs' mono sum, normalized
   so center pan is unity (a hard-panned leg contributes 1/sqrt(2)).
@@ -378,8 +380,13 @@ class Sf2Font:
         # LFOs (spec 8.1.2: triangular, starting at zero rising). Frequency
         # generators are absolute cents above 8.176 Hz; amounts are cents of
         # peak pitch deviation / centibels of peak volume deviation.
-        vib_cents = min(max(gen(G_VIB_LFO_TO_PITCH), -12000), 12000)
-        mod_cents = min(max(gen(G_MOD_LFO_TO_PITCH), -12000), 12000)
+        # pitch depths clamp to +-1200 cents (not the spec's +-12000): the
+        # render linearizes 2^(c*tri/1200), which is only small-error — and
+        # keeps the warped position ramp monotone through the memoryless
+        # loop fold — for |k| = |c|*ln2/1200 < 1; an octave of vibrato is
+        # far past any musical use of these generators anyway
+        vib_cents = min(max(gen(G_VIB_LFO_TO_PITCH), -1200), 1200)
+        mod_cents = min(max(gen(G_MOD_LFO_TO_PITCH), -1200), 1200)
         mod_vol_cb = min(max(gen(G_MOD_LFO_TO_VOL), -960), 960)
         _lfo_hz = lambda g: 8.176 * 2.0 ** (min(max(gen(g), -16000), 4500) / 1200.0)
         # pan (gen 17, -500 full left .. +500 full right): constant-power
@@ -409,13 +416,15 @@ class Sf2Font:
             "delay_s": _timecents_to_s(gen(G_DELAY_VOL)),
             "attack_s": _timecents_to_s(gen(G_ATTACK_VOL)),
             # keynumToVolEnvHold/Decay (gens 39/40): +X timecents per
-            # keynumber below middle key 60 (spec 8.1.3)
-            "hold_s": (_timecents_to_s(gen(G_HOLD_VOL))
-                       * 2.0 ** (min(max(gen(G_KEYNUM_TO_VOL_HOLD), -1200),
-                                     1200) * (60 - key) / 1200.0)),
-            "decay_s": (_timecents_to_s(gen(G_DECAY_VOL))
-                        * 2.0 ** (min(max(gen(G_KEYNUM_TO_VOL_DECAY), -1200),
-                                      1200) * (60 - key) / 1200.0)),
+            # keynumber below middle key 60 (spec 8.1.3). Added in the
+            # TIMECENT domain (not on the clamped seconds), so an
+            # 'instant' -12000 base still key-scales per spec.
+            "hold_s": _timecents_to_s(
+                gen(G_HOLD_VOL)
+                + min(max(gen(G_KEYNUM_TO_VOL_HOLD), -1200), 1200) * (60 - key)),
+            "decay_s": _timecents_to_s(
+                gen(G_DECAY_VOL)
+                + min(max(gen(G_KEYNUM_TO_VOL_DECAY), -1200), 1200) * (60 - key)),
             "sustain_amp": 10.0 ** (-sustain_cb / 200.0),
             "release_s": max(_timecents_to_s(gen(G_RELEASE_VOL)), 1e-3),
             "fc_hz": fc_hz,
@@ -467,7 +476,8 @@ def _tri(u):
 
 def _tri_integral(u):
     """∫0^u tri(v) dv — whole periods integrate to 0, so only the
-    fractional part contributes (piecewise quadratic, max 1/8 at u=0.5)."""
+    fractional part contributes (piecewise quadratic, max 1/4 at u=0.5;
+    the quarter-period value at u=0.25 is 1/8)."""
     p = u - jnp.floor(u)
     return jnp.where(p < 0.25, 2.0 * p * p,
                      jnp.where(p < 0.75, 2.0 * p - 2.0 * p * p - 0.25,
@@ -525,9 +535,9 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
                 * b["mod_freq_hz"][:, None]
             pos = (pos
                    + b["vib_k"][:, None] * _tri_integral(u_v)
-                   * (sr / jnp.maximum(b["vib_freq_hz"][:, None], 1e-3))
+                   * (sr / jnp.maximum(b["vib_freq_hz"][:, None], 1e-4))
                    + b["mod_k"][:, None] * _tri_integral(u_m)
-                   * (sr / jnp.maximum(b["mod_freq_hz"][:, None], 1e-3)))
+                   * (sr / jnp.maximum(b["mod_freq_hz"][:, None], 1e-4)))
         rel = b["inc"][:, None] * pos                               # (EB, W)
         span = jnp.maximum(b["loop_end_rel"] - b["loop_start_rel"], 1.0)[:, None]
         # loop region is [loop_start, loop_end): position loop_end wraps

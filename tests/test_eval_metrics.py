@@ -62,3 +62,35 @@ def test_mel_metrics_and_compare():
     gaps = compare_distributions(a, b)
     assert gaps["pitch_class_l1"] == 0.0
     assert all(v == 0.0 for v in gaps.values())
+
+
+def test_collect_real_mels_balances_across_files(tmp_path):
+    """The eval real side draws round-robin across the directory's MIDIs
+    and counts slices only AFTER the short-render filter — a take-until-n
+    loop over-weighted the first file(s) (review finding)."""
+    from gandes_tpu.data.datasets import collect_real_mels
+    from gandes_tpu.music.midi import (Message, MetaMessage, MidiFile,
+                                       MidiTrack)
+
+    def write_midi(path, note, n_notes, dur=2.0):
+        mid = MidiFile(type=0, ticks_per_beat=480)
+        tr = MidiTrack()
+        tr.append(MetaMessage("set_tempo", tempo=500000, time=0))
+        for i in range(n_notes):
+            tr.append(Message("note_on", note=note, velocity=90,
+                              time=0 if i == 0 else int(960 * dur)))
+            tr.append(Message("note_off", note=note, velocity=0,
+                              time=int(960 * dur)))
+        tr.append(MetaMessage("end_of_track", time=0))
+        mid.tracks.append(tr)
+        mid.save(str(path))
+
+    # three files long enough for multiple 5 s slices each
+    for k, note in enumerate((48, 60, 72)):
+        write_midi(tmp_path / f"f{k}.mid", note, n_notes=5)
+    mels, n_files = collect_real_mels(str(tmp_path), 6)
+    assert mels.shape[0] == 6
+    assert n_files == 3  # every file contributes, not just the first
+    # determinism (seeded slice subsampling)
+    mels2, _ = collect_real_mels(str(tmp_path), 6)
+    np.testing.assert_array_equal(mels, mels2)

@@ -679,3 +679,39 @@ def test_keynum_scales_vol_env_hold_and_decay(tmp_path):
     assert abs(v60["hold_s"] - 1.0) < 1e-9 and abs(v60["decay_s"] - 1.0) < 1e-9
     assert abs(v48["hold_s"] - 2.0) < 1e-9 and abs(v48["decay_s"] - 2.0) < 1e-9
     assert abs(v72["hold_s"] - 0.5) < 1e-9 and abs(v72["decay_s"] - 0.5) < 1e-9
+
+
+def test_keynum_scaling_applies_in_timecent_domain(tmp_path):
+    """The key scaling adds TIMECENTS per spec 8.1.3 — an 'instant'
+    -12000 default hold still stretches to 2^((-12000+100*60)/1200)
+    ~= 31 ms at key 0 (scaling the clamped 0.0 seconds would drop it)."""
+    from gandes_tpu.music.sf2 import (G_KEYNUM_TO_VOL_HOLD,
+                                      G_SAMPLE_MODES)
+
+    n = 2000
+    data = (0.4 * np.sin(2 * np.pi * np.arange(n) / 64.0)).astype(np.float32)
+    path = str(tmp_path / "tc.sf2")
+    build_sf2(path, samples=[{"name": "s", "data": data, "sample_rate": SR,
+                              "original_pitch": 60, "loop_start": 0,
+                              "loop_end": n}],
+              instruments=[{"name": "i", "zones": [{"sample": 0, "gens": {
+                  G_SAMPLE_MODES: 1, G_KEYNUM_TO_VOL_HOLD: 100}}]}],
+              presets=[{"name": "p", "program": 0,
+                        "zones": [{"instrument": 0}]}])
+    font = Sf2Font(path)
+    assert font.select_voices(0, 60, 100)[0]["hold_s"] == 0.0  # instant
+    v0 = font.select_voices(0, 0, 100)[0]
+    assert abs(v0["hold_s"] - 2.0 ** ((-12000 + 6000) / 1200.0)) < 1e-9
+
+
+def test_pitch_lfo_depth_clamps_to_monotone_regime(tmp_path):
+    """vibLfoToPitch clamps to +-1200 cents: the linearized position ramp
+    must stay monotone (|k| < 1) so the memoryless loop fold cannot
+    oscillate across loop_end."""
+    from gandes_tpu.music.sf2 import G_VIB_LFO_TO_PITCH
+
+    path = _sine_font(str(tmp_path / "deep.sf2"),
+                      {G_VIB_LFO_TO_PITCH: 12000})
+    font = Sf2Font(path)
+    v = font.select_voices(0, 60, 100)[0]
+    assert abs(v["vib_k"] - 1200 * np.log(2.0) / 1200.0) < 1e-12  # k = ln2
