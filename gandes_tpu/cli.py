@@ -70,7 +70,7 @@ def _cmd_train_gandes(args):
                                    sound_font=args.sound_font)
     loader = DataLoader(dataset, batch_size=1, shuffle=True, collate_fn=my_collate)
     cfg = GanDesConfig(batch_size=args.batch_size, model_path=args.models_dir,
-                       lr=args.lr, d_lr=args.d_lr,
+                       lr=args.lr, d_lr=args.d_lr, resume=args.resume,
                        g_update=args.g_update, des_parallel=args.des_parallel,
                        mesh_shape=_mesh(args.mesh), profile=args.profile,
                        trace_dir=args.trace_dir,
@@ -627,6 +627,10 @@ def main(argv=None):
     sp.add_argument("--d-lr", type=float, default=None,
                     help="separate D learning rate (GAN balance knob; "
                          "default: --lr, the reference's single-lr semantics)")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the newest gen_<step>_<ts> "
+                         "checkpoint under --models-dir (full state incl. "
+                         "optimizers; RNG streams continue at the saved step)")
     sp.add_argument("--g-update", choices=["none", "surrogate", "reinforce"],
                     default="none",
                     help="'none' = reference semantics (G gets zero gradient); "

@@ -46,3 +46,21 @@ def latest_epoch_checkpoint(models_dir: str, prefix: str):
             if e > best_e:
                 best, best_e = os.path.join(models_dir, name), e
     return best, best_e
+
+
+def latest_step_checkpoint(models_dir: str, prefix: str = "gen_"):
+    """Find the newest GAN-DES ``gen_{step}_{timestamp}`` checkpoint dir
+    (``*_surrogate`` companions skipped), or (None, 0). Newest = highest
+    step, timestamp breaking ties."""
+    import re
+
+    if not os.path.isdir(models_dir):
+        return None, 0
+    best, best_key = None, (-1, -1.0)
+    for name in os.listdir(models_dir):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)_([\d.]+)", name)
+        if m:
+            key = (int(m.group(1)), float(m.group(2)))
+            if key > best_key:
+                best, best_key = os.path.join(models_dir, name), key
+    return best, max(best_key[0], 0)

@@ -82,6 +82,11 @@ class GanDesConfig:
     # signature), which starves every G-update mode of gradient. Measured
     # at 1e-5 the game stays alive (docs/RESULTS.md).
     d_lr: float | None = None
+    # resume from the newest gen_{step}_{ts} checkpoint under model_path
+    # (full state incl. optimizers + BN stats; step-derived RNG streams
+    # continue where the restored run stopped). Opt-in: the reference's
+    # GAN-DES never resumes, so False is its semantics.
+    resume: bool = False
     # (dp, tp) device mesh for sharded training; None = single device.
     # my_collate batches vary in size — non-divisible batches replicate.
     mesh_shape: tuple | None = None
@@ -121,6 +126,21 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     state = init_gandes_state(gen, disc, jax.random.key(cfg.seed),
                               batch_size=cfg.batch_size, z_dim=cfg.z_dim,
                               mel_shape=cfg.mel_shape, g_tx=g_tx, d_tx=d_tx)
+    resume_path, start_step = None, 0
+    if cfg.resume:
+        # full-state continuation (params + BN stats + both Adam states):
+        # every per-step key folds from the step counter and state.step is
+        # checkpointed, so restarting cur_step there CONTINUES the noise /
+        # reinforce streams instead of replaying them. (The reference's
+        # GAN-DES has no resume at all; this mirrors the MM-GAN loop's.)
+        resume_path, _ = ckpt.latest_step_checkpoint(cfg.model_path)
+        if resume_path:
+            state = ckpt.restore_state(resume_path, state)
+            start_step = int(state.step)
+            print(f"Loaded model from {resume_path} (continuing at step "
+                  f"{start_step})")
+        else:
+            print("No saved model found, starting training from scratch")
     mesh = None
     if cfg.mesh_shape is not None:
         from gandes_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
@@ -142,6 +162,8 @@ def _train_gandes(dataloader, cfg, max_steps=None):
         s_state = init_surrogate_state(s_model, jax.random.key(cfg.seed + 2),
                                        batch_size=cfg.batch_size,
                                        adj_size=(20, 20), s_tx=s_tx)
+        if resume_path and os.path.isdir(resume_path + "_surrogate"):
+            s_state = ckpt.restore_state(resume_path + "_surrogate", s_state)
         if mesh is not None:
             s_state = shard_state(s_state, mesh)
         train_step = jax.jit(
@@ -164,7 +186,7 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     # only the window since the last display, not the full history every
     # time (each 0-d fetch is a relay round trip on this platform)
     fetched_n, g_sum, d_sum = 0, 0.0, 0.0
-    cur_step = 0
+    cur_step = start_step
     for epoch in range(cfg.n_epochs):
         for real in dataloader:
             if max_steps is not None and cur_step >= max_steps:

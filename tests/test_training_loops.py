@@ -202,6 +202,47 @@ def test_gandes_training_loop(tmp_path, monkeypatch):
     assert all(np.isfinite(v) for v in history["disc"])
 
 
+def test_gandes_resume_continues_exactly(tmp_path, monkeypatch):
+    """GAN-DES resume: 2 straight steps + 2 resumed steps reproduce a
+    4-step run bit-for-bit — full state (params, BN stats, both Adam
+    states, step counter) restores, and the step-derived noise streams
+    plus the global-numpy DES stream CONTINUE rather than replay."""
+    import jax
+
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(4, 128, 216).astype(np.float32) * 40 - 40
+               for _ in range(4)]
+
+    def cfg(models_dir, save_step=2):
+        return GanDesConfig(batch_size=4, model_path=str(tmp_path / models_dir),
+                            number_of_customers=120, max_sim_time=0.3,
+                            save_step=save_step, resume=True)
+
+    np.random.seed(2)
+    ref_state, ref_hist = train_gandes(iter(batches), cfg("m_straight"),
+                                       max_steps=4)
+
+    # split run in the SAME process: the global numpy stream continues
+    # across the save/restore boundary exactly as it does mid-run
+    np.random.seed(2)
+    state1, hist1 = train_gandes(iter(batches), cfg("m_split"), max_steps=3)
+    # checkpoint gen_2_* captured state AFTER the step-2 update (step==3)
+    state2, hist2 = train_gandes(iter(batches[3:]), cfg("m_split"),
+                                 max_steps=4)
+    assert int(state2.step) == 4
+    for a, b in zip(jax.tree.leaves(ref_state.g_params),
+                    jax.tree.leaves(state2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref_state.d_opt),
+                    jax.tree.leaves(state2.d_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(ref_hist["disc"][3], hist2["disc"][0])
+
+
 def test_multimodal_gan_composite(tmp_path, monkeypatch):
     from gandes_tpu.models.composite import MultiModalGAN
 
@@ -533,7 +574,12 @@ def test_eval_metrics_gandes_skips_short_renders(midi_fixture_dir, tmp_path,
     main(["eval-metrics", "--family", "gandes", "--data", str(data),
           "--n", "1000"])  # > total windows: every file is read
     cap = capsys.readouterr()
-    assert "rendering shorter than the 5 s mel window" in cap.err
+    # collect_real_mels drops short renders BEFORE counting and reports
+    # the real-side composition; the 0.12 s file must not be among the
+    # contributing files (its mel has fewer frames than the full window)
+    assert "real side =" in cap.err
+    n_files = int(cap.err.split("from ")[1].split(" file")[0])
+    assert n_files < len(list(data.iterdir()))
     res = json.loads(cap.out[cap.out.rindex("\n{") + 1:]
                      if "\n{" in cap.out else cap.out)
     assert res["family"] == "gandes" and res["n_real"] >= 1
