@@ -35,6 +35,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("GANDES_DEMO_CPU"):
+    # the measurement is a differential training outcome — identical math
+    # on any backend (device throughput is bench.py's job); pinning CPU
+    # makes it reproducible anywhere incl. degraded-relay windows.
+    # Per-CLAUDE.md quirk: force CPU via jax.config, not env alone.
+    jax.config.update("jax_platforms", "cpu")
+
 
 def build_dataset(workdir: str, n_nets: int = 24) -> str:
     from gandes_tpu.bridge.sim_demo import sim_to_wav

@@ -6,7 +6,8 @@ FluidR3_GM soundfont (`GAN_DES/matrix_sim_process.py:114-125`,
 is the sample-playback equivalent: it parses the SoundFont 2 format
 (hydra: presets -> zones -> generators -> instruments -> samples), selects
 per-note sample zones the way a SoundFont player does, and renders by
-*playing the soundfont's actual samples* — pitch-shifted bank gathers with
+*playing the soundfont's actual samples* — pitch-shifted bank gathers
+(4-point cubic by default, FluidSynth's default interpolation order) with
 loop folding under the SF2 volume envelope — on device, riding the same
 block-scan + scatter-add architecture as the additive synth
 (`music/synth.py::_render`).
@@ -484,11 +485,14 @@ def _tri_integral(u):
                                2.0 * (p - 1.0) ** 2))
 
 
-@partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo"))
+@partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo",
+                                   "use_cubic"))
 def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
-                use_filter: bool = False, use_lfo: bool = False):
+                use_filter: bool = False, use_lfo: bool = False,
+                use_cubic: bool = True):
     """Sample-playback render: per voice, W output samples gather from the
-    bank at per-voice phase increments (linear interpolation, loop folding),
+    bank at per-voice phase increments (4-point cubic interpolation by
+    default — FluidSynth's default order — or linear; loop folding),
     under the SF2 volume envelope; scatter-added at the onset sample. Same
     block-scan + dump-slot scatter structure as synth._render. Pad voices
     carry amp == 0. The audio buffer IS the L-sample output window —
@@ -549,11 +553,26 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
         rel = jnp.clip(rel, 0.0, b["end_rel"][:, None])
 
         r0 = jnp.floor(rel)
-        frac = rel - r0
+        f = rel - r0
         i0 = b["start_i"][:, None] + r0.astype(jnp.int32)
-        s0 = jnp.take(bank, i0.reshape(-1), mode="clip").reshape(i0.shape)
-        s1 = jnp.take(bank, (i0 + 1).reshape(-1), mode="clip").reshape(i0.shape)
-        sig = s0 * (1.0 - frac) + s1 * frac
+        gather = lambda ofs: jnp.take(bank, (i0 + ofs).reshape(-1),
+                                      mode="clip").reshape(i0.shape)
+        if use_cubic:
+            # FluidSynth's default interpolation order is 4th (4-point
+            # cubic); Catmull-Rom weights — exact passthrough at f == 0,
+            # so integer-phase playback still reproduces the sample
+            # bit-for-bit. The spec's 46-point guard data around each
+            # sample makes the +-1/+2 neighbor reads safe, and spec-
+            # conformant loops carry identical boundary points so the
+            # 4-point window crossing the loop seam stays seamless.
+            f2 = f * f
+            f3 = f2 * f
+            sig = (gather(-1) * (-0.5 * f3 + f2 - 0.5 * f)
+                   + gather(0) * (1.5 * f3 - 2.5 * f2 + 1.0)
+                   + gather(1) * (-1.5 * f3 + 2.0 * f2 + 0.5 * f)
+                   + gather(2) * (0.5 * f3 - 0.5 * f2))
+        else:
+            sig = gather(0) * (1.0 - f) + gather(1) * f
 
         # ---- SF2 volume envelope (delay, linear-amp attack, hold,
         # linear-dB decay to sustain, linear-dB release at 96 dB/release_s)
@@ -633,11 +652,18 @@ def _voice_bucket(n: int) -> int:
 class Sf2Synth:
     """Renders MIDI through a parsed SoundFont on device. One instance
     caches the device-resident sample bank and the voice-resolution cache;
-    reuse it across renders."""
+    reuse it across renders.
 
-    def __init__(self, sound_font: str):
+    ``interp``: 'cubic' (default — FluidSynth's default 4th-order
+    interpolation, 4-point Catmull-Rom) or 'linear' (2-point; slightly
+    cheaper, more HF rolloff when pitch-shifting)."""
+
+    def __init__(self, sound_font: str, interp: str = "cubic"):
+        if interp not in ("cubic", "linear"):
+            raise ValueError(f"interp must be 'cubic' or 'linear', got {interp!r}")
         self.font = Sf2Font(sound_font)
         self.bank = jnp.asarray(self.font.bank)
+        self.use_cubic = interp == "cubic"
 
     def midi_to_voices(self, midi, sr: int, max_voices: int = 2048,
                        max_events: int | None = None):
@@ -753,7 +779,8 @@ class Sf2Synth:
                       for i in range(nv))
         audio = _render_sf2(self.bank, jnp.asarray(packed),
                             jnp.asarray(start_i), L, W, sr,
-                            use_filter=use_filter, use_lfo=use_lfo)
+                            use_filter=use_filter, use_lfo=use_lfo,
+                            use_cubic=self.use_cubic)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

@@ -715,3 +715,38 @@ def test_pitch_lfo_depth_clamps_to_monotone_regime(tmp_path):
     font = Sf2Font(path)
     v = font.select_voices(0, 60, 100)[0]
     assert abs(v["vib_k"] - 1200 * np.log(2.0) / 1200.0) < 1e-12  # k = ln2
+
+
+def test_cubic_interpolation_default_and_passthrough(tmp_path):
+    """Default interpolation is 4-point cubic (FluidSynth's default
+    order). At integer phase (key == rootkey at the bank's own rate) the
+    Catmull-Rom weights collapse to passthrough, so the output still
+    reproduces the sample exactly; at fractional phase (pitch-shifted)
+    cubic tracks a sine strictly better than linear."""
+    f0 = 441.0
+    path = _sine_font(str(tmp_path / "interp.sf2"), {}, f0=f0)
+    note = [(60, 127, 0.0, 1.0)]
+    cubic = Sf2Synth(path)                      # default
+    linear = Sf2Synth(path, interp="linear")
+    assert cubic.use_cubic and not linear.use_cubic
+
+    a_c = cubic.render_midi(_midi(note), sr=SR)
+    # integer phase: both interpolators are exact passthrough
+    a_l = linear.render_midi(_midi(note), sr=SR)
+    np.testing.assert_array_equal(a_c[:1000], a_l[:1000])
+
+    # pitch-shift by a tritone (irrational-ish phase step): compare both
+    # against the ideal resampled sine over a steady segment
+    note_up = [(66, 127, 0.0, 1.0)]
+    up_c = cubic.render_midi(_midi(note_up), sr=SR)
+    up_l = linear.render_midi(_midi(note_up), sr=SR)
+    ratio = 2.0 ** (6 / 12.0)
+    t = np.arange(len(up_c)) / SR
+    ideal = 0.5 * np.sin(2 * np.pi * f0 * ratio * t)
+    seg = slice(int(0.1 * SR), int(0.8 * SR))
+    err_c = np.sqrt(np.mean((up_c[seg] - ideal[seg]) ** 2))
+    err_l = np.sqrt(np.mean((up_l[seg] - ideal[seg]) ** 2))
+    assert err_c < err_l * 0.5  # cubic at least halves the resample error
+
+    with pytest.raises(ValueError, match="interp"):
+        Sf2Synth(path, interp="sinc")
