@@ -750,3 +750,59 @@ def test_cubic_interpolation_default_and_passthrough(tmp_path):
 
     with pytest.raises(ValueError, match="interp"):
         Sf2Synth(path, interp="sinc")
+
+
+def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
+    """Compiled-kernel check on real TPU hardware: the fixed-bucket device
+    render (cubic + LFO + filter paths all engaged) must agree with this
+    process's CPU render of the same piece. Auto-skips without a TPU; a
+    degraded relay window skips rather than failing (CLAUDE.md)."""
+    import os
+    import subprocess
+    import sys
+
+    from gandes_tpu.music.sf2 import (G_FREQ_VIB_LFO, G_HOLD_VOL,
+                                      G_INITIAL_FILTER_FC, G_SAMPLE_MODES,
+                                      G_VIB_LFO_TO_PITCH)
+
+    fc = int(round(1200 * np.log2(3000 / 8.176)))
+    path = _sine_font(str(tmp_path / "tpu.sf2"),
+                      {G_VIB_LFO_TO_PITCH: 100, G_FREQ_VIB_LFO: -1200,
+                       G_INITIAL_FILTER_FC: fc})
+    notes = [(64, 110, 0.0, 1.25), (60, 90, 0.4, 1.0)]
+    mid_path = str(tmp_path / "piece.mid")
+    _midi(notes).save(mid_path)
+    ref = Sf2Synth(path).render_midi(_midi(notes), sr=SR)
+    np.save(str(tmp_path / "ref.npy"), ref)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p
+    )
+    body = (
+        "import jax\n"
+        "if jax.devices()[0].platform == 'cpu':\n"
+        "    print('NO_TPU'); raise SystemExit(0)\n"
+        "import numpy as np\n"
+        "from gandes_tpu.music.sf2 import Sf2Synth\n"
+        f"got = Sf2Synth({str(path)!r}).render_midi({mid_path!r}, sr={SR})\n"
+        f"ref = np.load({str(tmp_path / 'ref.npy')!r})\n"
+        "m = min(len(got), len(ref))\n"
+        "np.testing.assert_allclose(got[:m], ref[:m], atol=2e-4)\n"
+        "print('TPU_SF2_OK')\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", body], env=env, text=True,
+                              capture_output=True, timeout=420)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU subprocess exceeded 420 s (degraded relay)")
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU attached in subprocess")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "TPU_SF2_OK" in proc.stdout
