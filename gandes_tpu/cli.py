@@ -630,7 +630,10 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true",
                     help="continue from the newest gen_<step>_<ts> "
                          "checkpoint under --models-dir (full state incl. "
-                         "optimizers; RNG streams continue at the saved step)")
+                         "optimizers; step-derived noise streams continue "
+                         "at the saved step — the DES's global-numpy "
+                         "stream is process-level, so reseed numpy for a "
+                         "reproducible continuation)")
     sp.add_argument("--g-update", choices=["none", "surrogate", "reinforce"],
                     default="none",
                     help="'none' = reference semantics (G gets zero gradient); "

@@ -554,17 +554,27 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
 
         r0 = jnp.floor(rel)
         f = rel - r0
-        i0 = b["start_i"][:, None] + r0.astype(jnp.int32)
-        gather = lambda ofs: jnp.take(bank, (i0 + ofs).reshape(-1),
-                                      mode="clip").reshape(i0.shape)
+
+        def gather(ofs):
+            idx = r0 + ofs
+            # folded positions live on the loop circle: wrap the
+            # interpolation window around the seam (gather(-1) at
+            # loop_start reads loop_end-1, gather(+2) near loop_end reads
+            # loop_start side) instead of reading unrelated post-loop
+            # data; first-pass positions keep their natural neighbors
+            wrapped = b["loop_start_rel"][:, None] + jnp.mod(
+                idx - b["loop_start_rel"][:, None], span)
+            idx = jnp.where(fold, wrapped, idx)
+            i = b["start_i"][:, None] + idx.astype(jnp.int32)
+            return jnp.take(bank, i.reshape(-1), mode="clip").reshape(i.shape)
         if use_cubic:
             # FluidSynth's default interpolation order is 4th (4-point
             # cubic); Catmull-Rom weights — exact passthrough at f == 0,
             # so integer-phase playback still reproduces the sample
             # bit-for-bit. The spec's 46-point guard data around each
-            # sample makes the +-1/+2 neighbor reads safe, and spec-
-            # conformant loops carry identical boundary points so the
-            # 4-point window crossing the loop seam stays seamless.
+            # sample makes the -1/+2 neighbor reads safe at sample edges,
+            # and gather() wraps the window around the loop seam for
+            # recycled positions.
             f2 = f * f
             f3 = f2 * f
             sig = (gather(-1) * (-0.5 * f3 + f2 - 0.5 * f)

@@ -263,13 +263,16 @@ def _resolve_sound_font(sound_font: str | None) -> str | None:
         f"synth; the default name {DEFAULT_SOUND_FONT!r} may be absent)")
 
 
-def _get_sf2_synth(sound_font: str):
-    """Parsed-font + device-bank cache (one per soundfont path)."""
-    synth = _SF2_CACHE.get(sound_font)
+def _get_sf2_synth(sound_font: str, interp: str = "cubic"):
+    """Parsed-font + device-bank cache (one per soundfont path AND
+    interpolation mode — every pipeline render of a given font goes
+    through here, so real and fake sides always share one interpolator)."""
+    synth = _SF2_CACHE.get((sound_font, interp))
     if synth is None:
         from gandes_tpu.music.sf2 import Sf2Synth
 
-        synth = _SF2_CACHE[sound_font] = Sf2Synth(sound_font)
+        synth = _SF2_CACHE[(sound_font, interp)] = Sf2Synth(sound_font,
+                                                            interp=interp)
     return synth
 
 

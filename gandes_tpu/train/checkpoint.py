@@ -60,7 +60,10 @@ def latest_step_checkpoint(models_dir: str, prefix: str = "gen_"):
     for name in os.listdir(models_dir):
         m = re.fullmatch(re.escape(prefix) + r"(\d+)_([\d.]+)", name)
         if m:
-            key = (int(m.group(1)), float(m.group(2)))
+            try:  # [\d.]+ admits names like 1.2.3 — skip, don't crash
+                key = (int(m.group(1)), float(m.group(2)))
+            except ValueError:
+                continue
             if key > best_key:
                 best, best_key = os.path.join(models_dir, name), key
     return best, max(best_key[0], 0)

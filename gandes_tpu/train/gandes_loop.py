@@ -83,9 +83,13 @@ class GanDesConfig:
     # at 1e-5 the game stays alive (docs/RESULTS.md).
     d_lr: float | None = None
     # resume from the newest gen_{step}_{ts} checkpoint under model_path
-    # (full state incl. optimizers + BN stats; step-derived RNG streams
-    # continue where the restored run stopped). Opt-in: the reference's
-    # GAN-DES never resumes, so False is its semantics.
+    # (full state incl. optimizers + BN stats; step-derived noise/
+    # reinforce streams continue where the restored run stopped, and the
+    # data sequence fast-forwards past the trained steps). The DES stage's
+    # global-numpy stream is process-level and NOT checkpointed — an
+    # in-process save/resume continues it naturally (pinned bit-exact by
+    # test); a fresh process must reseed numpy itself. Opt-in: the
+    # reference's GAN-DES never resumes, so False is its semantics.
     resume: bool = False
     # (dp, tp) device mesh for sharded training; None = single device.
     # my_collate batches vary in size — non-divisible batches replicate.
@@ -187,8 +191,16 @@ def _train_gandes(dataloader, cfg, max_steps=None):
     # time (each 0-d fetch is a relay round trip on this platform)
     fetched_n, g_sum, d_sum = 0, 0.0, 0.0
     cur_step = start_step
+    # a resumed run fast-forwards the (epoch x batch) sequence past the
+    # steps the checkpoint already trained, rather than replaying the
+    # leading batches under new step indices (n_epochs/max_steps stay
+    # TOTAL budgets, so resuming a finished run trains nothing further)
+    skip = start_step
     for epoch in range(cfg.n_epochs):
         for real in dataloader:
+            if skip > 0:
+                skip -= 1
+                continue
             if max_steps is not None and cur_step >= max_steps:
                 hist = {"gen": [float(x) for x in jax.device_get(gen_losses)],
                         "disc": [float(x) for x in jax.device_get(disc_losses)]}

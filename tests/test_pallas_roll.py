@@ -133,5 +133,8 @@ def test_pallas_rasterizer_compiled_on_tpu_matches_xla():
         pytest.skip("TPU subprocess exceeded 420 s (degraded relay)")
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU attached in subprocess")
+    if proc.returncode != 0 and "Unable to initialize backend" in (
+            proc.stdout + proc.stderr):
+        pytest.skip("TPU backend failed to initialize (degraded relay)")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "TPU_PARITY_OK" in proc.stdout

@@ -227,11 +227,16 @@ def test_gandes_resume_continues_exactly(tmp_path, monkeypatch):
                                        max_steps=4)
 
     # split run in the SAME process: the global numpy stream continues
-    # across the save/restore boundary exactly as it does mid-run
+    # across the save/restore boundary exactly as it does mid-run (the
+    # step-derived jax streams continue cross-process too; the DES's
+    # global-numpy stream is process-level — seeded here once, as the
+    # straight run was)
     np.random.seed(2)
     state1, hist1 = train_gandes(iter(batches), cfg("m_split"), max_steps=3)
-    # checkpoint gen_2_* captured state AFTER the step-2 update (step==3)
-    state2, hist2 = train_gandes(iter(batches[3:]), cfg("m_split"),
+    # checkpoint gen_2_* captured state AFTER the step-2 update (step==3);
+    # the resumed loop gets the FULL dataloader and must fast-forward past
+    # the 3 already-trained batches by itself
+    state2, hist2 = train_gandes(iter(batches), cfg("m_split"),
                                  max_steps=4)
     assert int(state2.step) == 4
     for a, b in zip(jax.tree.leaves(ref_state.g_params),
