@@ -184,3 +184,57 @@ def test_render_from_memory_equals_render_from_file(tmp_path):
         np.testing.assert_array_equal(a, b)
     assert ev_mem[5] == ev_file[5] and ev_mem[6] == ev_file[6]
     assert ev_mem[5] > 0  # non-trivial
+
+
+def test_randomized_message_roundtrip_fuzz(tmp_path):
+    """Randomized save->parse roundtrip over every channel-voice message
+    kind (all channels, full field ranges incl. running-status-breaking
+    interleavings), tempo/key metas, and multi-track files: the parsed
+    file must reproduce every message type, channel, field, and delta
+    time exactly."""
+    from gandes_tpu.music.midi import _CHANNEL_SPECS
+
+    rng = np.random.RandomState(1234)
+    field_ranges = {"note": 128, "velocity": 128, "value": 128,
+                    "control": 128, "program": 128}
+    for case in range(25):
+        mid = MidiFile(type=1, ticks_per_beat=int(rng.randint(24, 960)))
+        n_tracks = int(rng.randint(1, 4))
+        for _ in range(n_tracks):
+            tr = MidiTrack()
+            tr.append(MetaMessage("set_tempo",
+                                  tempo=int(rng.randint(100000, 1200000)),
+                                  time=0))
+            for _ in range(int(rng.randint(1, 40))):
+                kind = list(_CHANNEL_SPECS)[rng.randint(len(_CHANNEL_SPECS))]
+                fields = {}
+                for fname in _CHANNEL_SPECS[kind][1]:
+                    if fname == "pitch":
+                        fields["pitch"] = int(rng.randint(-8192, 8192))
+                    else:
+                        fields[fname] = int(rng.randint(field_ranges[fname]))
+                tr.append(Message(kind, channel=int(rng.randint(16)),
+                                  time=int(rng.randint(0, 1 << 14)), **fields))
+            tr.append(MetaMessage("end_of_track", time=0))
+            mid.tracks.append(tr)
+        path = str(tmp_path / f"fuzz_{case}.mid")
+        mid.save(path)
+        back = MidiFile(path)
+        assert back.ticks_per_beat == mid.ticks_per_beat
+        assert len(back.tracks) == len(mid.tracks)
+        for ta, tb in zip(mid.tracks, back.tracks):
+            assert len(tb) == len(ta)
+            for ma, mb in zip(ta, tb):
+                assert mb.type == ma.type and mb.time == ma.time
+                if ma.type in _CHANNEL_SPECS:
+                    assert mb.channel == ma.channel
+                    for fname in _CHANNEL_SPECS[ma.type][1]:
+                        assert getattr(mb, fname) == getattr(ma, fname), (
+                            case, ma.type, fname)
+                elif ma.type == "set_tempo":
+                    assert mb.tempo == ma.tempo
+        # and re-encoding the parsed file is byte-stable
+        path2 = str(tmp_path / f"fuzz_{case}_re.mid")
+        back.save(path2)
+        with open(path, "rb") as fa, open(path2, "rb") as fb:
+            assert fa.read() == fb.read()
