@@ -372,7 +372,12 @@ def _cmd_eval_metrics(args):
 
     ds = MaestroDatasetPickle(args.data, data_dir=".")
     take = min(args.n, len(ds))
-    real = np.stack([np.stack([ds[i][0], ds[i][1]]) for i in range(take)])
+    # evenly spaced across the pickle (windows are grouped by source MIDI,
+    # so the first n would over-weight the first files — same balance rule
+    # as the gandes family's collect_real_mels); deterministic, exactly
+    # `take` distinct indices since floor(i*len/take) strictly increases
+    pick = [(i * len(ds)) // take for i in range(take)]
+    real = np.stack([np.stack([ds[i][0], ds[i][1]]) for i in pick])
     rm = roll_metrics(real)
     rm = dict(rm, pitch_classes=pitch_class_histogram(real))
 
@@ -389,7 +394,7 @@ def _cmd_eval_metrics(args):
         key = jax.random.key(args.seed)
         noise1 = jax.random.normal(jax.random.fold_in(key, 0), (take, cfg.noise_dim))
         noise2 = jax.random.normal(jax.random.fold_in(key, 1), (take, cfg.noise_dim))
-        beats = np.stack([ds[i][2] for i in range(take)])
+        beats = np.stack([ds[i][2] for i in pick])  # same balanced indices
         mats, vec = _eval_forward(cfg)(
             state.g_params, state.g_stats, noise1, noise2,
             np.asarray(beats, np.float32), jax.random.key(0))
