@@ -111,11 +111,20 @@ def bench_jax(iters: int = 100, windows: int = 3):
         window()
         if w + 1 < windows:
             time.sleep(20.0)
-    extra = 0
-    while max(rates) < HEALTHY_STEPS_PER_SEC and extra < 7:
-        time.sleep(60.0)
+    # degraded periods have outlasted a fixed 7x60s extension (measured:
+    # one 2026-08-18 window held >30 min) — escalate the stride under a
+    # wall budget instead, so a long bad mood still gets a shot at the
+    # healthy band without the bench running unbounded
+    budget_s = float(os.environ.get("GANDES_BENCH_BUDGET_S", "1200"))
+    if jax.devices()[0].platform == "cpu":
+        budget_s = 0.0  # the healthy band is the TPU's; don't wait on CPU
+    t_start = time.perf_counter()
+    stride = 60.0
+    while (max(rates) < HEALTHY_STEPS_PER_SEC
+           and time.perf_counter() - t_start < budget_s):
+        time.sleep(stride)
         window()
-        extra += 1
+        stride = min(stride * 1.5, 300.0)
     return rates, flops
 
 
