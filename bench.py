@@ -114,8 +114,15 @@ def bench_jax(iters: int = 100, windows: int = 3):
     # degraded periods have outlasted a fixed 7x60s extension (measured:
     # one 2026-08-18 window held >30 min) — escalate the stride under a
     # wall budget instead, so a long bad mood still gets a shot at the
-    # healthy band without the bench running unbounded
-    budget_s = float(os.environ.get("GANDES_BENCH_BUDGET_S", "1200"))
+    # healthy band without the bench running unbounded. The default is
+    # sized to the longest episode observed so far; a still-longer one
+    # ends the wait and reports the degraded max (bounded > perfect).
+    try:
+        budget_s = float(os.environ.get("GANDES_BENCH_BUDGET_S", "1800"))
+    except ValueError:
+        print("# GANDES_BENCH_BUDGET_S not a number; using 1800",
+              file=__import__("sys").stderr)
+        budget_s = 1800.0
     if jax.devices()[0].platform == "cpu":
         budget_s = 0.0  # the healthy band is the TPU's; don't wait on CPU
     t_start = time.perf_counter()

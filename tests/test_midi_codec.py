@@ -188,11 +188,15 @@ def test_render_from_memory_equals_render_from_file(tmp_path):
 
 def test_randomized_message_roundtrip_fuzz(tmp_path):
     """Randomized save->parse roundtrip over every channel-voice message
-    kind (all channels, full field ranges incl. running-status-breaking
-    interleavings), tempo/key metas, and multi-track files: the parsed
-    file must reproduce every message type, channel, field, and delta
-    time exactly."""
-    from gandes_tpu.music.midi import _CHANNEL_SPECS
+    kind (all channels, full field ranges, random interleavings),
+    tempo + key-signature metas, and multi-track files: the parsed file
+    must reproduce every message type, channel, field, and delta time
+    exactly. (The writer always emits explicit status bytes, so the
+    running-status DECODE path is exercised by the reference-artifact
+    tests above — mido-written files use running status — not here.)"""
+    from gandes_tpu.music.midi import _CHANNEL_SPECS, _KEYS_MAJOR, _KEYS_MINOR
+
+    all_keys = list(_KEYS_MAJOR.values()) + list(_KEYS_MINOR.values())
 
     rng = np.random.RandomState(1234)
     field_ranges = {"note": 128, "velocity": 128, "value": 128,
@@ -204,6 +208,9 @@ def test_randomized_message_roundtrip_fuzz(tmp_path):
             tr = MidiTrack()
             tr.append(MetaMessage("set_tempo",
                                   tempo=int(rng.randint(100000, 1200000)),
+                                  time=0))
+            tr.append(MetaMessage("key_signature",
+                                  key=all_keys[rng.randint(len(all_keys))],
                                   time=0))
             for _ in range(int(rng.randint(1, 40))):
                 kind = list(_CHANNEL_SPECS)[rng.randint(len(_CHANNEL_SPECS))]
@@ -233,6 +240,8 @@ def test_randomized_message_roundtrip_fuzz(tmp_path):
                             case, ma.type, fname)
                 elif ma.type == "set_tempo":
                     assert mb.tempo == ma.tempo
+                elif ma.type == "key_signature":
+                    assert mb.key == ma.key
         # and re-encoding the parsed file is byte-stable
         path2 = str(tmp_path / f"fuzz_{case}_re.mid")
         back.save(path2)
