@@ -42,13 +42,15 @@ Scope (documented, deliberate):
 * Mono render: stereo sample pairs (both zones match the key) are summed;
   pan (gen 17) folds down as the constant-power legs' mono sum, normalized
   so center pan is unity (a hard-panned leg contributes 1/sqrt(2)).
-  Chorus/reverb sends, the modulation envelope (gens 7/11/25-30, which
-  would make the filter time-varying), and custom modulators are out of
-  scope. Note on the dry render: per the spec's default modulators,
-  reverb/chorus send levels come from MIDI CC 91/93 — controllers the
-  GAN pipelines' MIDI streams never emit (fresh controllers start at 0)
-  — so a dry render is what the default-modulator semantics prescribe
-  for these streams.
+  Chorus/reverb sends, the modulation envelope (gens 25-30 with targets
+  7/11: modEnvToFilterFc would make the filter time-varying, breaking
+  the static-response design; modEnvToPitch is a pitch-slide effect the
+  GM piano/chromatic families this pipeline plays don't set), and custom
+  modulators are out of scope. Note on the dry render: per the spec's
+  default modulators, reverb/chorus send levels come from MIDI CC 91/93
+  — controllers the GAN pipelines' MIDI streams never emit (fresh
+  controllers start at 0) — so a dry render is what the
+  default-modulator semantics prescribe for these streams.
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
