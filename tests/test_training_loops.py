@@ -634,3 +634,37 @@ def test_bf16_compute_dtype_trains_with_f32_state(midi_fixture_dir, tmp_path,
     with pytest.raises(ValueError, match="compute_dtype"):
         train_mmgan(ds, MMGANConfig(**{**cfg.__dict__,
                                        "compute_dtype": "fp8"}), max_batches=1)
+
+
+def test_gandes_resume_restores_surrogate_companion(tmp_path, monkeypatch):
+    """Surrogate-mode resume restores the *_surrogate companion checkpoint
+    too: a 2+2 split run reproduces a straight 4-step run's surrogate
+    params exactly (if the companion were re-initialized instead, the
+    online-regression state would diverge immediately)."""
+    import jax
+
+    from gandes_tpu.train.gandes_loop import GanDesConfig, train_gandes
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(4, 128, 216).astype(np.float32) * 40 - 40
+               for _ in range(4)]
+
+    def cfg(models_dir):
+        return GanDesConfig(batch_size=4, model_path=str(tmp_path / models_dir),
+                            number_of_customers=120, max_sim_time=0.3,
+                            save_step=2, resume=True, g_update="surrogate")
+
+    np.random.seed(7)
+    ref_state, _ = train_gandes(iter(batches), cfg("s_straight"), max_steps=4)
+
+    np.random.seed(7)
+    train_gandes(iter(batches), cfg("s_split"), max_steps=3)
+    assert os.path.isdir(str(tmp_path / "s_split") + "/" + [
+        n for n in os.listdir(tmp_path / "s_split") if n.endswith("_surrogate")][0])
+    state2, _ = train_gandes(iter(batches), cfg("s_split"), max_steps=4)
+    assert int(state2.step) == 4
+    for a, b in zip(jax.tree.leaves(ref_state.g_params),
+                    jax.tree.leaves(state2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
