@@ -27,7 +27,8 @@ ATOL = 2e-4
 
 
 def t(x):
-    return torch.from_numpy(np.ascontiguousarray(x))
+    # .copy(): jax exports non-writable arrays; torch warns on those
+    return torch.from_numpy(np.ascontiguousarray(x).copy())
 
 
 def conv_w(kern):  # flax (kh,kw,in,out) -> torch Conv2d (out,in,kh,kw)
@@ -161,7 +162,7 @@ def test_adam_update_matches_torch():
     loss_t.backward()
     opt_t.step()
 
-    np.testing.assert_allclose(float(loss), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(float(loss), float(loss_t.detach()), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(new_params["Conv_0"]["kernel"]).transpose(3, 2, 0, 1),
         c1.weight.detach().numpy(), atol=2e-6)
