@@ -34,6 +34,38 @@ def _clear_root_logger():
             pass
 
 
+def _make_reference_machine_independent(ref_bridge, monkeypatch):
+    """Make the reference side's termination machine-speed independent.
+
+    Its sim budget (``max_sim_time``, quirk #7) and 2.5 s watchdog are
+    WALL-CLOCK (`simulation_v3.py:496`, `matrix_sim_process.py:159-168`):
+    on a slow or loaded box the pure-Python reference engine gets
+    budget-truncated where our native engine completes by customer count,
+    and the comparison stops being deterministic (CLAUDE.md: never assert
+    across truncation points). Freeze the clock the reference *engine*
+    reads — its budget check can then never fire — and give its watchdog a
+    patient join, so the reference always runs to customer count exactly
+    like our (fast enough to never truncate) engine. Both patches are
+    scoped to the reference modules' globals, not the shared ``time`` /
+    ``threading`` modules our own engine uses."""
+    import threading as real_threading
+    import time as real_time
+
+    sim_v3 = sys.modules["simulation_v3"]
+    fake_time = types.ModuleType("time")
+    fake_time.time = lambda: 0.0
+    fake_time.sleep = real_time.sleep
+    monkeypatch.setattr(sim_v3, "time", fake_time)
+
+    class PatientThread(real_threading.Thread):
+        def join(self, timeout=None):
+            super().join()
+
+    fake_threading = types.ModuleType("threading")
+    fake_threading.Thread = PatientThread
+    monkeypatch.setattr(ref_bridge, "threading", fake_threading)
+
+
 def _load_reference_bridge():
     _install_reference_shims()
     # midi2audio is imported at the top of matrix_sim_process but unused on
@@ -78,6 +110,7 @@ def test_matrix_to_midi_parity(tmp_path, monkeypatch, generate):
     import torch
 
     ref_bridge = _load_reference_bridge()
+    _make_reference_machine_independent(ref_bridge, monkeypatch)
     from gandes_tpu.bridge import matrix_to_midi
 
     rng = np.random.RandomState(5)
@@ -141,6 +174,7 @@ def test_matrix_to_midi_parity_fuzz(tmp_path, monkeypatch, fuzz_seed):
     import torch
 
     ref_bridge = _load_reference_bridge()
+    _make_reference_machine_independent(ref_bridge, monkeypatch)
     from gandes_tpu.bridge import matrix_to_midi
 
     rng = np.random.RandomState(fuzz_seed)
