@@ -42,15 +42,23 @@ Scope (documented, deliberate):
 * Mono render: stereo sample pairs (both zones match the key) are summed;
   pan (gen 17) folds down as the constant-power legs' mono sum, normalized
   so center pan is unity (a hard-panned leg contributes 1/sqrt(2)).
-  Chorus/reverb sends, the modulation envelope (gens 25-30 with targets
-  7/11: modEnvToFilterFc would make the filter time-varying, breaking
-  the static-response design; modEnvToPitch is a pitch-slide effect the
-  GM piano/chromatic families this pipeline plays don't set), and custom
-  modulators are out of scope. Note on the dry render: per the spec's
-  default modulators, reverb/chorus send levels come from MIDI CC 91/93
-  — controllers the GAN pipelines' MIDI streams never emit (fresh
-  controllers start at 0) — so a dry render is what the
-  default-modulator semantics prescribe for these streams.
+* Effects sends (gens 15/16, reverbEffectsSend/chorusEffectsSend — which
+  FluidR3_GM-class fonts set per preset and FluidSynth honors without any
+  CC): each voice mixes into reverb/chorus buses at its send fraction.
+  The reverb is the Freeverb room model at FluidSynth's default knobs,
+  collapsed (it is LTI) to a host-precomputed impulse response and
+  FFT-convolved in the render program; the chorus is a 3-voice
+  sine-modulated delay at FluidSynth's default speed/depth/level
+  (averaged over voices). Statically gated: sendless fonts compile and
+  render the exact no-effects program. The *CC-driven* part of the
+  default modulators stays out of scope by design — the GAN pipelines'
+  MIDI never emits CC 91/93, so fresh controllers contribute 0 send on
+  top of the font's own generator values.
+* The modulation envelope (gens 25-30 with targets 7/11:
+  modEnvToFilterFc would make the filter time-varying, breaking the
+  static-response design; modEnvToPitch is a pitch-slide effect the GM
+  piano/chromatic families this pipeline plays don't set) and custom
+  modulators are out of scope.
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
@@ -96,6 +104,8 @@ G_SUSTAIN_VOL = 37
 G_RELEASE_VOL = 38
 G_INITIAL_FILTER_FC = 8
 G_INITIAL_FILTER_Q = 9
+G_CHORUS_SEND = 15
+G_REVERB_SEND = 16
 G_MOD_LFO_TO_PITCH = 5
 G_VIB_LFO_TO_PITCH = 6
 G_MOD_LFO_TO_VOL = 13
@@ -128,6 +138,7 @@ _DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
                   G_MOD_LFO_TO_VOL: 0, G_PAN: 0,
                   G_FREQ_MOD_LFO: 0, G_FREQ_VIB_LFO: 0,
                   G_KEYNUM_TO_VOL_HOLD: 0, G_KEYNUM_TO_VOL_DECAY: 0,
+                  G_CHORUS_SEND: 0, G_REVERB_SEND: 0,
                   G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
                   G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
                   G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
@@ -442,6 +453,13 @@ class Sf2Font:
             "mod_freq_hz": _lfo_hz(G_FREQ_MOD_LFO),
             "mod_delay_s": _timecents_to_s(gen(G_DELAY_MOD_LFO)),
             "mod_vol_cb": float(mod_vol_cb),
+            # effects sends (gens 15/16, 0.1% units, spec 8.1.3): the
+            # fraction of this voice mixed into the chorus/reverb bus.
+            # These are the FONT's own send values; the CC 91/93 default
+            # modulators would ADD to them, but the GAN pipelines' MIDI
+            # never emits those controllers (see module scope note).
+            "rev_send": min(max(gen(G_REVERB_SEND), 0), 1000) / 1000.0,
+            "cho_send": min(max(gen(G_CHORUS_SEND), 0), 1000) / 1000.0,
         }
 
 
@@ -466,7 +484,95 @@ _F = ("on_s", "dur_s", "amp", "end_rel", "loop_start_rel",
       "loop_end_rel", "loop", "inc", "delay_s", "attack_s", "hold_s",
       "decay_s", "sustain_amp", "release_s", "fc_hz", "q_lin",
       "vib_k", "vib_freq_hz", "vib_delay_s",
-      "mod_k", "mod_freq_hz", "mod_delay_s", "mod_vol_cb")
+      "mod_k", "mod_freq_hz", "mod_delay_s", "mod_vol_cb",
+      "rev_send", "cho_send")
+
+
+# ------------------------------------------------- effects (gens 15/16)
+#
+# FluidSynth's default-settings effects units, engaged when the FONT sets
+# chorusEffectsSend/reverbEffectsSend on a zone (FluidR3_GM does on most
+# presets). The reverb is the Freeverb room model — the public-domain
+# design FluidSynth's reverb derives from — at FluidSynth's default knobs
+# (room-size 0.2, damp 0, width 0.5, level 0.9). A fixed-parameter reverb
+# is LTI, so the whole comb/all-pass network collapses to one impulse
+# response computed once on the host (scipy difference equations) and
+# FFT-convolved with the send-weighted bus inside the render program. The
+# chorus is FluidSynth's default-shaped sine-modulated delay (3 voices,
+# speed 0.3 Hz, depth 8 ms, level 2.0, averaged over voices) — time-
+# varying, so it renders as interpolated gathers over the chorus bus.
+_REVERB_COMBS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+_REVERB_ALLPASS = (556, 441, 341, 225)
+_REVERB_SPREAD = 23          # right-channel delay offset (samples @44.1k)
+_REVERB_FIXED_GAIN = 0.015   # input gain into the comb bank
+_REVERB_ROOMSIZE = 0.2       # FluidSynth synth.reverb.room-size default
+_REVERB_DAMP = 0.0           # synth.reverb.damp default
+_REVERB_WIDTH = 0.5          # synth.reverb.width default
+_REVERB_LEVEL = 0.9          # synth.reverb.level default
+_CHORUS_N = 3                # synth.chorus.nr default
+_CHORUS_LEVEL = 2.0          # synth.chorus.level default
+_CHORUS_SPEED_HZ = 0.3       # synth.chorus.speed default
+_CHORUS_DEPTH_MS = 8.0       # synth.chorus.depth default
+
+_REVERB_IR_CACHE: dict = {}
+
+
+def _freeverb_ir(sr: int) -> np.ndarray:
+    """Mono impulse response of the Freeverb network at FluidSynth's
+    default room parameters: 8 parallel feedback combs per channel (the
+    right channel's delays offset by the stereo spread), each channel
+    through 4 serial Schroeder all-passes, wet1/wet2 width mix folded to
+    mono as the L/R average. Delay tunings are 44.1 kHz values scaled to
+    ``sr``. Truncated where the tail falls below -100 dBFS of its peak."""
+    if sr in _REVERB_IR_CACHE:
+        return _REVERB_IR_CACHE[sr]
+    from scipy.signal import lfilter
+
+    scale = sr / 44100.0
+    feedback = _REVERB_ROOMSIZE * 0.28 + 0.7   # freeverb scaleroom/offsetroom
+    damp = _REVERB_DAMP * 0.4                  # freeverb scaledamp
+    n = int(3.0 * sr)  # generous; truncated below
+    x = np.zeros(n)
+    x[0] = _REVERB_FIXED_GAIN
+
+    def comb(sig, D):
+        # y[n] = x[n-D] + f*(1-d)*y[n-D] + d*y[n-1] - d*x[n-D-1]
+        # (feedback comb with a one-pole low-pass of coefficient d in the
+        # loop; d == 0 reduces to y[n] = x[n-D] + f*y[n-D])
+        b = np.zeros(D + 2)
+        b[D], b[D + 1] = 1.0, -damp
+        a = np.zeros(D + 1)
+        a[0] = 1.0
+        a[1] += -damp
+        a[D] += -feedback * (1.0 - damp)
+        return lfilter(b, a, sig)
+
+    def allpass(sig, D, g=0.5):
+        # freeverb's "allpass": y[n] = -x[n] + x[n-D] + g*y[n-D]
+        b = np.zeros(D + 1)
+        b[0], b[D] = -1.0, 1.0
+        a = np.zeros(D + 1)
+        a[0], a[D] = 1.0, -g
+        return lfilter(b, a, sig)
+
+    sides = []
+    for spread in (0, _REVERB_SPREAD):
+        ds = [int(round((D + spread) * scale)) for D in _REVERB_COMBS]
+        y = sum(comb(x, max(D, 1)) for D in ds)
+        for D in _REVERB_ALLPASS:
+            y = allpass(y, max(int(round((D + spread) * scale)), 1))
+        sides.append(y)
+    wet = _REVERB_LEVEL * 3.0                  # freeverb scalewet
+    wet1 = wet * (_REVERB_WIDTH / 2.0 + 0.5)
+    wet2 = wet * ((1.0 - _REVERB_WIDTH) / 2.0)
+    # outL = wet1*L + wet2*R, outR = wet1*R + wet2*L -> mono average
+    ir = (wet1 + wet2) / 2.0 * (sides[0] + sides[1])
+    peak = np.max(np.abs(ir))
+    keep = np.nonzero(np.abs(ir) > peak * 1e-5)[0]
+    ir = ir[: int(keep[-1]) + 1] if len(keep) else ir[:1]
+    out = ir.astype(np.float32)
+    _REVERB_IR_CACHE[sr] = out
+    return out
 
 
 def _tri(u):
@@ -488,10 +594,10 @@ def _tri_integral(u):
 
 
 @partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo",
-                                   "use_cubic"))
-def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
+                                   "use_cubic", "use_fx"))
+def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
                 use_filter: bool = False, use_lfo: bool = False,
-                use_cubic: bool = True):
+                use_cubic: bool = True, use_fx: bool = False):
     """Sample-playback render: per voice, W output samples gather from the
     bank at per-voice phase increments (4-point cubic interpolation by
     default — FluidSynth's default order — or linear; loop folding),
@@ -512,7 +618,14 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
     modulation warps the bank-position ramp by the closed-form integral
     of the triangle LFO (linearized 2^x, see ``_voice_params``), and
     modLfoToVolume multiplies a triangle tremolo in dB onto the
-    envelope."""
+    envelope.
+
+    ``use_fx`` (static, same contract: sendless fonts compile — and render
+    bitwise — the exact no-effects program) additionally accumulates
+    send-weighted reverb/chorus buses (gens 15/16) in the same scan, then
+    FFT-convolves the reverb bus with the host-precomputed Freeverb
+    impulse response ``rev_ir`` and adds a 3-voice sine-modulated chorus
+    of the chorus bus — all inside this one program (one dispatch)."""
     cols = {k: packed[i] for i, k in enumerate(_F)}
     valid = cols["amp"] > 0
     on_samp = jnp.round(cols["on_s"] * sr).astype(jnp.int32)
@@ -631,12 +744,49 @@ def _render_sf2(bank, packed, start_i, L: int, W: int, sr: int,
 
         idx = bons[:, None] + jnp.arange(W)[None, :]
         idx = jnp.where(bvalid[:, None], idx, L)
-        audio = audio.at[idx.reshape(-1)].add(win.reshape(-1), mode="drop")
+        idx = idx.reshape(-1)
+        if use_fx:
+            dry, rev, cho = audio
+            dry = dry.at[idx].add(win.reshape(-1), mode="drop")
+            rev = rev.at[idx].add(
+                (win * b["rev_send"][:, None]).reshape(-1), mode="drop")
+            cho = cho.at[idx].add(
+                (win * b["cho_send"][:, None]).reshape(-1), mode="drop")
+            return (dry, rev, cho), None
+        audio = audio.at[idx].add(win.reshape(-1), mode="drop")
         return audio, None
 
-    audio = jnp.zeros(L + W + 1, jnp.float32)
-    audio, _ = jax.lax.scan(block_body, audio, jnp.arange(n_blocks))
-    audio = audio[:L]
+    zeros = lambda: jnp.zeros(L + W + 1, jnp.float32)
+    carry0 = (zeros(), zeros(), zeros()) if use_fx else zeros()
+    carry, _ = jax.lax.scan(block_body, carry0, jnp.arange(n_blocks))
+    if use_fx:
+        dry, rev_bus, cho_bus = (c[:L] for c in carry)
+        # reverb: LTI -> one circular FFT convolution with the Freeverb IR
+        # (N covers L + IR length, so the circular wrap never aliases)
+        N = _pow2(L + rev_ir.shape[0])
+        wet = jnp.fft.irfft(jnp.fft.rfft(rev_bus, n=N)
+                            * jnp.fft.rfft(rev_ir, n=N), n=N)[:L]
+        # chorus: voice k reads the bus at t - d_k(t), a sine-modulated
+        # delay in [0, depth] with evenly spaced phases; linear
+        # interpolation between bus samples, pre-onset reads are zero
+        t = jnp.arange(L, dtype=jnp.float32)
+        acc = jnp.zeros(L, jnp.float32)
+        depth = _CHORUS_DEPTH_MS * 1e-3 * sr
+        for k in range(_CHORUS_N):
+            phase = 2.0 * jnp.pi * (_CHORUS_SPEED_HZ * t / sr
+                                    + k / float(_CHORUS_N))
+            d = 0.5 * depth * (1.0 + jnp.sin(phase))
+            pos = t - d
+            p0 = jnp.floor(pos)
+            frac = pos - p0
+            g = lambda p: jnp.where(
+                p >= 0.0,
+                jnp.take(cho_bus, jnp.clip(p, 0.0, L - 1).astype(jnp.int32)),
+                0.0)
+            acc = acc + g(p0) * (1.0 - frac) + g(p0 + 1.0) * frac
+        audio = dry + wet + _CHORUS_LEVEL * acc / _CHORUS_N
+    else:
+        audio = carry[:L]
     peak = jnp.max(jnp.abs(audio))
     return jnp.where(peak > 1.0, audio / (peak + 1e-6), audio)
 
@@ -728,7 +878,7 @@ class Sf2Synth:
                 cols["q_lin"].append(vp["q_lin"])
                 for k in ("vib_k", "vib_freq_hz", "vib_delay_s",
                           "mod_k", "mod_freq_hz", "mod_delay_s",
-                          "mod_vol_cb"):
+                          "mod_vol_cb", "rev_send", "cho_send"):
                     cols[k].append(vp[k])
         return cols, len(cols["on_s"]), float(end_t)
 
@@ -789,10 +939,18 @@ class Sf2Synth:
         use_lfo = any(cols[k][i] != 0.0
                       for k in ("vib_k", "mod_k", "mod_vol_cb")
                       for i in range(nv))
+        # static effects toggle, same contract: only fonts whose selected
+        # zones carry chorus/reverb sends (gens 15/16) pay the effects
+        # work; sendless fonts run the exact no-effects program
+        use_fx = any(cols[k][i] != 0.0
+                     for k in ("rev_send", "cho_send")
+                     for i in range(nv))
+        rev_ir = jnp.asarray(_freeverb_ir(sr)) if use_fx \
+            else jnp.zeros(1, jnp.float32)
         audio = _render_sf2(self.bank, jnp.asarray(packed),
-                            jnp.asarray(start_i), L, W, sr,
+                            jnp.asarray(start_i), rev_ir, L, W, sr,
                             use_filter=use_filter, use_lfo=use_lfo,
-                            use_cubic=self.use_cubic)
+                            use_cubic=self.use_cubic, use_fx=use_fx)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

@@ -288,7 +288,9 @@ def test_filter_w_bucket_independent(tmp_path):
     start_i[:nv] = cols["start_i"][:nv]
     outs = [
         np.asarray(sf2mod._render_sf2(synth.bank, jnp.asarray(packed),
-                                      jnp.asarray(start_i), 1 << 16, W, SR,
+                                      jnp.asarray(start_i),
+                                      jnp.zeros(1, jnp.float32),
+                                      1 << 16, W, SR,
                                       use_filter=True))
         for W in (1 << 16, 1 << 17)
     ]
@@ -515,7 +517,8 @@ def test_fixed_bucket_capacity_keeps_trailing_voices(fixture_font, monkeypatch):
     # and the raw kernel refuses ragged capacities outright
     with pytest.raises(ValueError, match="multiple of"):
         sf2mod._render_sf2(synth.bank, np.zeros((len(sf2mod._F), 33), np.float32),
-                           np.zeros(33, np.int32), 1 << 15, 1 << 10, SR)
+                           np.zeros(33, np.int32), np.zeros(1, np.float32),
+                           1 << 15, 1 << 10, SR)
 
 
 # ------------------------------------------------------------- LFOs / pan
@@ -752,6 +755,95 @@ def test_cubic_interpolation_default_and_passthrough(tmp_path):
         Sf2Synth(path, interp="sinc")
 
 
+# ------------------------------------------------- effects sends (15/16)
+
+
+def test_reverb_send_adds_decaying_tail(tmp_path):
+    """reverbEffectsSend (gen 16): a sent voice leaves a reverb tail after
+    the dry sound is fully gone (note off + release cap), and that tail
+    decays; a sendless font's render is silent there."""
+    from gandes_tpu.music.sf2 import MAX_RELEASE_S, G_REVERB_SEND
+
+    notes = [(60, 100, 0.0, 0.25)]
+    dry = Sf2Synth(_sine_font(str(tmp_path / "d.sf2"), {})).render_midi(
+        _midi(notes), sr=SR, min_seconds=2.0)
+    wet = Sf2Synth(_sine_font(str(tmp_path / "w.sf2"),
+                              {G_REVERB_SEND: 1000})).render_midi(
+        _midi(notes), sr=SR, min_seconds=2.0)
+    t0 = int((0.25 + MAX_RELEASE_S + 0.05) * SR)  # past any dry content
+    assert np.abs(dry[t0:]).max() < 1e-6
+    w = int(0.2 * SR)
+    rms = [float(np.sqrt(np.mean(wet[t0 + i * w: t0 + (i + 1) * w] ** 2)))
+           for i in range(4)]
+    assert rms[0] > 1e-4  # audible tail where the dry render is silent
+    assert rms[0] > rms[1] > rms[2] > rms[3]  # and it decays
+
+
+def test_reverb_equals_host_ir_convolution(tmp_path):
+    """The wet render is exactly dry + (send-weighted bus) * Freeverb IR:
+    pin the device FFT convolution against scipy's on the host-cached IR."""
+    from scipy.signal import fftconvolve
+
+    from gandes_tpu.music.sf2 import G_REVERB_SEND, _freeverb_ir
+
+    notes = [(60, 80, 0.0, 0.3)]
+    dry = Sf2Synth(_sine_font(str(tmp_path / "d.sf2"), {})).render_midi(
+        _midi(notes), sr=SR, min_seconds=2.0)
+    send = 500  # 50%: the bus is half the voice signal
+    wet = Sf2Synth(_sine_font(str(tmp_path / "w.sf2"),
+                              {G_REVERB_SEND: send})).render_midi(
+        _midi(notes), sr=SR, min_seconds=2.0)
+    ir = _freeverb_ir(SR).astype(np.float64)
+    expect = dry + fftconvolve(dry * (send / 1000.0), ir)[: len(dry)]
+    np.testing.assert_allclose(wet, expect, atol=2e-4)
+
+
+def test_chorus_equals_host_mirror(tmp_path):
+    """chorusEffectsSend (gen 15): the chorus is the documented 3-voice
+    sine-modulated delay at FluidSynth's default speed/depth/level —
+    replicated sample-for-sample on the host."""
+    from gandes_tpu.music import sf2 as m
+    from gandes_tpu.music.sf2 import G_CHORUS_SEND
+
+    notes = [(60, 80, 0.0, 0.4)]
+    dry = Sf2Synth(_sine_font(str(tmp_path / "d.sf2"), {})).render_midi(
+        _midi(notes), sr=SR, min_seconds=1.0)
+    wet = Sf2Synth(_sine_font(str(tmp_path / "c.sf2"),
+                              {G_CHORUS_SEND: 1000})).render_midi(
+        _midi(notes), sr=SR, min_seconds=1.0)
+    L = len(dry)
+    t = np.arange(L, dtype=np.float64)
+    depth = m._CHORUS_DEPTH_MS * 1e-3 * SR
+    acc = np.zeros(L)
+    for k in range(m._CHORUS_N):
+        d = 0.5 * depth * (1.0 + np.sin(
+            2.0 * np.pi * (m._CHORUS_SPEED_HZ * t / SR + k / m._CHORUS_N)))
+        pos = t - d
+        p0 = np.floor(pos)
+        frac = pos - p0
+        g = lambda p: np.where(
+            p >= 0.0, dry[np.clip(p, 0.0, L - 1).astype(np.int64)], 0.0)
+        acc += g(p0) * (1.0 - frac) + g(p0 + 1.0) * frac
+    expect = dry + m._CHORUS_LEVEL * acc / m._CHORUS_N
+    np.testing.assert_allclose(wet, expect, atol=2e-3)
+    # the modulated copies genuinely change the signal
+    assert np.abs(wet - dry).max() > 0.01
+
+
+def test_zero_send_gens_stay_on_no_fx_program(tmp_path):
+    """Explicit zero sends must not engage the effects path: bitwise equal
+    to the base font's render (same no-effects executable)."""
+    from gandes_tpu.music.sf2 import G_CHORUS_SEND, G_REVERB_SEND
+
+    notes = [(60, 90, 0.0, 0.3)]
+    base = Sf2Synth(_sine_font(str(tmp_path / "b.sf2"), {})).render_midi(
+        _midi(notes), sr=SR)
+    zero = Sf2Synth(_sine_font(str(tmp_path / "z.sf2"),
+                               {G_REVERB_SEND: 0, G_CHORUS_SEND: 0})
+                    ).render_midi(_midi(notes), sr=SR)
+    np.testing.assert_array_equal(base, zero)
+
+
 def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
     """Compiled-kernel check on real TPU hardware: the fixed-bucket device
     render (cubic + LFO + filter paths all engaged) must agree with this
@@ -761,14 +853,16 @@ def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
     import subprocess
     import sys
 
-    from gandes_tpu.music.sf2 import (G_FREQ_VIB_LFO, G_HOLD_VOL,
-                                      G_INITIAL_FILTER_FC, G_SAMPLE_MODES,
+    from gandes_tpu.music.sf2 import (G_CHORUS_SEND, G_FREQ_VIB_LFO,
+                                      G_HOLD_VOL, G_INITIAL_FILTER_FC,
+                                      G_REVERB_SEND, G_SAMPLE_MODES,
                                       G_VIB_LFO_TO_PITCH)
 
     fc = int(round(1200 * np.log2(3000 / 8.176)))
     path = _sine_font(str(tmp_path / "tpu.sf2"),
                       {G_VIB_LFO_TO_PITCH: 100, G_FREQ_VIB_LFO: -1200,
-                       G_INITIAL_FILTER_FC: fc})
+                       G_INITIAL_FILTER_FC: fc,
+                       G_REVERB_SEND: 300, G_CHORUS_SEND: 200})
     notes = [(64, 110, 0.0, 1.25), (60, 90, 0.4, 1.0)]
     mid_path = str(tmp_path / "piece.mid")
     _midi(notes).save(mid_path)
