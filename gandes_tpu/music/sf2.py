@@ -548,9 +548,12 @@ def _freeverb_ir(sr: int) -> np.ndarray:
         return lfilter(b, a, sig)
 
     def allpass(sig, D, g=0.5):
-        # freeverb's "allpass": y[n] = -x[n] + x[n-D] + g*y[n-D]
+        # freeverb's "allpass" (output = -input + bufout; buffer = input +
+        # g*bufout): y[n] = -x[n] + (1+g)*x[n-D] + g*y[n-D], i.e.
+        # H(z) = ((1+g) z^-D - 1) / (1 - g z^-D) — the delayed input term
+        # carries (1+g), which keeps H(1) = 1 (no DC null)
         b = np.zeros(D + 1)
-        b[0], b[D] = -1.0, 1.0
+        b[0], b[D] = -1.0, 1.0 + g
         a = np.zeros(D + 1)
         a[0], a[D] = 1.0, -g
         return lfilter(b, a, sig)
@@ -594,10 +597,11 @@ def _tri_integral(u):
 
 
 @partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo",
-                                   "use_cubic", "use_fx"))
+                                   "use_cubic", "use_rev", "use_cho"))
 def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
                 use_filter: bool = False, use_lfo: bool = False,
-                use_cubic: bool = True, use_fx: bool = False):
+                use_cubic: bool = True, use_rev: bool = False,
+                use_cho: bool = False):
     """Sample-playback render: per voice, W output samples gather from the
     bank at per-voice phase increments (4-point cubic interpolation by
     default — FluidSynth's default order — or linear; loop folding),
@@ -620,12 +624,14 @@ def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
     modLfoToVolume multiplies a triangle tremolo in dB onto the
     envelope.
 
-    ``use_fx`` (static, same contract: sendless fonts compile — and render
-    bitwise — the exact no-effects program) additionally accumulates
-    send-weighted reverb/chorus buses (gens 15/16) in the same scan, then
-    FFT-convolves the reverb bus with the host-precomputed Freeverb
-    impulse response ``rev_ir`` and adds a 3-voice sine-modulated chorus
-    of the chorus bus — all inside this one program (one dispatch)."""
+    ``use_rev`` / ``use_cho`` (static, same contract: fonts without the
+    corresponding send compile — and render bitwise — the exact
+    without-that-effect program, paying only for what the font sets)
+    additionally accumulate send-weighted reverb/chorus buses (gens
+    16/15) in the same scan, then FFT-convolve the reverb bus with the
+    host-precomputed Freeverb impulse response ``rev_ir`` and add a
+    3-voice sine-modulated chorus of the chorus bus — all inside this
+    one program (one dispatch)."""
     cols = {k: packed[i] for i, k in enumerate(_F)}
     valid = cols["amp"] > 0
     on_samp = jnp.round(cols["on_s"] * sr).astype(jnp.int32)
@@ -745,46 +751,64 @@ def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
         idx = bons[:, None] + jnp.arange(W)[None, :]
         idx = jnp.where(bvalid[:, None], idx, L)
         idx = idx.reshape(-1)
-        if use_fx:
-            dry, rev, cho = audio
-            dry = dry.at[idx].add(win.reshape(-1), mode="drop")
-            rev = rev.at[idx].add(
-                (win * b["rev_send"][:, None]).reshape(-1), mode="drop")
-            cho = cho.at[idx].add(
-                (win * b["cho_send"][:, None]).reshape(-1), mode="drop")
-            return (dry, rev, cho), None
+        if use_rev or use_cho:
+            bufs = list(audio)
+            bufs[0] = bufs[0].at[idx].add(win.reshape(-1), mode="drop")
+            bi_ = 1
+            if use_rev:
+                bufs[bi_] = bufs[bi_].at[idx].add(
+                    (win * b["rev_send"][:, None]).reshape(-1), mode="drop")
+                bi_ += 1
+            if use_cho:
+                bufs[bi_] = bufs[bi_].at[idx].add(
+                    (win * b["cho_send"][:, None]).reshape(-1), mode="drop")
+            return tuple(bufs), None
         audio = audio.at[idx].add(win.reshape(-1), mode="drop")
         return audio, None
 
     zeros = lambda: jnp.zeros(L + W + 1, jnp.float32)
-    carry0 = (zeros(), zeros(), zeros()) if use_fx else zeros()
+    n_bufs = 1 + int(use_rev) + int(use_cho)
+    carry0 = tuple(zeros() for _ in range(n_bufs)) if n_bufs > 1 else zeros()
     carry, _ = jax.lax.scan(block_body, carry0, jnp.arange(n_blocks))
-    if use_fx:
-        dry, rev_bus, cho_bus = (c[:L] for c in carry)
-        # reverb: LTI -> one circular FFT convolution with the Freeverb IR
-        # (N covers L + IR length, so the circular wrap never aliases)
-        N = _pow2(L + rev_ir.shape[0])
-        wet = jnp.fft.irfft(jnp.fft.rfft(rev_bus, n=N)
-                            * jnp.fft.rfft(rev_ir, n=N), n=N)[:L]
-        # chorus: voice k reads the bus at t - d_k(t), a sine-modulated
-        # delay in [0, depth] with evenly spaced phases; linear
-        # interpolation between bus samples, pre-onset reads are zero
-        t = jnp.arange(L, dtype=jnp.float32)
-        acc = jnp.zeros(L, jnp.float32)
-        depth = _CHORUS_DEPTH_MS * 1e-3 * sr
-        for k in range(_CHORUS_N):
-            phase = 2.0 * jnp.pi * (_CHORUS_SPEED_HZ * t / sr
-                                    + k / float(_CHORUS_N))
-            d = 0.5 * depth * (1.0 + jnp.sin(phase))
-            pos = t - d
-            p0 = jnp.floor(pos)
-            frac = pos - p0
-            g = lambda p: jnp.where(
-                p >= 0.0,
-                jnp.take(cho_bus, jnp.clip(p, 0.0, L - 1).astype(jnp.int32)),
-                0.0)
-            acc = acc + g(p0) * (1.0 - frac) + g(p0 + 1.0) * frac
-        audio = dry + wet + _CHORUS_LEVEL * acc / _CHORUS_N
+    if use_rev or use_cho:
+        bufs = [c[:L] for c in carry]
+        audio = bufs[0]
+        if use_rev:
+            # reverb: LTI -> one circular FFT convolution with the Freeverb
+            # IR (N covers L + IR length, so the wrap never aliases)
+            N = _pow2(L + rev_ir.shape[0])
+            audio = audio + jnp.fft.irfft(
+                jnp.fft.rfft(bufs[1], n=N) * jnp.fft.rfft(rev_ir, n=N),
+                n=N)[:L]
+        if use_cho:
+            # chorus: voice k reads the bus at t - d_k(t), a sine-modulated
+            # delay in [0, depth] with evenly spaced phases; linear
+            # interpolation between bus samples, pre-onset reads are zero.
+            # pos = t - d splits as (t - floor(d)) - frac(d): t and
+            # t - floor(d) are exact f32 integers for every L bucket
+            # (< 2^24), so the interpolation fraction keeps full precision
+            # even where pos itself has ulp >= 1 (t > 2^22, renders past
+            # ~95 s)
+            cho_bus = bufs[-1]
+            t = jnp.arange(L, dtype=jnp.float32)
+            acc = jnp.zeros(L, jnp.float32)
+            depth = _CHORUS_DEPTH_MS * 1e-3 * sr
+            for k in range(_CHORUS_N):
+                phase = 2.0 * jnp.pi * (_CHORUS_SPEED_HZ * t / sr
+                                        + k / float(_CHORUS_N))
+                d = 0.5 * depth * (1.0 + jnp.sin(phase))
+                dk = jnp.floor(d)
+                r = d - dk              # [0, 1), full f32 precision
+                base = t - dk           # exact integer in f32
+                p0 = jnp.where(r > 0, base - 1.0, base)
+                frac = jnp.where(r > 0, 1.0 - r, 0.0)
+                g = lambda p: jnp.where(
+                    p >= 0.0,
+                    jnp.take(cho_bus,
+                             jnp.clip(p, 0.0, L - 1).astype(jnp.int32)),
+                    0.0)
+                acc = acc + g(p0) * (1.0 - frac) + g(p0 + 1.0) * frac
+            audio = audio + _CHORUS_LEVEL * acc / _CHORUS_N
     else:
         audio = carry[:L]
     peak = jnp.max(jnp.abs(audio))
@@ -939,18 +963,19 @@ class Sf2Synth:
         use_lfo = any(cols[k][i] != 0.0
                       for k in ("vib_k", "mod_k", "mod_vol_cb")
                       for i in range(nv))
-        # static effects toggle, same contract: only fonts whose selected
-        # zones carry chorus/reverb sends (gens 15/16) pay the effects
-        # work; sendless fonts run the exact no-effects program
-        use_fx = any(cols[k][i] != 0.0
-                     for k in ("rev_send", "cho_send")
-                     for i in range(nv))
-        rev_ir = jnp.asarray(_freeverb_ir(sr)) if use_fx \
+        # static per-effect toggles, same contract: only fonts whose
+        # selected zones carry the corresponding send (gens 16/15) pay
+        # that effect's work; sendless fonts run the exact no-effects
+        # program
+        use_rev = any(cols["rev_send"][i] != 0.0 for i in range(nv))
+        use_cho = any(cols["cho_send"][i] != 0.0 for i in range(nv))
+        rev_ir = jnp.asarray(_freeverb_ir(sr)) if use_rev \
             else jnp.zeros(1, jnp.float32)
         audio = _render_sf2(self.bank, jnp.asarray(packed),
                             jnp.asarray(start_i), rev_ir, L, W, sr,
                             use_filter=use_filter, use_lfo=use_lfo,
-                            use_cubic=self.use_cubic, use_fx=use_fx)
+                            use_cubic=self.use_cubic,
+                            use_rev=use_rev, use_cho=use_cho)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

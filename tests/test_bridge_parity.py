@@ -47,9 +47,25 @@ def _make_reference_machine_independent(ref_bridge, monkeypatch):
     patient join, so the reference always runs to customer count exactly
     like our (fast enough to never truncate) engine. Both patches are
     scoped to the reference modules' globals, not the shared ``time`` /
-    ``threading`` modules our own engine uses."""
+    ``threading`` modules our own engine uses.
+
+    OUR side keeps its real clock (the native C++ engine reads
+    CLOCK_MONOTONIC internally, so it cannot be frozen from here), which
+    is safe only because the native engine finishes these sims in
+    milliseconds — ~1000x headroom under the 1.0 s budget. The pure-Python
+    fallback engine has no such headroom on a slow box, so the comparison
+    requires the native engine."""
     import threading as real_threading
     import time as real_time
+
+    from gandes_tpu.des.native import native_available
+
+    if not native_available():
+        pytest.skip(
+            "machine-independent comparison needs the native engine (the "
+            "Python engine could hit the 1.0 s wall budget like the "
+            "reference does on a slow box)"
+        )
 
     sim_v3 = sys.modules["simulation_v3"]
     fake_time = types.ModuleType("time")

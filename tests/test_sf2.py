@@ -779,6 +779,25 @@ def test_reverb_send_adds_decaying_tail(tmp_path):
     assert rms[0] > rms[1] > rms[2] > rms[3]  # and it decays
 
 
+def test_reverb_ir_dc_gain_closed_form():
+    """Pin the IR construction against the network's closed-form DC gain
+    (independent of the device==host convolution check, which would agree
+    with a wrong IR): each comb has H(1) = 1/(1-feedback) regardless of
+    damping, each Freeverb all-pass has H(1) = g/(1-g) = 1 at g = 0.5 —
+    a DC null here would mean the all-pass dropped its (1+g) delayed-input
+    term — so sum(ir) = (wet1+wet2)/2 * 2 sides * 8 combs * fixed_gain
+    / (1 - feedback)."""
+    from gandes_tpu.music import sf2 as m
+
+    ir = m._freeverb_ir(SR)
+    feedback = m._REVERB_ROOMSIZE * 0.28 + 0.7
+    wet = m._REVERB_LEVEL * 3.0
+    wet_mono = (wet * (m._REVERB_WIDTH / 2.0 + 0.5)
+                + wet * ((1.0 - m._REVERB_WIDTH) / 2.0)) / 2.0
+    expect = wet_mono * 2 * 8 * m._REVERB_FIXED_GAIN / (1.0 - feedback)
+    assert float(np.sum(ir)) == pytest.approx(expect, rel=0.02)
+
+
 def test_reverb_equals_host_ir_convolution(tmp_path):
     """The wet render is exactly dry + (send-weighted bus) * Freeverb IR:
     pin the device FFT convolution against scipy's on the host-cached IR."""
