@@ -54,11 +54,14 @@ Scope (documented, deliberate):
   default modulators stays out of scope by design — the GAN pipelines'
   MIDI never emits CC 91/93, so fresh controllers contribute 0 send on
   top of the font's own generator values.
-* The modulation envelope (gens 25-30 with targets 7/11:
-  modEnvToFilterFc would make the filter time-varying, breaking the
-  static-response design; modEnvToPitch is a pitch-slide effect the GM
-  piano/chromatic families this pipeline plays don't set) and custom
-  modulators are out of scope.
+* Modulation envelope (gens 25-32): the full DAHDSR (linear attack/
+  decay/release per spec 8.1.2, keynumToModEnvHold/Decay key scaling)
+  drives the PITCH target (gen 7, modEnvToPitch) by warping the playback
+  ramp with the envelope's closed-form piecewise-quadratic integral —
+  the same linearized-2^cents design as the LFOs. The FILTER target
+  (gen 11, modEnvToFilterFc) and custom modulators stay out of scope:
+  a swept cutoff would make the filter time-varying, breaking the
+  exact static-magnitude-response design.
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
@@ -108,7 +111,16 @@ G_CHORUS_SEND = 15
 G_REVERB_SEND = 16
 G_MOD_LFO_TO_PITCH = 5
 G_VIB_LFO_TO_PITCH = 6
+G_MOD_ENV_TO_PITCH = 7
 G_MOD_LFO_TO_VOL = 13
+G_DELAY_MOD_ENV = 25
+G_ATTACK_MOD_ENV = 26
+G_HOLD_MOD_ENV = 27
+G_DECAY_MOD_ENV = 28
+G_SUSTAIN_MOD_ENV = 29
+G_RELEASE_MOD_ENV = 30
+G_KEYNUM_TO_MOD_ENV_HOLD = 31
+G_KEYNUM_TO_MOD_ENV_DECAY = 32
 G_PAN = 17
 G_DELAY_MOD_LFO = 21
 G_FREQ_MOD_LFO = 22
@@ -128,7 +140,9 @@ G_ROOT_KEY = 58
 G_INSTRUMENT = 41
 
 _TIMECENT_GENS = (G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL,
-                  G_RELEASE_VOL, G_DELAY_MOD_LFO, G_DELAY_VIB_LFO)
+                  G_RELEASE_VOL, G_DELAY_MOD_LFO, G_DELAY_VIB_LFO,
+                  G_DELAY_MOD_ENV, G_ATTACK_MOD_ENV, G_HOLD_MOD_ENV,
+                  G_DECAY_MOD_ENV, G_RELEASE_MOD_ENV)
 _DEFAULTS = {g: -12000 for g in _TIMECENT_GENS}
 _DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
                   G_SUSTAIN_VOL: 0, G_INITIAL_ATT: 0, G_COARSE_TUNE: 0,
@@ -139,6 +153,8 @@ _DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
                   G_FREQ_MOD_LFO: 0, G_FREQ_VIB_LFO: 0,
                   G_KEYNUM_TO_VOL_HOLD: 0, G_KEYNUM_TO_VOL_DECAY: 0,
                   G_CHORUS_SEND: 0, G_REVERB_SEND: 0,
+                  G_MOD_ENV_TO_PITCH: 0, G_SUSTAIN_MOD_ENV: 0,
+                  G_KEYNUM_TO_MOD_ENV_HOLD: 0, G_KEYNUM_TO_MOD_ENV_DECAY: 0,
                   G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
                   G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
                   G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
@@ -453,6 +469,26 @@ class Sf2Font:
             "mod_freq_hz": _lfo_hz(G_FREQ_MOD_LFO),
             "mod_delay_s": _timecents_to_s(gen(G_DELAY_MOD_LFO)),
             "mod_vol_cb": float(mod_vol_cb),
+            # modulation envelope -> pitch (gens 25-30 + 7, spec 8.1.2):
+            # a DAHDSR with LINEAR attack/decay/release in level (unlike
+            # the volume env's dB ramps); sustain (gen 29) is a 0.1%
+            # DECREASE from full scale. Pitch depth linearizes like the
+            # LFOs (clamped to the monotone +-1200 cents regime). The
+            # filter target (gen 11) stays out of scope — see module note.
+            "menv_k": (min(max(gen(G_MOD_ENV_TO_PITCH), -1200), 1200)
+                       * (np.log(2.0) / 1200.0)),
+            "menv_delay_s": _timecents_to_s(gen(G_DELAY_MOD_ENV)),
+            "menv_attack_s": _timecents_to_s(gen(G_ATTACK_MOD_ENV)),
+            "menv_hold_s": _timecents_to_s(
+                gen(G_HOLD_MOD_ENV)
+                + min(max(gen(G_KEYNUM_TO_MOD_ENV_HOLD), -1200), 1200)
+                * (60 - key)),
+            "menv_decay_s": _timecents_to_s(
+                gen(G_DECAY_MOD_ENV)
+                + min(max(gen(G_KEYNUM_TO_MOD_ENV_DECAY), -1200), 1200)
+                * (60 - key)),
+            "menv_sustain": 1.0 - min(max(gen(G_SUSTAIN_MOD_ENV), 0), 1000) / 1000.0,
+            "menv_release_s": max(_timecents_to_s(gen(G_RELEASE_MOD_ENV)), 1e-4),
             # effects sends (gens 15/16, 0.1% units, spec 8.1.3): the
             # fraction of this voice mixed into the chorus/reverb bus.
             # These are the FONT's own send values; the CC 91/93 default
@@ -485,6 +521,8 @@ _F = ("on_s", "dur_s", "amp", "end_rel", "loop_start_rel",
       "decay_s", "sustain_amp", "release_s", "fc_hz", "q_lin",
       "vib_k", "vib_freq_hz", "vib_delay_s",
       "mod_k", "mod_freq_hz", "mod_delay_s", "mod_vol_cb",
+      "menv_k", "menv_delay_s", "menv_attack_s", "menv_hold_s",
+      "menv_decay_s", "menv_sustain", "menv_release_s",
       "rev_send", "cho_send")
 
 
@@ -596,12 +634,43 @@ def _tri_integral(u):
                                2.0 * (p - 1.0) ** 2))
 
 
+def _menv_integral(t, A, H, D, S, R, dur):
+    """∫0^t of the modulation envelope (spec 8.1.2 DAHDSR with LINEAR
+    attack, linear decay to sustain level S, and linear release over R
+    from the value held at note-off). ``t`` is time since the envelope's
+    delay ended; ``dur`` is the note-off instant in the same frame.
+    Closed form: the pre-release envelope is
+    e(x) = ramp(x; 0, A) - (1-S) * ramp(x; A+H, D) with
+    ramp(x; t0, T) = clip((x-t0)/T, 0, 1) (the phases are sequential, so
+    the two ramps superpose exactly); its integral is piecewise
+    quadratic, and the release integral is quadratic in (t - dur),
+    saturating at E0*R/2. Negative ``t``/``dur`` degrade to 0 (delay not
+    yet elapsed / note released before the envelope started)."""
+    A = jnp.maximum(A, 1e-6)
+    D = jnp.maximum(D, 1e-6)
+
+    def ramp_int(x, t0, T):
+        y = jnp.clip(x - t0, 0.0, T)
+        return y * y / (2.0 * T) + jnp.maximum(x - t0 - T, 0.0)
+
+    def base_int(x):
+        x = jnp.clip(x, 0.0, None)
+        return ramp_int(x, 0.0, A) - (1.0 - S) * ramp_int(x, A + H, D)
+
+    e_dur = (jnp.clip(dur / A, 0.0, 1.0)
+             - (1.0 - S) * jnp.clip((dur - A - H) / D, 0.0, 1.0))
+    s = jnp.clip(t - dur, 0.0, R)
+    return jnp.where(t <= dur, base_int(t),
+                     base_int(dur) + e_dur * (s - s * s / (2.0 * R)))
+
+
 @partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo",
-                                   "use_cubic", "use_rev", "use_cho"))
+                                   "use_cubic", "use_rev", "use_cho",
+                                   "use_menv"))
 def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
                 use_filter: bool = False, use_lfo: bool = False,
                 use_cubic: bool = True, use_rev: bool = False,
-                use_cho: bool = False):
+                use_cho: bool = False, use_menv: bool = False):
     """Sample-playback render: per voice, W output samples gather from the
     bank at per-voice phase increments (4-point cubic interpolation by
     default — FluidSynth's default order — or linear; loop folding),
@@ -663,6 +732,16 @@ def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
                    * (sr / jnp.maximum(b["vib_freq_hz"][:, None], 1e-4))
                    + b["mod_k"][:, None] * _tri_integral(u_m)
                    * (sr / jnp.maximum(b["mod_freq_hz"][:, None], 1e-4)))
+        if use_menv:
+            # modEnvToPitch warps the ramp by the DAHDSR's closed-form
+            # integral, same linearization as the LFOs (|k| < 1 keeps the
+            # warped ramp monotone through the loop fold)
+            pos = pos + b["menv_k"][:, None] * sr * _menv_integral(
+                t_local - b["menv_delay_s"][:, None],
+                b["menv_attack_s"][:, None], b["menv_hold_s"][:, None],
+                b["menv_decay_s"][:, None], b["menv_sustain"][:, None],
+                b["menv_release_s"][:, None],
+                (b["dur_s"] - b["menv_delay_s"])[:, None])
         rel = b["inc"][:, None] * pos                               # (EB, W)
         span = jnp.maximum(b["loop_end_rel"] - b["loop_start_rel"], 1.0)[:, None]
         # loop region is [loop_start, loop_end): position loop_end wraps
@@ -902,7 +981,10 @@ class Sf2Synth:
                 cols["q_lin"].append(vp["q_lin"])
                 for k in ("vib_k", "vib_freq_hz", "vib_delay_s",
                           "mod_k", "mod_freq_hz", "mod_delay_s",
-                          "mod_vol_cb", "rev_send", "cho_send"):
+                          "mod_vol_cb", "menv_k", "menv_delay_s",
+                          "menv_attack_s", "menv_hold_s", "menv_decay_s",
+                          "menv_sustain", "menv_release_s",
+                          "rev_send", "cho_send"):
                     cols[k].append(vp[k])
         return cols, len(cols["on_s"]), float(end_t)
 
@@ -969,13 +1051,15 @@ class Sf2Synth:
         # program
         use_rev = any(cols["rev_send"][i] != 0.0 for i in range(nv))
         use_cho = any(cols["cho_send"][i] != 0.0 for i in range(nv))
+        use_menv = any(cols["menv_k"][i] != 0.0 for i in range(nv))
         rev_ir = jnp.asarray(_freeverb_ir(sr)) if use_rev \
             else jnp.zeros(1, jnp.float32)
         audio = _render_sf2(self.bank, jnp.asarray(packed),
                             jnp.asarray(start_i), rev_ir, L, W, sr,
                             use_filter=use_filter, use_lfo=use_lfo,
                             use_cubic=self.use_cubic,
-                            use_rev=use_rev, use_cho=use_cho)
+                            use_rev=use_rev, use_cho=use_cho,
+                            use_menv=use_menv)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

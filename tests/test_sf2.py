@@ -755,6 +755,92 @@ def test_cubic_interpolation_default_and_passthrough(tmp_path):
         Sf2Synth(path, interp="sinc")
 
 
+# ---------------------------------------------- modulation envelope (25-32)
+
+
+def test_menv_integral_matches_numeric():
+    """The closed-form DAHDSR integral equals dense numeric integration of
+    the spec envelope (linear attack, linear decay to S, linear release
+    from the note-off value over R), including mid-attack note-offs and
+    near-instant phases."""
+    import jax.numpy as jnp
+
+    from gandes_tpu.music.sf2 import _menv_integral
+
+    t = np.linspace(0.0, 3.0, 60001)
+    dt = t[1] - t[0]
+    for A, H, D, S, R, dur in [
+        (0.3, 0.1, 0.4, 0.4, 0.25, 1.2),   # full DAHDS then release
+        (0.2, 0.0, 0.3, 0.0, 0.5, 0.15),   # note off mid-attack
+        (1e-6, 0.2, 1e-6, 0.7, 0.3, 2.0),  # instant attack/decay
+        (0.4, 0.3, 0.5, 1.0, 0.2, 0.6),    # sustain == 1 (no decay)
+    ]:
+        e = np.clip(t / max(A, 1e-6), 0, 1) \
+            - (1 - S) * np.clip((t - A - H) / max(D, 1e-6), 0, 1)
+        e_dur = (np.clip(dur / max(A, 1e-6), 0, 1)
+                 - (1 - S) * np.clip((dur - A - H) / max(D, 1e-6), 0, 1))
+        env = np.where(t <= dur, e,
+                       np.clip(e_dur * (1.0 - (t - dur) / R), 0.0, None))
+        i_num = np.cumsum(env) * dt
+        i_cf = np.asarray(_menv_integral(
+            jnp.asarray(t, jnp.float32), A, H, D, S, R, dur))
+        np.testing.assert_allclose(i_cf, i_num, atol=3e-3)
+
+
+def test_mod_env_pitch_tracks_dahdsr(tmp_path):
+    """modEnvToPitch (gen 7): instantaneous frequency follows
+    f0 * (1 + k*e(t)) — rising through the attack, holding at
+    f0*(1 + k*S) in sustain, and falling back to f0 through the
+    envelope's own release after note-off."""
+    from gandes_tpu.music.sf2 import (G_ATTACK_MOD_ENV, G_DECAY_MOD_ENV,
+                                      G_MOD_ENV_TO_PITCH, G_RELEASE_MOD_ENV,
+                                      G_RELEASE_VOL, G_SUSTAIN_MOD_ENV)
+
+    cents = 200
+    k = cents * np.log(2.0) / 1200.0
+    tc = lambda s: int(round(1200 * np.log2(s)))
+    path = _sine_font(str(tmp_path / "menv.sf2"),
+                      {G_MOD_ENV_TO_PITCH: cents,
+                       G_ATTACK_MOD_ENV: tc(0.4), G_DECAY_MOD_ENV: tc(0.3),
+                       G_SUSTAIN_MOD_ENV: 500,      # S = 0.5
+                       G_RELEASE_MOD_ENV: tc(0.3),
+                       G_RELEASE_VOL: 0})   # 1.0 s: audio alive past 1.8 s
+    audio = Sf2Synth(path).render_midi(_midi([(60, 127, 0.0, 1.5)]), sr=SR,
+                                       min_seconds=2.2)
+    finst = _inst_freq(audio[: int(2.1 * SR)], SR)
+    w = int(0.01 * SR)
+    sm = np.convolve(finst, np.ones(w) / w, mode="same")
+
+    def mean_f(a, b):
+        return float(np.mean(sm[int(a * SR): int(b * SR)]))
+
+    assert mean_f(0.05, 0.10) < mean_f(0.20, 0.25) < mean_f(0.36, 0.40)
+    # peak right after the attack (hold is the ~1 ms default)
+    assert mean_f(0.40, 0.43) > 441.0 * (1.0 + 0.90 * k)
+    # sustain plateau at S = 0.5
+    assert mean_f(1.0, 1.4) == pytest.approx(441.0 * (1.0 + 0.5 * k), rel=0.01)
+    # the envelope's release (0.3 s from the 1.5 s note-off) returns the
+    # pitch to ~f0 by its end, while the tone is still audible (the volume
+    # release rides the MAX_RELEASE_S = 0.5 s cap, silent only past ~2 s)
+    assert mean_f(1.55, 1.60) < mean_f(1.0, 1.4)  # release slides down
+    assert mean_f(1.76, 1.80) == pytest.approx(441.0, rel=0.006)
+
+
+def test_zero_amount_mod_env_stays_on_pre_program(tmp_path):
+    """Envelope-shape generators without a pitch amount must not engage
+    the mod-env path: bitwise equal to the base font's render."""
+    from gandes_tpu.music.sf2 import (G_ATTACK_MOD_ENV, G_SUSTAIN_MOD_ENV)
+
+    notes = [(60, 90, 0.0, 0.5)]
+    base = Sf2Synth(_sine_font(str(tmp_path / "b.sf2"), {})).render_midi(
+        _midi(notes), sr=SR)
+    shaped = Sf2Synth(_sine_font(
+        str(tmp_path / "s.sf2"),
+        {G_ATTACK_MOD_ENV: -3000, G_SUSTAIN_MOD_ENV: 300})).render_midi(
+        _midi(notes), sr=SR)
+    np.testing.assert_array_equal(base, shaped)
+
+
 # ------------------------------------------------- effects sends (15/16)
 
 
