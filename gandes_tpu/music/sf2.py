@@ -70,7 +70,12 @@ and ``doctor`` self-checks; also handy for users without FluidR3_GM).
 
 Performance note (this machine's remote-attached TPU): the compiled
 kernel executes in well under 1 ms and the shapes are bucketed so a
-render stream reuses one executable per output-length bucket; however
+render stream reuses one executable per output-length bucket (the
+largest bucket with both effects engaged — L = 2^23, 6 chorus gathers
+of 8.4M indices + a 2^24-point FFT convolution — measured a 21 s
+one-time compile and <0.1 s execution on the v5e, i.e. the platform's
+normal first-compile cost, not the pathological large-gather case its
+CLAUDE.md warns about); however
 the experimental relay adds a large flat per-dispatch penalty to renders
 issued through this path during its degraded windows (measured ~6.7 s
 wall regardless of L/W — pure dispatch, not compute; the identical
