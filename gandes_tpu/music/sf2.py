@@ -58,10 +58,15 @@ Scope (documented, deliberate):
   decay/release per spec 8.1.2, keynumToModEnvHold/Decay key scaling)
   drives the PITCH target (gen 7, modEnvToPitch) by warping the playback
   ramp with the envelope's closed-form piecewise-quadratic integral —
-  the same linearized-2^cents design as the LFOs. The FILTER target
-  (gen 11, modEnvToFilterFc) and custom modulators stay out of scope:
-  a swept cutoff would make the filter time-varying, breaking the
-  exact static-magnitude-response design.
+  the same linearized-2^cents design as the LFOs.
+* Filter sweeps (gens 11/10, modEnvToFilterFc / modLfoToFilterFc): fonts
+  that sweep the cutoff render through a block-wise time-varying filter
+  — periodic-Hann STFT at hop F/2 (exact COLA), each frame multiplied
+  by the 2-pole magnitude response at that frame's swept cutoff
+  (clamped to the spec's [1500, 13500] cents) — while sweepless fonts
+  keep the exact global static-filter program. Custom modulators remain
+  out of scope (the spec's default-modulator set beyond CC-driven
+  sends is what the implemented generators cover).
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
@@ -117,6 +122,8 @@ G_REVERB_SEND = 16
 G_MOD_LFO_TO_PITCH = 5
 G_VIB_LFO_TO_PITCH = 6
 G_MOD_ENV_TO_PITCH = 7
+G_MOD_LFO_TO_FILTER_FC = 10
+G_MOD_ENV_TO_FILTER_FC = 11
 G_MOD_LFO_TO_VOL = 13
 G_DELAY_MOD_ENV = 25
 G_ATTACK_MOD_ENV = 26
@@ -160,6 +167,7 @@ _DEFAULTS.update({G_INITIAL_FILTER_FC: 13500, G_INITIAL_FILTER_Q: 0,
                   G_CHORUS_SEND: 0, G_REVERB_SEND: 0,
                   G_MOD_ENV_TO_PITCH: 0, G_SUSTAIN_MOD_ENV: 0,
                   G_KEYNUM_TO_MOD_ENV_HOLD: 0, G_KEYNUM_TO_MOD_ENV_DECAY: 0,
+                  G_MOD_LFO_TO_FILTER_FC: 0, G_MOD_ENV_TO_FILTER_FC: 0,
                   G_START_OFS: 0, G_END_OFS: 0, G_STARTLOOP_OFS: 0,
                   G_ENDLOOP_OFS: 0, G_START_COARSE: 0, G_END_COARSE: 0,
                   G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0})
@@ -494,6 +502,11 @@ class Sf2Font:
                 * (60 - key)),
             "menv_sustain": 1.0 - min(max(gen(G_SUSTAIN_MOD_ENV), 0), 1000) / 1000.0,
             "menv_release_s": max(_timecents_to_s(gen(G_RELEASE_MOD_ENV)), 1e-4),
+            # filter-sweep targets (gens 10/11, cents added onto the base
+            # cutoff per frame in the block-wise time-varying filter path)
+            "fc_cents": float(fc_cents),
+            "menv_fc": float(min(max(gen(G_MOD_ENV_TO_FILTER_FC), -12000), 12000)),
+            "lfo_fc": float(min(max(gen(G_MOD_LFO_TO_FILTER_FC), -12000), 12000)),
             # effects sends (gens 15/16, 0.1% units, spec 8.1.3): the
             # fraction of this voice mixed into the chorus/reverb bus.
             # These are the FONT's own send values; the CC 91/93 default
@@ -528,6 +541,7 @@ _F = ("on_s", "dur_s", "amp", "end_rel", "loop_start_rel",
       "mod_k", "mod_freq_hz", "mod_delay_s", "mod_vol_cb",
       "menv_k", "menv_delay_s", "menv_attack_s", "menv_hold_s",
       "menv_decay_s", "menv_sustain", "menv_release_s",
+      "fc_cents", "menv_fc", "lfo_fc",
       "rev_send", "cho_send")
 
 
@@ -669,13 +683,26 @@ def _menv_integral(t, A, H, D, S, R, dur):
                      base_int(dur) + e_dur * (s - s * s / (2.0 * R)))
 
 
+def _menv_value(t, A, H, D, S, R, dur):
+    """The modulation envelope's VALUE at t (same DAHDSR frame as
+    ``_menv_integral``; used by the time-varying filter, which needs the
+    level, not the integral)."""
+    A = jnp.maximum(A, 1e-6)
+    D = jnp.maximum(D, 1e-6)
+    base = lambda x: (jnp.clip(x / A, 0.0, 1.0)
+                      - (1.0 - S) * jnp.clip((x - A - H) / D, 0.0, 1.0))
+    return jnp.where(t <= dur, base(t),
+                     jnp.clip(base(dur) * (1.0 - (t - dur) / R), 0.0, None))
+
+
 @partial(jax.jit, static_argnames=("L", "W", "sr", "use_filter", "use_lfo",
                                    "use_cubic", "use_rev", "use_cho",
-                                   "use_menv"))
+                                   "use_menv", "use_dynfilter"))
 def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
                 use_filter: bool = False, use_lfo: bool = False,
                 use_cubic: bool = True, use_rev: bool = False,
-                use_cho: bool = False, use_menv: bool = False):
+                use_cho: bool = False, use_menv: bool = False,
+                use_dynfilter: bool = False):
     """Sample-playback render: per voice, W output samples gather from the
     bank at per-voice phase increments (4-point cubic interpolation by
     default — FluidSynth's default order — or linear; loop folding),
@@ -810,7 +837,59 @@ def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
 
         win = sig * env * in_range
 
-        if use_filter:
+        if use_dynfilter:
+            # TIME-VARYING low-pass (modEnvToFilterFc / modLfoToFilterFc,
+            # gens 11/10): block-wise STFT with a periodic-Hann window at
+            # hop = F/2 (exact COLA), each frame multiplied by the 2-pole
+            # magnitude response at that frame's swept cutoff
+            # fc(t) = base_cents + menv_fc*e(t) + lfo_fc*tri(t), clamped
+            # to the spec's [1500, 13500] cents. Frame f is centered at
+            # sample f*hop exactly (the pad below shifts frames by half a
+            # window), so the response tracks the envelope/LFO at frame
+            # centers. Unswept open-filter voices (base >= 13500, zero
+            # sweep) pass through H == 1. Same masking order as the
+            # static path: env/in_range fold in BEFORE the FFT, env > 0
+            # gates AFTER.
+            F_ = 2048
+            hop = F_ // 2
+            nB = W // hop
+            hann = 0.5 * (1.0 - jnp.cos(
+                2.0 * jnp.pi * jnp.arange(F_, dtype=jnp.float32) / F_))
+            padded = jnp.pad(win, ((0, 0), (hop, hop)))
+            blocks = padded.reshape(EVENT_BLOCK, nB + 2, hop)
+            frames = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+            spec = jnp.fft.rfft(frames * hann[None, None, :])   # (EB,nF,F/2+1)
+
+            tf = (jnp.arange(nB + 1, dtype=jnp.float32) * hop) / sr  # (nF,)
+            ev = _menv_value(
+                tf[None, :] - b["menv_delay_s"][:, None],
+                b["menv_attack_s"][:, None], b["menv_hold_s"][:, None],
+                b["menv_decay_s"][:, None], b["menv_sustain"][:, None],
+                b["menv_release_s"][:, None],
+                (b["dur_s"] - b["menv_delay_s"])[:, None])
+            u_f = jnp.maximum(tf[None, :] - b["mod_delay_s"][:, None], 0.0) \
+                * b["mod_freq_hz"][:, None]
+            cents = (b["fc_cents"][:, None]
+                     + b["menv_fc"][:, None] * ev
+                     + b["lfo_fc"][:, None] * _tri(u_f))
+            fc_f = 8.176 * 2.0 ** (jnp.clip(cents, 1500.0, 13500.0) / 1200.0)
+
+            freqs = jnp.arange(F_ // 2 + 1, dtype=jnp.float32) * (sr / F_)
+            rr = freqs[None, None, :] / fc_f[:, :, None]
+            mag = jax.lax.rsqrt((1.0 - rr * rr) ** 2
+                                + (rr / b["q_lin"][:, None, None]) ** 2
+                                + 1e-12)
+            swept = (jnp.abs(b["menv_fc"]) + jnp.abs(b["lfo_fc"])) > 0.0
+            apply_f = swept | (b["fc_cents"] < 13500.0)
+            H = jnp.where(apply_f[:, None, None], mag, 1.0)
+
+            filt = jnp.fft.irfft(spec * H, n=F_)                # (EB,nF,F)
+            # overlap-add: block b of the output is frame b's second half
+            # plus frame b+1's first half (COLA: the Hann halves sum to 1)
+            fh, sh = filt[..., :hop], filt[..., hop:]
+            win = (sh[:, :nB] + fh[:, 1:]).reshape(EVENT_BLOCK, W) \
+                * (env > 0.0)
+        elif use_filter:
             # SF2 low-pass, zero-phase: analog 2-pole magnitude
             # |H|^2 = 1 / ((1 - r^2)^2 + (r/Q)^2) at r = f/fc, Q floored at
             # Butterworth so q_cb == 0 is flat; fc_hz == 0 bypasses.
@@ -989,6 +1068,7 @@ class Sf2Synth:
                           "mod_vol_cb", "menv_k", "menv_delay_s",
                           "menv_attack_s", "menv_hold_s", "menv_decay_s",
                           "menv_sustain", "menv_release_s",
+                          "fc_cents", "menv_fc", "lfo_fc",
                           "rev_send", "cho_send"):
                     cols[k].append(vp[k])
         return cols, len(cols["on_s"]), float(end_t)
@@ -1057,6 +1137,13 @@ class Sf2Synth:
         use_rev = any(cols["rev_send"][i] != 0.0 for i in range(nv))
         use_cho = any(cols["cho_send"][i] != 0.0 for i in range(nv))
         use_menv = any(cols["menv_k"][i] != 0.0 for i in range(nv))
+        # a font whose zones sweep the cutoff (gens 10/11) rides the
+        # block-wise time-varying filter for ALL its filtered voices;
+        # sweepless fonts keep the exact global static-filter program
+        use_dynfilter = any(cols["menv_fc"][i] != 0.0 or cols["lfo_fc"][i] != 0.0
+                            for i in range(nv))
+        if use_dynfilter:
+            use_filter = False
         rev_ir = jnp.asarray(_freeverb_ir(sr)) if use_rev \
             else jnp.zeros(1, jnp.float32)
         audio = _render_sf2(self.bank, jnp.asarray(packed),
@@ -1064,7 +1151,7 @@ class Sf2Synth:
                             use_filter=use_filter, use_lfo=use_lfo,
                             use_cubic=self.use_cubic,
                             use_rev=use_rev, use_cho=use_cho,
-                            use_menv=use_menv)
+                            use_menv=use_menv, use_dynfilter=use_dynfilter)
         if as_jax:
             # device-resident at the bucketed length + the true crop, the
             # synth.render_midi(as_jax=True) contract

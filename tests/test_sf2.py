@@ -841,6 +841,78 @@ def test_zero_amount_mod_env_stays_on_pre_program(tmp_path):
     np.testing.assert_array_equal(base, shaped)
 
 
+# ------------------------------------------- filter sweeps (gens 10/11)
+
+
+def test_filter_env_sweep_opens_highs(tmp_path):
+    """modEnvToFilterFc (gen 11): a 500 Hz cutoff swept up 4 octaves by a
+    0.5 s mod-env attack gates the high band early and opens it late,
+    while the sub-cutoff band stays put."""
+    from gandes_tpu.music.sf2 import (G_ATTACK_MOD_ENV,
+                                      G_INITIAL_FILTER_FC,
+                                      G_MOD_ENV_TO_FILTER_FC)
+
+    fc_cents = int(round(1200 * np.log2(500 / 8.176)))
+    atk = int(round(1200 * np.log2(0.5)))
+    path = _noise_font(str(tmp_path / "sweep.sf2"),
+                       {G_INITIAL_FILTER_FC: fc_cents,
+                        G_MOD_ENV_TO_FILTER_FC: 4800,
+                        G_ATTACK_MOD_ENV: atk})
+    audio = Sf2Synth(path).render_midi(_midi([(60, 127, 0.0, 1.2)]), sr=SR,
+                                       min_seconds=1.3)
+    early = audio[int(0.02 * SR): int(0.12 * SR)]
+    late = audio[int(0.80 * SR): int(1.10 * SR)]
+    hi_ratio = _band_energy(late, 3000, 6000) / _band_energy(early, 3000, 6000)
+    lo_ratio = _band_energy(late, 100, 400) / _band_energy(early, 100, 400)
+    assert hi_ratio > 5.0          # the sweep opened the high band
+    assert 0.25 < lo_ratio < 4.0   # the passband didn't move with it
+
+
+def test_filter_lfo_wah(tmp_path):
+    """modLfoToFilterFc (gen 10): the cutoff tracks the triangle LFO —
+    the 2-5 kHz band breathes at the LFO rate (open at tri = +1, shut at
+    tri = -1)."""
+    from gandes_tpu.music.sf2 import (G_FREQ_MOD_LFO, G_INITIAL_FILTER_FC,
+                                      G_MOD_LFO_TO_FILTER_FC)
+
+    fc_cents = int(round(1200 * np.log2(800 / 8.176)))
+    f_lfo_cents = int(round(1200 * np.log2(2.0 / 8.176)))
+    path = _noise_font(str(tmp_path / "wah.sf2"),
+                       {G_INITIAL_FILTER_FC: fc_cents,
+                        G_MOD_LFO_TO_FILTER_FC: 3600,
+                        G_FREQ_MOD_LFO: f_lfo_cents})
+    audio = Sf2Synth(path).render_midi(_midi([(60, 127, 0.0, 2.3)]), sr=SR)
+    f_lfo = 8.176 * 2.0 ** (f_lfo_cents / 1200.0)
+
+    def hi_energy_at(t):
+        c = int(t * SR)
+        w = int(0.04 * SR)
+        return _band_energy(audio[c - w: c + w], 2000, 5000)
+
+    peaks = [hi_energy_at((0.25 + p) / f_lfo) for p in range(1, 4)]
+    troughs = [hi_energy_at((0.75 + p) / f_lfo) for p in range(1, 4)]
+    assert np.mean(peaks) / np.mean(troughs) > 10.0
+
+
+def test_zero_amount_filter_sweep_stays_on_static_program(tmp_path):
+    """Sweep generators with zero amount must not engage the STFT path:
+    bitwise equal to the static-filter render."""
+    from gandes_tpu.music.sf2 import (G_INITIAL_FILTER_FC,
+                                      G_MOD_ENV_TO_FILTER_FC,
+                                      G_MOD_LFO_TO_FILTER_FC)
+
+    fc_cents = int(round(1200 * np.log2(1500 / 8.176)))
+    base = _noise_font(str(tmp_path / "b.sf2"), {G_INITIAL_FILTER_FC: fc_cents})
+    zero = _noise_font(str(tmp_path / "z.sf2"),
+                       {G_INITIAL_FILTER_FC: fc_cents,
+                        G_MOD_ENV_TO_FILTER_FC: 0,
+                        G_MOD_LFO_TO_FILTER_FC: 0})
+    notes = [(60, 100, 0.0, 0.4)]
+    a = Sf2Synth(base).render_midi(_midi(notes), sr=SR)
+    b = Sf2Synth(zero).render_midi(_midi(notes), sr=SR)
+    np.testing.assert_array_equal(a, b)
+
+
 # ------------------------------------------------- effects sends (15/16)
 
 
@@ -958,21 +1030,30 @@ def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
     import subprocess
     import sys
 
-    from gandes_tpu.music.sf2 import (G_CHORUS_SEND, G_FREQ_VIB_LFO,
-                                      G_HOLD_VOL, G_INITIAL_FILTER_FC,
-                                      G_REVERB_SEND, G_SAMPLE_MODES,
-                                      G_VIB_LFO_TO_PITCH)
+    from gandes_tpu.music.sf2 import (G_ATTACK_MOD_ENV, G_CHORUS_SEND,
+                                      G_FREQ_VIB_LFO, G_HOLD_VOL,
+                                      G_INITIAL_FILTER_FC,
+                                      G_MOD_ENV_TO_FILTER_FC,
+                                      G_MOD_ENV_TO_PITCH, G_REVERB_SEND,
+                                      G_SAMPLE_MODES, G_VIB_LFO_TO_PITCH)
 
     fc = int(round(1200 * np.log2(3000 / 8.176)))
     path = _sine_font(str(tmp_path / "tpu.sf2"),
                       {G_VIB_LFO_TO_PITCH: 100, G_FREQ_VIB_LFO: -1200,
                        G_INITIAL_FILTER_FC: fc,
-                       G_REVERB_SEND: 300, G_CHORUS_SEND: 200})
+                       G_REVERB_SEND: 300, G_CHORUS_SEND: 200,
+                       G_MOD_ENV_TO_PITCH: 50, G_ATTACK_MOD_ENV: -1200})
+    # a second font on the OTHER filter program (swept -> block-wise STFT)
+    path2 = _sine_font(str(tmp_path / "tpu2.sf2"),
+                       {G_INITIAL_FILTER_FC: fc, G_MOD_ENV_TO_FILTER_FC: 1200,
+                        G_ATTACK_MOD_ENV: -1200})
     notes = [(64, 110, 0.0, 1.25), (60, 90, 0.4, 1.0)]
     mid_path = str(tmp_path / "piece.mid")
     _midi(notes).save(mid_path)
     ref = Sf2Synth(path).render_midi(_midi(notes), sr=SR)
     np.save(str(tmp_path / "ref.npy"), ref)
+    ref2 = Sf2Synth(path2).render_midi(_midi(notes), sr=SR)
+    np.save(str(tmp_path / "ref2.npy"), ref2)
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -994,6 +1075,10 @@ def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
         f"ref = np.load({str(tmp_path / 'ref.npy')!r})\n"
         "m = min(len(got), len(ref))\n"
         "np.testing.assert_allclose(got[:m], ref[:m], atol=2e-4)\n"
+        f"got2 = Sf2Synth({str(path2)!r}).render_midi({mid_path!r}, sr={SR})\n"
+        f"ref2 = np.load({str(tmp_path / 'ref2.npy')!r})\n"
+        "m2 = min(len(got2), len(ref2))\n"
+        "np.testing.assert_allclose(got2[:m2], ref2[:m2], atol=2e-4)\n"
         "print('TPU_SF2_OK')\n"
     )
     try:
