@@ -486,8 +486,8 @@ class Sf2Font:
             # a DAHDSR with LINEAR attack/decay/release in level (unlike
             # the volume env's dB ramps); sustain (gen 29) is a 0.1%
             # DECREASE from full scale. Pitch depth linearizes like the
-            # LFOs (clamped to the monotone +-1200 cents regime). The
-            # filter target (gen 11) stays out of scope — see module note.
+            # LFOs (clamped to the monotone +-1200 cents regime); the
+            # filter target rides the fc_cents/menv_fc columns below.
             "menv_k": (min(max(gen(G_MOD_ENV_TO_PITCH), -1200), 1200)
                        * (np.log(2.0) / 1200.0)),
             "menv_delay_s": _timecents_to_s(gen(G_DELAY_MOD_ENV)),
@@ -503,8 +503,12 @@ class Sf2Font:
             "menv_sustain": 1.0 - min(max(gen(G_SUSTAIN_MOD_ENV), 0), 1000) / 1000.0,
             "menv_release_s": max(_timecents_to_s(gen(G_RELEASE_MOD_ENV)), 1e-4),
             # filter-sweep targets (gens 10/11, cents added onto the base
-            # cutoff per frame in the block-wise time-varying filter path)
-            "fc_cents": float(fc_cents),
+            # cutoff per frame in the block-wise time-varying filter path).
+            # The BASE clamps to the generator's own [1500, 13500] range
+            # BEFORE modulation (spec/FluidSynth semantics — an
+            # out-of-range 'fully open' base like 16000 still sweeps down
+            # from 13500, not from 16000); the per-frame sum clamps again.
+            "fc_cents": float(min(max(fc_cents, 1500), 13500)),
             "menv_fc": float(min(max(gen(G_MOD_ENV_TO_FILTER_FC), -12000), 12000)),
             "lfo_fc": float(min(max(gen(G_MOD_LFO_TO_FILTER_FC), -12000), 12000)),
             # effects sends (gens 15/16, 0.1% units, spec 8.1.3): the
@@ -846,11 +850,16 @@ def _render_sf2(bank, packed, start_i, rev_ir, L: int, W: int, sr: int,
             # to the spec's [1500, 13500] cents. Frame f is centered at
             # sample f*hop exactly (the pad below shifts frames by half a
             # window), so the response tracks the envelope/LFO at frame
-            # centers. Unswept open-filter voices (base >= 13500, zero
+            # centers. The (EB, nB+1, F) intermediates (~34 MB at the TPU
+            # bucket) stream through HBM without the VMEM-budget
+            # pathology MAX_NOTE_S guards against: measured on the v5e,
+            # 8.2 s compile / 1.8 ms warm execution. Unswept open-filter voices (base >= 13500, zero
             # sweep) pass through H == 1. Same masking order as the
             # static path: env/in_range fold in BEFORE the FFT, env > 0
             # gates AFTER.
-            F_ = 2048
+            F_ = min(2048, W)  # small dynamic-bucket windows (low sr on
+            # the CPU path) shrink the frame so W stays a whole number of
+            # hops; W is a power of two, so hop always divides it
             hop = F_ // 2
             nB = W // hop
             hann = 0.5 * (1.0 - jnp.cos(

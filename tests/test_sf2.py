@@ -894,6 +894,23 @@ def test_filter_lfo_wah(tmp_path):
     assert np.mean(peaks) / np.mean(troughs) > 10.0
 
 
+def test_filter_sweep_small_dynamic_window(tmp_path):
+    """Low sample rates shrink the CPU path's dynamic W bucket below the
+    2048-sample frame; the frame must shrink with it (W stays a whole
+    number of hops) instead of failing the block reshape."""
+    from gandes_tpu.music.sf2 import (G_ATTACK_MOD_ENV,
+                                      G_INITIAL_FILTER_FC,
+                                      G_MOD_ENV_TO_FILTER_FC)
+
+    fc_cents = int(round(1200 * np.log2(400 / 8.176)))
+    path = _noise_font(str(tmp_path / "lowsr.sf2"),
+                       {G_INITIAL_FILTER_FC: fc_cents,
+                        G_MOD_ENV_TO_FILTER_FC: 2400,
+                        G_ATTACK_MOD_ENV: -1200})
+    audio = Sf2Synth(path).render_midi(_midi([(60, 100, 0.0, 0.2)]), sr=1000)
+    assert np.abs(audio).max() > 0.01
+
+
 def test_zero_amount_filter_sweep_stays_on_static_program(tmp_path):
     """Sweep generators with zero amount must not engage the STFT path:
     bitwise equal to the static-filter render."""
