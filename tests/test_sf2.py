@@ -1038,6 +1038,70 @@ def test_zero_send_gens_stay_on_no_fx_program(tmp_path):
     np.testing.assert_array_equal(base, zero)
 
 
+@pytest.mark.parametrize("fuzz_seed", range(8))
+def test_sf2_random_font_render_fuzz(tmp_path, fuzz_seed):
+    """Random fonts across the whole generator matrix (envelopes, LFOs,
+    mod env, static + swept filter, pan, sends, loop modes, tunings) with
+    random polyphonic MIDI: every combination must render finite,
+    peak-bounded audio — interaction bugs surface as NaN/Inf or silence
+    where a voice was selected."""
+    from gandes_tpu.music import sf2 as m
+
+    rng = np.random.RandomState(1000 + fuzz_seed)
+    n = int(rng.randint(800, 6000))
+    wave_kind = rng.randint(3)
+    tt = np.arange(n)
+    data = (0.5 * np.sin(2 * np.pi * tt / rng.randint(20, 200)) if wave_kind == 0
+            else rng.uniform(-0.5, 0.5, n) if wave_kind == 1
+            else 0.4 * ((tt % 64) / 32.0 - 1.0)).astype(np.float32)
+    gens = {m.G_SAMPLE_MODES: int(rng.randint(0, 2)),
+            m.G_HOLD_VOL: int(rng.randint(-4000, 3000)),
+            m.G_ATTACK_VOL: int(rng.randint(-12000, -1000)),
+            m.G_DECAY_VOL: int(rng.randint(-4000, 2000)),
+            m.G_SUSTAIN_VOL: int(rng.randint(0, 800)),
+            m.G_RELEASE_VOL: int(rng.randint(-6000, 0)),
+            m.G_PAN: int(rng.randint(-500, 501)),
+            m.G_COARSE_TUNE: int(rng.randint(-4, 5)),
+            m.G_FINE_TUNE: int(rng.randint(-99, 100)),
+            m.G_INITIAL_ATT: int(rng.randint(0, 300))}
+    if rng.rand() < 0.6:
+        gens[m.G_INITIAL_FILTER_FC] = int(rng.randint(1200, 15000))
+        gens[m.G_INITIAL_FILTER_Q] = int(rng.randint(0, 960))
+    if rng.rand() < 0.5:
+        gens[m.G_VIB_LFO_TO_PITCH] = int(rng.randint(-400, 401))
+        gens[m.G_FREQ_VIB_LFO] = int(rng.randint(-3000, 2000))
+    if rng.rand() < 0.5:
+        gens[m.G_MOD_LFO_TO_VOL] = int(rng.randint(-300, 301))
+        gens[m.G_MOD_LFO_TO_PITCH] = int(rng.randint(-400, 401))
+        gens[m.G_FREQ_MOD_LFO] = int(rng.randint(-3000, 2000))
+    if rng.rand() < 0.5:
+        gens[m.G_MOD_ENV_TO_PITCH] = int(rng.randint(-1500, 1500))
+        gens[m.G_ATTACK_MOD_ENV] = int(rng.randint(-8000, 0))
+        gens[m.G_DECAY_MOD_ENV] = int(rng.randint(-8000, 0))
+        gens[m.G_SUSTAIN_MOD_ENV] = int(rng.randint(0, 1000))
+        gens[m.G_RELEASE_MOD_ENV] = int(rng.randint(-8000, 0))
+    if rng.rand() < 0.4:
+        gens[m.G_MOD_ENV_TO_FILTER_FC] = int(rng.randint(-6000, 6000))
+        gens[m.G_MOD_LFO_TO_FILTER_FC] = int(rng.randint(-4000, 4000))
+    if rng.rand() < 0.5:
+        gens[m.G_REVERB_SEND] = int(rng.randint(0, 1001))
+        gens[m.G_CHORUS_SEND] = int(rng.randint(0, 1001))
+    path = str(tmp_path / "fuzz.sf2")
+    build_sf2(path, samples=[{"name": "s", "data": data, "sample_rate": SR,
+                              "original_pitch": int(rng.randint(40, 80)),
+                              "loop_start": int(rng.randint(0, n // 4)),
+                              "loop_end": int(rng.randint(n // 2, n))}],
+              instruments=[{"name": "i", "zones": [{"sample": 0, "gens": gens}]}],
+              presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}])
+    notes = [(int(rng.randint(30, 100)), int(rng.randint(20, 128)),
+              float(rng.uniform(0, 1.0)), 0.0) for _ in range(rng.randint(1, 6))]
+    notes = [(k, v, on, on + float(rng.uniform(0.05, 1.5))) for k, v, on, _ in notes]
+    audio = Sf2Synth(path).render_midi(_midi(notes), sr=SR, min_seconds=2.0)
+    assert np.all(np.isfinite(audio))
+    assert np.abs(audio).max() <= 1.0 + 1e-6
+    assert np.abs(audio).max() > 1e-5  # the selected voices actually sounded
+
+
 def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
     """Compiled-kernel check on real TPU hardware: the fixed-bucket device
     render (cubic + LFO + filter paths all engaged) must agree with this
