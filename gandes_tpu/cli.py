@@ -220,17 +220,33 @@ def _cmd_doctor(args):
     def c_sf2():
         import tempfile
 
+        from gandes_tpu.music import sf2 as m
+        from gandes_tpu.music.midi import (Message, MetaMessage, MidiFile,
+                                           MidiTrack)
         from gandes_tpu.music.sf2 import G_SAMPLE_MODES, Sf2Synth, build_sf2
 
         with tempfile.TemporaryDirectory() as tmp:
+            # One font engaging every generator family the synth honors
+            # (loop, DAHDSR, filter + sweep, both LFOs, mod env, pan,
+            # effects sends): a real render through the full feature
+            # matrix, not just parse + zone selection.
+            gens = {G_SAMPLE_MODES: 1, m.G_HOLD_VOL: 1200,
+                    m.G_ATTACK_VOL: -6000, m.G_RELEASE_VOL: -3000,
+                    m.G_PAN: 200,
+                    m.G_INITIAL_FILTER_FC: 9000, m.G_INITIAL_FILTER_Q: 200,
+                    m.G_VIB_LFO_TO_PITCH: 50, m.G_MOD_LFO_TO_VOL: 60,
+                    m.G_MOD_ENV_TO_PITCH: 300, m.G_DECAY_MOD_ENV: -2000,
+                    m.G_MOD_ENV_TO_FILTER_FC: 1200,
+                    m.G_MOD_LFO_TO_FILTER_FC: 600,
+                    m.G_REVERB_SEND: 300, m.G_CHORUS_SEND: 300}
             path = build_sf2(
                 tmp + "/t.sf2",
                 samples=[{"name": "s", "data": np.sin(
                     2 * np.pi * np.arange(2000) / 50).astype(np.float32) * 0.5,
-                    "sample_rate": 44100, "original_pitch": 60,
+                    "sample_rate": 22050, "original_pitch": 60,
                     "loop_start": 200, "loop_end": 1800}],
                 instruments=[{"name": "i", "zones": [
-                    {"sample": 0, "gens": {G_SAMPLE_MODES: 1}}]}],
+                    {"sample": 0, "gens": gens}]}],
                 presets=[{"name": "p", "program": 0,
                           "zones": [{"instrument": 0}]}])
             synth = Sf2Synth(path)
@@ -239,7 +255,22 @@ def _cmd_doctor(args):
                 # not assert: stripped under python -O, and doctor must
                 # never report a vacuous pass
                 raise RuntimeError(f"zone selection returned {voices!r}")
-        return "SoundFont parse + zone selection"
+            mid = MidiFile(type=0, ticks_per_beat=480)
+            tr = MidiTrack()
+            tr.append(MetaMessage("set_tempo", tempo=500000, time=0))
+            tr.append(Message("note_on", note=60, velocity=100, time=0))
+            tr.append(Message("note_on", note=67, velocity=80, time=96))
+            tr.append(Message("note_off", note=60, velocity=0, time=192))
+            tr.append(Message("note_off", note=67, velocity=0, time=96))
+            tr.append(MetaMessage("end_of_track", time=0))
+            mid.tracks.append(tr)
+            audio = synth.render_midi(mid, sr=22050, min_seconds=1.0)
+            if not np.all(np.isfinite(audio)):
+                raise RuntimeError("render produced non-finite samples")
+            peak = float(np.abs(audio).max())
+            if not 1e-5 < peak <= 1.0 + 1e-6:
+                raise RuntimeError(f"render peak {peak} out of range")
+        return "SoundFont parse + zone selection + full-matrix render"
 
     def c_reference():
         import os as _os
