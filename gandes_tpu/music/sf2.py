@@ -64,9 +64,20 @@ Scope (documented, deliberate):
   — periodic-Hann STFT at hop F/2 (exact COLA), each frame multiplied
   by the 2-pole magnitude response at that frame's swept cutoff
   (clamped to the spec's [1500, 13500] cents) — while sweepless fonts
-  keep the exact global static-filter program. Custom modulators remain
-  out of scope (the spec's default-modulator set beyond CC-driven
-  sends is what the implemented generators cover).
+  keep the exact global static-filter program.
+* Custom modulators (imod/pmod records): parsed and honored, evaluated
+  at NOTE-ON state — velocity and key number are live sources; every
+  controller-backed source reads its MIDI initial value (the pipelines'
+  MIDI carries no CC/pitch-wheel/aftertouch traffic, so this is exact,
+  not an approximation). All 16 curve/polarity/direction source shapes
+  (spec 8.2.4, matching FluidSynth's concave/convex tables in closed
+  form), secondary amount sources, the absolute-value transform, and
+  spec 9.5.1 layering: zone-local supersedes global-zone, an instrument
+  modulator supersedes the identical default (the velocity->attenuation
+  default included), preset modulators are purely additive. Each
+  modulator collapses to a static per-voice offset on its destination
+  generator, so the render kernels are untouched. Modulators targeting
+  structural (non-modulatable) generators are ignored per spec 8.1.2.
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
@@ -189,6 +200,140 @@ def _timecents_to_s(tc: int) -> float:
     return float(2.0 ** (tc / 1200.0))
 
 
+# ------------------------------------------------- modulators (spec 9.5)
+#
+# Custom modulators (imod/pmod records) evaluated at NOTE-ON state: the GAN
+# pipelines' MIDI carries no CC / pitch-wheel / aftertouch traffic, so every
+# modulator source is static for the life of a voice — note-on velocity and
+# key number are live, every controller-backed source reads its MIDI
+# initial value (CC7 volume 100, CC10 pan 64, CC11 expression 127, all
+# others 0; pitch wheel centered, sensitivity 2 semitones). Each modulator
+# therefore collapses to one scalar added to its destination generator
+# before the existing conversion/clamping — no render-kernel changes.
+
+# curve closed forms: exact matches of FluidSynth's fluid_concave/convex
+# tables at every integer input (table[i] = -(200/960)*log10(i^2/127^2)
+# mirrored/complemented), with the tables' endpoint clamps.
+def _mod_concave(v: float) -> float:
+    if v <= 0.0:
+        return 0.0
+    if v >= 127.0:
+        return 1.0
+    return min(1.0, -(400.0 / 960.0) * np.log10((127.0 - v) / 127.0))
+
+
+def _mod_convex(v: float) -> float:
+    if v <= 0.0:
+        return 0.0
+    if v >= 127.0:
+        return 1.0
+    return max(0.0, 1.0 + (400.0 / 960.0) * np.log10(v / 127.0))
+
+
+# initial controller state (MIDI defaults, matching FluidSynth's
+# fluid_channel_init_ctrl): everything 0 except volume/pan/expression
+_INIT_CC = {7: 100, 10: 64, 11: 127}
+
+
+def _mod_source_raw(enum: int, key: int, vel: int):
+    """Raw 0..127 value of a modulator source enumerator at note-on, or
+    None when the source index is unknown (spec 9.5.2: such modulators are
+    ignored entirely)."""
+    index = enum & 0x7F
+    if enum & 0x80:  # CC flag: a MIDI controller at its initial value
+        return float(_INIT_CC.get(index, 0))
+    if index == 0:    # "no controller" == full scale
+        return 127.0
+    if index == 2:
+        return float(vel)
+    if index == 3:
+        return float(key)
+    if index in (10, 13):  # poly / channel pressure: none sent
+        return 0.0
+    if index == 14:        # pitch wheel centered: 8192/16384 of full scale
+        return 63.5
+    if index == 16:        # pitch wheel sensitivity: 2 semitones of 128
+        return 2.0
+    return None  # link (127) or unknown source
+
+
+def _mod_transform_source(v: float, enum: int) -> float:
+    """Map a raw 0..127 source through the enumerator's direction /
+    polarity / curve bits to [-1, 1] (the 16 cases of spec 8.2.4, matching
+    fluid_mod.c's arrangement)."""
+    negative = bool(enum & 0x100)
+    bipolar = bool(enum & 0x200)
+    curve = (enum >> 10) & 0x3F
+    if curve == 0:  # linear
+        x = v / 127.0
+        if not bipolar:
+            return 1.0 - x if negative else x
+        return 1.0 - 2.0 * x if negative else 2.0 * x - 1.0
+    if curve == 3:  # switch
+        hi = v >= 64.0
+        lo = -1.0 if bipolar else 0.0
+        return (lo if hi else 1.0) if negative else (1.0 if hi else lo)
+    fn = _mod_concave if curve == 1 else _mod_convex if curve == 2 else None
+    if fn is None:  # unknown curve type: treat as linear positive (spec
+        return v / 127.0  # enumerators beyond 3 are unassigned)
+    if not bipolar:
+        return fn(127.0 - v) if negative else fn(v)
+    if negative:
+        return -fn(2.0 * (v - 64.0)) if v > 64.0 else fn(2.0 * (64.0 - v))
+    return fn(2.0 * (v - 64.0)) if v > 64.0 else -fn(2.0 * (64.0 - v))
+
+
+def _mod_value(mod: Mod, key: int, vel: int):
+    """The modulator's contribution to its destination generator, or None
+    when a source is unresolvable."""
+    raw1 = _mod_source_raw(mod.src, key, vel)
+    if raw1 is None:
+        return None
+    v1 = _mod_transform_source(raw1, mod.src)
+    if mod.amt_src == 0:
+        v2 = 1.0  # "no controller" amount source is unity, not curve(127)
+    else:
+        raw2 = _mod_source_raw(mod.amt_src, key, vel)
+        if raw2 is None:
+            return None
+        v2 = _mod_transform_source(raw2, mod.amt_src)
+    out = mod.amount * v1 * v2
+    return abs(out) if mod.trans == 2 else out
+
+
+def _supersede(base: list, over: list) -> list:
+    """Spec 9.5.1 layering: a modulator in ``over`` replaces an identical
+    (same source/dest/amount-source/transform) one in ``base``."""
+    table = {m.key(): m for m in base}
+    for m in over:
+        table[m.key()] = m
+    return list(table.values())
+
+
+# The default velocity->initialAttenuation modulator (spec 8.4.1): concave
+# unipolar negative note-on velocity, 960 cB, no amount source. The render
+# bakes it in as amp *= (vel/127)^2 — the exact closed form of
+# 10^(-960*concave(127-vel)/200) — so it only goes through the modulator
+# machinery when a font SUPERSEDES it (then the font's amount wins).
+_DEFAULT_VEL_ATT_KEY = (0x0502, G_INITIAL_ATT, 0, 0)
+
+# Destinations the renderer honors as continuous synthesis parameters.
+# Structural generators (sampleID, sampleModes, ranges, root key, address
+# offsets, keynum-scaling and scaleTuning) are not modulatable per the
+# spec 8.1.2 table and are excluded; a modulator targeting one is ignored.
+_MODULATABLE = frozenset({
+    G_MOD_LFO_TO_PITCH, G_VIB_LFO_TO_PITCH, G_MOD_ENV_TO_PITCH,
+    G_INITIAL_FILTER_FC, G_INITIAL_FILTER_Q,
+    G_MOD_LFO_TO_FILTER_FC, G_MOD_ENV_TO_FILTER_FC, G_MOD_LFO_TO_VOL,
+    G_CHORUS_SEND, G_REVERB_SEND, G_PAN,
+    G_DELAY_MOD_LFO, G_FREQ_MOD_LFO, G_DELAY_VIB_LFO, G_FREQ_VIB_LFO,
+    G_DELAY_MOD_ENV, G_ATTACK_MOD_ENV, G_HOLD_MOD_ENV, G_DECAY_MOD_ENV,
+    G_SUSTAIN_MOD_ENV, G_RELEASE_MOD_ENV,
+    G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL, G_SUSTAIN_VOL,
+    G_RELEASE_VOL, G_INITIAL_ATT, G_COARSE_TUNE, G_FINE_TUNE,
+})
+
+
 @dataclass
 class SampleHeader:
     name: str
@@ -205,6 +350,7 @@ class SampleHeader:
 @dataclass
 class Zone:
     gens: dict = field(default_factory=dict)  # oper -> signed amount
+    mods: list = field(default_factory=list)  # of Mod (spec 7.4/7.8 records)
     key_lo: int = 0
     key_hi: int = 127
     vel_lo: int = 0
@@ -212,6 +358,25 @@ class Zone:
 
     def matches(self, key: int, vel: int) -> bool:
         return self.key_lo <= key <= self.key_hi and self.vel_lo <= vel <= self.vel_hi
+
+
+@dataclass(frozen=True)
+class Mod:
+    """One sfModList record (spec 7.4 pmod / 7.8 imod): src and amt_src are
+    SFModulator enumerators (bits 0-6 index, 7 CC flag, 8 direction,
+    9 polarity, 10-15 curve type), dest a generator oper, amount a signed
+    short, trans the SFTransform (0 linear, 2 absolute value)."""
+    src: int
+    dest: int
+    amount: int
+    amt_src: int
+    trans: int
+
+    def key(self):
+        """Supersession identity (spec 9.5.1): modulators are 'identical'
+        when source, destination, amount-source and transform all match —
+        only the amount differs between a superseder and its victim."""
+        return (self.src, self.dest, self.amt_src, self.trans)
 
 
 @dataclass
@@ -230,18 +395,22 @@ class Preset:
     zones: list  # of Zone, each with G_INSTRUMENT
 
 
-def _parse_zone_records(bag, gens, lo_bag, hi_bag, terminal_gen):
+def _parse_zone_records(bag, gens, lo_bag, hi_bag, terminal_gen, mods=()):
     """Split a [lo_bag, hi_bag) bag range into (global_zone, zones) per the
     SF2 rule: a first zone without the terminal generator (sampleID /
     instrument) is the global zone. Global-zone generators are DEFAULTS for
     the other zones (spec 7.3/7.7) — that includes keyRange/velRange, so a
-    global range folds into every zone that doesn't set its own."""
+    global range folds into every zone that doesn't set its own. Each bag
+    record's second field indexes the zone's modulator slice in ``mods``
+    (parsed imod/pmod Mod list)."""
     zones = []
     global_zone = None
     own_ranges = []  # (has_key_range, has_vel_range) per zones[i]
     for zi in range(lo_bag, hi_bag):
         g_lo, g_hi = bag[zi][0], bag[zi + 1][0]
+        m_lo, m_hi = bag[zi][1], bag[zi + 1][1]
         z = Zone()
+        z.mods = list(mods[m_lo:m_hi])
         has_key = has_vel = False
         for gi in range(g_lo, g_hi):
             oper, raw = gens[gi]
@@ -303,12 +472,20 @@ class Sf2Font:
             pgen = list(struct.iter_unpack("<HH", chunks["pgen"]))
             ibag = list(struct.iter_unpack("<HH", chunks["ibag"]))
             igen = list(struct.iter_unpack("<HH", chunks["igen"]))
+            # imod/pmod (specs 7.8/7.4): signed amount, enumerator sources.
+            # The terminal all-zero record is harmless (never indexed by a
+            # real zone's [m_lo, m_hi) slice).
+            imod = [Mod(*r) for r in
+                    struct.iter_unpack("<HHhHH", chunks.get("imod", b""))]
+            pmod = [Mod(*r) for r in
+                    struct.iter_unpack("<HHhHH", chunks.get("pmod", b""))]
 
             inst_recs = list(struct.iter_unpack("<20sH", chunks["inst"]))
             self.instruments = []
             for k in range(len(inst_recs) - 1):
                 gz, zones = _parse_zone_records(
-                    ibag, igen, inst_recs[k][1], inst_recs[k + 1][1], G_SAMPLE_ID)
+                    ibag, igen, inst_recs[k][1], inst_recs[k + 1][1],
+                    G_SAMPLE_ID, imod)
                 self.instruments.append(Instrument(
                     inst_recs[k][0].split(b"\0")[0].decode("latin-1"), gz, zones))
 
@@ -317,7 +494,8 @@ class Sf2Font:
             for k in range(len(phdr_recs) - 1):
                 name, prog, bank_n, bag_ndx = phdr_recs[k][:4]
                 gz, zones = _parse_zone_records(
-                    pbag, pgen, bag_ndx, phdr_recs[k + 1][3], G_INSTRUMENT)
+                    pbag, pgen, bag_ndx, phdr_recs[k + 1][3], G_INSTRUMENT,
+                    pmod)
                 self.presets[(bank_n, prog)] = Preset(
                     name.split(b"\0")[0].decode("latin-1"), prog, bank_n, gz, zones)
         except (IndexError, struct.error) as e:
@@ -365,32 +543,58 @@ class Sf2Font:
         voices = []
         if preset is not None:
             pglobal = preset.global_zone.gens if preset.global_zone else {}
+            pglobal_mods = preset.global_zone.mods if preset.global_zone else []
             for pz in preset.zones:
                 if not pz.matches(key, vel):
                     continue
                 pgens = dict(pglobal)
                 pgens.update(pz.gens)
+                pmods = _supersede(pglobal_mods, pz.mods)
                 inst_id = pgens.pop(G_INSTRUMENT)
                 if not 0 <= inst_id < len(self.instruments):
                     continue
                 inst = self.instruments[inst_id]
                 iglobal = inst.global_zone.gens if inst.global_zone else {}
+                iglobal_mods = (inst.global_zone.mods
+                                if inst.global_zone else [])
                 for iz in inst.zones:
                     if not iz.matches(key, vel):
                         continue
                     igens = dict(iglobal)
                     igens.update(iz.gens)
-                    v = self._voice_params(igens, pgens, key, vel)
+                    imods = _supersede(iglobal_mods, iz.mods)
+                    v = self._voice_params(igens, pgens, key, vel,
+                                           imods, pmods)
                     if v is not None:
                         voices.append(v)
         self._voice_cache[ck] = voices
         return voices
 
-    def _voice_params(self, igens: dict, pgens: dict, key: int, vel: int):
+    def _voice_params(self, igens: dict, pgens: dict, key: int, vel: int,
+                      imods=(), pmods=()):
+        # Custom modulators collapse to static per-destination offsets at
+        # note-on (module scope note): instrument-level mods supersede the
+        # default velocity->attenuation modulator when their identity
+        # matches it (spec 9.5.1); preset-level mods are purely additive.
+        mod_sum: dict = {}
+        vel_att_superseded = False
+        for m in imods:
+            if m.key() == _DEFAULT_VEL_ATT_KEY:
+                vel_att_superseded = True
+        for m in list(imods) + list(pmods):
+            if m.dest not in _MODULATABLE:
+                continue
+            val = _mod_value(m, key, vel)
+            if val is not None and val != 0.0:
+                mod_sum[m.dest] = mod_sum.get(m.dest, 0.0) + val
+
         def gen(oper, preset_additive=True):
             v = igens.get(oper, _DEFAULTS[oper])
             if preset_additive and oper in pgens:
                 v += pgens[oper]
+            m = mod_sum.get(oper)
+            if m is not None:
+                v = v + m
             return v
 
         sid = igens[G_SAMPLE_ID]
@@ -410,7 +614,9 @@ class Sf2Font:
                  + 100 * gen(G_COARSE_TUNE) + gen(G_FINE_TUNE)
                  + sh.pitch_correction)
         ratio = 2.0 ** (cents / 1200.0)
-        att_cb = max(0, gen(G_INITIAL_ATT))
+        # modulated total clamps to the spec range [0, 1440] cB (a
+        # superseded velocity->attenuation modulator routes through here)
+        att_cb = min(max(0, gen(G_INITIAL_ATT)), 1440)
         sustain_cb = min(max(0, gen(G_SUSTAIN_VOL)), 1440)
         mode = igens.get(G_SAMPLE_MODES, 0)
         # SF2 low-pass (gens 8/9, spec 8.1.3): cutoff in absolute cents
@@ -453,8 +659,13 @@ class Sf2Font:
             "loop": 1 if mode in (1, 3) else 0,
             "rate_ratio": ratio,
             "sample_rate": sh.sample_rate,
-            # filter DC drop (half the Q, spec 8.1.3) folds into the gain
-            "amp": ((vel / 127.0) ** 2 * 10.0 ** (-att_cb / 200.0)
+            # filter DC drop (half the Q, spec 8.1.3) folds into the gain.
+            # (vel/127)^2 is the default velocity->attenuation modulator's
+            # exact closed form (10^(-960*concave(127-vel)/200)); a font
+            # that supersedes it already contributed its own curve via
+            # att_cb, so the built-in factor drops out.
+            "amp": ((1.0 if vel_att_superseded else (vel / 127.0) ** 2)
+                    * 10.0 ** (-att_cb / 200.0)
                     * 10.0 ** (-q_cb / 400.0) * pan_gain),
             "delay_s": _timecents_to_s(gen(G_DELAY_VOL)),
             "attack_s": _timecents_to_s(gen(G_ATTACK_VOL)),
@@ -1180,8 +1391,9 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
       original_pitch, loop_start, loop_end (relative to the sample),
       pitch_correction (opt)}.
     instruments: list of dicts {name, zones: [{sample: idx, gens: {oper:
-      amount}, key_lo, key_hi, vel_lo, vel_hi}]}. A zone dict WITHOUT the
-      'sample' key writes a global zone (must come first, spec 7.7).
+      amount}, mods: [(src, dest, amount, amt_src, trans)], key_lo, key_hi,
+      vel_lo, vel_hi}]}. A zone dict WITHOUT the 'sample' key writes a
+      global zone (must come first, spec 7.7).
     presets: list of dicts {name, program, bank, zones: [{instrument: idx,
       key_lo...}]}; a zone without 'instrument' is the preset global zone.
     """
@@ -1203,10 +1415,14 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
     shdr += struct.pack("<20sIIIIIBbHH", b"EOS", 0, 0, 0, 0, 0, 0, 0, 0, 0)
 
     def zone_bytes(zones, terminal_oper, terminal_key):
-        bag, gen = b"", b""
-        g_count = 0
+        """Per-zone (gen_ndx, mod_ndx) bag records (chunk-local, no
+        terminal) + this chunk's gen and mod record bytes. A zone dict's
+        optional 'mods' is a list of (src, dest, amount, amt_src, trans)
+        tuples (spec 7.4/7.8 sfModList fields)."""
+        records, gen, mod = [], b"", b""
+        g_count = m_count = 0
         for z in zones:
-            bag += struct.pack("<HH", g_count, 0)
+            records.append((g_count, m_count))
             opers = []
             if (z.get("key_lo", 0), z.get("key_hi", 127)) != (0, 127):
                 opers.append((G_KEY_RANGE, z.get("key_lo", 0) | (z.get("key_hi", 127) << 8)))
@@ -1220,41 +1436,43 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
             for oper, amt in opers:
                 gen += struct.pack("<HH", oper, amt)
             g_count += len(opers)
-        bag += struct.pack("<HH", g_count, 0)  # terminal bag
-        gen += struct.pack("<HH", 0, 0)        # terminal gen
-        return bag, gen
+            for src, dest, amount, amt_src, trans in z.get("mods", []):
+                mod += struct.pack("<HHhHH", src, dest, amount, amt_src, trans)
+            m_count += len(z.get("mods", []))
+        return records, gen, mod
 
-    ibag = igen = inst = b""
+    ibag = igen = imod = inst = b""
     bag_n = 0
     for k, i in enumerate(instruments):
         inst += struct.pack("<20sH", i["name"].encode()[:20], bag_n)
-        b, g = zone_bytes(i["zones"], G_SAMPLE_ID, "sample")
-        # strip this chunk's terminal records; add one global terminal later
-        ibag_records = [b[j:j + 4] for j in range(0, len(b) - 4, 4)]
-        base_gen = len(igen) // 4
-        ibag += b"".join(struct.pack("<HH", struct.unpack("<HH", r)[0] + base_gen, 0)
-                         for r in ibag_records)
-        igen += g[:-4]
-        bag_n += len(ibag_records)
+        records, g, m = zone_bytes(i["zones"], G_SAMPLE_ID, "sample")
+        base_gen, base_mod = len(igen) // 4, len(imod) // 10
+        ibag += b"".join(struct.pack("<HH", gi + base_gen, mi + base_mod)
+                         for gi, mi in records)
+        igen += g
+        imod += m
+        bag_n += len(records)
     inst += struct.pack("<20sH", b"EOI", bag_n)
-    ibag += struct.pack("<HH", len(igen) // 4, 0)
+    ibag += struct.pack("<HH", len(igen) // 4, len(imod) // 10)
     igen += struct.pack("<HH", 0, 0)
+    imod += b"\0" * 10  # terminal record
 
-    pbag = pgen = phdr = b""
+    pbag = pgen = pmod = phdr = b""
     bag_n = 0
     for p in presets:
         phdr += struct.pack("<20sHHHIII", p["name"].encode()[:20],
                             p["program"], p.get("bank", 0), bag_n, 0, 0, 0)
-        b, g = zone_bytes(p["zones"], G_INSTRUMENT, "instrument")
-        pbag_records = [b[j:j + 4] for j in range(0, len(b) - 4, 4)]
-        base_gen = len(pgen) // 4
-        pbag += b"".join(struct.pack("<HH", struct.unpack("<HH", r)[0] + base_gen, 0)
-                         for r in pbag_records)
-        pgen += g[:-4]
-        bag_n += len(pbag_records)
+        records, g, m = zone_bytes(p["zones"], G_INSTRUMENT, "instrument")
+        base_gen, base_mod = len(pgen) // 4, len(pmod) // 10
+        pbag += b"".join(struct.pack("<HH", gi + base_gen, mi + base_mod)
+                         for gi, mi in records)
+        pgen += g
+        pmod += m
+        bag_n += len(records)
     phdr += struct.pack("<20sHHHIII", b"EOP", 0, 0, bag_n, 0, 0, 0)
-    pbag += struct.pack("<HH", len(pgen) // 4, 0)
+    pbag += struct.pack("<HH", len(pgen) // 4, len(pmod) // 10)
     pgen += struct.pack("<HH", 0, 0)
+    pmod += b"\0" * 10  # terminal record
 
     def chunk(cid, body):
         pad = b"\0" if len(body) & 1 else b""
@@ -1265,9 +1483,9 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
         chunk(b"isng", b"EMU8000\0") + chunk(b"INAM", name.encode() + b"\0")
     sdta = b"sdta" + chunk(b"smpl", smpl)
     pdta = (b"pdta" + chunk(b"phdr", phdr) + chunk(b"pbag", pbag)
-            + chunk(b"pmod", b"\0" * 10) + chunk(b"pgen", pgen)
+            + chunk(b"pmod", pmod) + chunk(b"pgen", pgen)
             + chunk(b"inst", inst) + chunk(b"ibag", ibag)
-            + chunk(b"imod", b"\0" * 10) + chunk(b"igen", igen)
+            + chunk(b"imod", imod) + chunk(b"igen", igen)
             + chunk(b"shdr", shdr))
     body = b"sfbk" + chunk(b"LIST", info) + chunk(b"LIST", sdta) + chunk(b"LIST", pdta)
     with open(path, "wb") as f:

@@ -1086,12 +1086,26 @@ def test_sf2_random_font_render_fuzz(tmp_path, fuzz_seed):
     if rng.rand() < 0.5:
         gens[m.G_REVERB_SEND] = int(rng.randint(0, 1001))
         gens[m.G_CHORUS_SEND] = int(rng.randint(0, 1001))
+    mods = []
+    if rng.rand() < 0.6:
+        # random custom modulators over the modulatable destinations: any
+        # source shape x any live/initialized source index
+        dests = sorted(m._MODULATABLE)
+        for _ in range(rng.randint(1, 4)):
+            src = (int(rng.choice([0, 2, 3, 14, 0x80 | 7, 0x80 | 11]))
+                   | (int(rng.randint(0, 4)) << 10)
+                   | (int(rng.randint(0, 2)) << 8) | (int(rng.randint(0, 2)) << 9))
+            amt_src = int(rng.choice([0, 2, 0x80 | 10]))
+            mods.append((src, int(rng.choice(dests)),
+                         int(rng.randint(-1000, 1001)), amt_src,
+                         int(rng.choice([0, 2]))))
     path = str(tmp_path / "fuzz.sf2")
     build_sf2(path, samples=[{"name": "s", "data": data, "sample_rate": SR,
                               "original_pitch": int(rng.randint(40, 80)),
                               "loop_start": int(rng.randint(0, n // 4)),
                               "loop_end": int(rng.randint(n // 2, n))}],
-              instruments=[{"name": "i", "zones": [{"sample": 0, "gens": gens}]}],
+              instruments=[{"name": "i", "zones": [
+                  {"sample": 0, "gens": gens, "mods": mods}]}],
               presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}])
     notes = [(int(rng.randint(30, 100)), int(rng.randint(20, 128)),
               float(rng.uniform(0, 1.0)), 0.0) for _ in range(rng.randint(1, 6))]
@@ -1174,3 +1188,216 @@ def test_sf2_compiled_on_tpu_matches_cpu(tmp_path):
         pytest.skip("TPU backend failed to initialize (degraded relay)")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "TPU_SF2_OK" in proc.stdout
+
+
+# ------------------------------------------- custom modulators (spec 9.5)
+#
+# imod/pmod records evaluated at note-on (the pipelines' MIDI carries no
+# CC / wheel / aftertouch traffic, so every source is static per voice).
+# Each modulator collapses to an offset on its destination generator, so
+# most checks below are EQUIVALENCE checks: a font carrying a modulator
+# must render identically to a font with the offset folded into the
+# generator itself.
+
+# src enumerators (bits 0-6 index, 7 CC, 8 direction, 9 polarity,
+# 10-15 curve): "no controller" full-scale linear unipolar positive = 0;
+# the default velocity->attenuation source (concave unipolar negative
+# note-on velocity) = 0x0502.
+_SRC_UNITY = 0
+_SRC_VEL_CONCAVE_NEG = 0x0502
+_SRC_VEL_LINEAR = 0x0002
+
+
+def _mod_font(path, zone_mods=(), global_mods=None, preset_mods=(),
+              extra_gens=None):
+    """Looped-sine font carrying modulators at the instrument zone /
+    instrument global zone / preset zone levels."""
+    from gandes_tpu.music.sf2 import G_HOLD_VOL as HOLD, G_SAMPLE_MODES as MODES
+
+    n = SR
+    data = (0.5 * np.sin(2 * np.pi * 441.0 * np.arange(n) / SR)).astype(np.float32)
+    gens = {MODES: 1, HOLD: 2786}
+    gens.update(extra_gens or {})
+    zones = []
+    if global_mods is not None:
+        zones.append({"mods": list(global_mods)})  # global zone: no 'sample'
+    zones.append({"sample": 0, "gens": gens, "mods": list(zone_mods)})
+    build_sf2(path, samples=[{"name": "sine", "data": data, "sample_rate": SR,
+                              "original_pitch": 60, "loop_start": 0,
+                              "loop_end": n}],
+              instruments=[{"name": "i", "zones": zones}],
+              presets=[{"name": "p", "program": 0, "zones": [
+                  {"instrument": 0, "mods": list(preset_mods)}]}])
+    return path
+
+
+def test_mod_roundtrip_through_build(tmp_path):
+    """build_sf2 writes imod/pmod records that parse back field-for-field,
+    at all three carrier levels (zone, instrument global zone, preset)."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT, G_INITIAL_FILTER_FC, Mod
+
+    zm = (_SRC_VEL_CONCAVE_NEG, G_INITIAL_ATT, 480, 0, 0)
+    gm = (_SRC_UNITY, G_INITIAL_FILTER_FC, -1200, _SRC_VEL_LINEAR, 2)
+    pm = (_SRC_UNITY, G_INITIAL_ATT, 60, 0, 0)
+    path = _mod_font(str(tmp_path / "rt.sf2"), zone_mods=[zm],
+                     global_mods=[gm], preset_mods=[pm])
+    font = Sf2Font(path)
+    inst = font.instruments[0]
+    assert inst.global_zone.mods == [Mod(*gm)]
+    assert inst.zones[0].mods == [Mod(*zm)]
+    assert font.presets[(0, 0)].zones[0].mods == [Mod(*pm)]
+
+
+def test_mod_equivalent_to_folded_generator(tmp_path):
+    """A unity-source modulator is exactly a generator offset: attenuation,
+    coarse tune and filter cutoff destinations all render identically to
+    fonts with the amount folded into the generator."""
+    from gandes_tpu.music.sf2 import (G_COARSE_TUNE, G_INITIAL_ATT,
+                                      G_INITIAL_FILTER_FC)
+
+    notes = [(60, 100, 0.0, 0.6)]
+    fc = int(round(1200 * np.log2(3000 / 8.176)))
+    cases = [
+        ({G_INITIAL_ATT: 200}, (_SRC_UNITY, G_INITIAL_ATT, 200, 0, 0), {}),
+        ({G_COARSE_TUNE: 7}, (_SRC_UNITY, G_COARSE_TUNE, 7, 0, 0), {}),
+        ({G_INITIAL_FILTER_FC: fc - 1200},
+         (_SRC_UNITY, G_INITIAL_FILTER_FC, -1200, 0, 0),
+         {G_INITIAL_FILTER_FC: fc}),
+    ]
+    for k, (folded, mod, base) in enumerate(cases):
+        folded_gens = dict(base)
+        for oper, amt in folded.items():
+            folded_gens[oper] = folded_gens.get(oper, 0) + (
+                amt - base.get(oper, 0)) + base.get(oper, 0)
+        ref = Sf2Synth(_mod_font(str(tmp_path / f"f{k}.sf2"),
+                                 extra_gens={**base, **folded})
+                       ).render_midi(_midi(notes), sr=SR)
+        got = Sf2Synth(_mod_font(str(tmp_path / f"m{k}.sf2"), zone_mods=[mod],
+                                 extra_gens=base)).render_midi(_midi(notes), sr=SR)
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=f"case {k}")
+
+
+def test_mod_preset_level_is_additive(tmp_path):
+    """Preset-level modulators add on top of instrument-level ones (spec
+    9.5.1): 200 cB at each level = 400 cB total = -40 dB."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    notes = [(60, 127, 0.0, 0.6)]
+    m = (_SRC_UNITY, G_INITIAL_ATT, 200, 0, 0)
+    base = Sf2Synth(_mod_font(str(tmp_path / "b.sf2"))).render_midi(
+        _midi(notes), sr=SR)
+    both = Sf2Synth(_mod_font(str(tmp_path / "ip.sf2"), zone_mods=[m],
+                              preset_mods=[m])).render_midi(_midi(notes), sr=SR)
+    ratio = np.abs(both[2000:8000]).max() / np.abs(base[2000:8000]).max()
+    assert ratio == pytest.approx(10 ** (-400 / 200), rel=0.02)
+
+
+def test_mod_zone_supersedes_global(tmp_path):
+    """A zone-local modulator with the same (src, dest, amt_src, trans)
+    identity replaces the instrument-global one (spec 9.5.1) — the global
+    1440 cB mute never applies."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    notes = [(60, 127, 0.0, 0.6)]
+    mute = (_SRC_UNITY, G_INITIAL_ATT, 1440, 0, 0)
+    quiet = (_SRC_UNITY, G_INITIAL_ATT, 200, 0, 0)
+    base = Sf2Synth(_mod_font(str(tmp_path / "b.sf2"))).render_midi(
+        _midi(notes), sr=SR)
+    got = Sf2Synth(_mod_font(str(tmp_path / "s.sf2"), zone_mods=[quiet],
+                             global_mods=[mute])).render_midi(_midi(notes), sr=SR)
+    ratio = np.abs(got[2000:8000]).max() / np.abs(base[2000:8000]).max()
+    assert ratio == pytest.approx(0.1, rel=0.02)
+
+
+def test_mod_supersedes_default_vel_to_attenuation(tmp_path):
+    """An instrument modulator with the default velocity->attenuation
+    identity replaces the built-in (vel/127)^2 law: amount 0 makes gain
+    velocity-independent; amount 960 reproduces the default exactly."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    flat = (_SRC_VEL_CONCAVE_NEG, G_INITIAL_ATT, 0, 0, 0)
+    path = _mod_font(str(tmp_path / "flat.sf2"), zone_mods=[flat])
+    synth = Sf2Synth(path)
+    loud = synth.render_midi(_midi([(60, 127, 0.0, 0.6)]), sr=SR)
+    soft = synth.render_midi(_midi([(60, 40, 0.0, 0.6)]), sr=SR)
+    np.testing.assert_allclose(soft, loud, atol=1e-6)
+
+    dflt = (_SRC_VEL_CONCAVE_NEG, G_INITIAL_ATT, 960, 0, 0)
+    p_mod = _mod_font(str(tmp_path / "dflt.sf2"), zone_mods=[dflt])
+    p_none = _mod_font(str(tmp_path / "none.sf2"))
+    for vel in (127, 64, 33):
+        a = Sf2Synth(p_mod).render_midi(_midi([(60, vel, 0.0, 0.4)]), sr=SR)
+        b = Sf2Synth(p_none).render_midi(_midi([(60, vel, 0.0, 0.4)]), sr=SR)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_mod_amount_source_scales(tmp_path):
+    """A secondary amount source multiplies the primary: unity primary x
+    linear-velocity secondary gives att = amount * vel/127."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    m = (_SRC_UNITY, G_INITIAL_ATT, 400, _SRC_VEL_LINEAR, 0)
+    path = _mod_font(str(tmp_path / "amt.sf2"), zone_mods=[m])
+    synth = Sf2Synth(path)
+    loud = synth.render_midi(_midi([(60, 127, 0.0, 0.6)]), sr=SR)
+    soft = synth.render_midi(_midi([(60, 64, 0.0, 0.6)]), sr=SR)
+    ratio = np.abs(soft[2000:8000]).max() / np.abs(loud[2000:8000]).max()
+    # default vel curve (64/127)^2 times the modulator's att difference
+    want = (64 / 127) ** 2 * 10 ** (-(400 * 64 / 127 - 400 * 127 / 127) / 200)
+    assert ratio == pytest.approx(want, rel=0.02)
+
+
+def test_mod_ignored_cases(tmp_path):
+    """Per spec: modulators targeting non-modulatable (structural)
+    generators, with unknown/link sources, or reading a centered pitch
+    wheel through a bipolar map all leave the render unchanged."""
+    from gandes_tpu.music.sf2 import G_FINE_TUNE, G_SAMPLE_ID
+
+    notes = [(60, 100, 0.0, 0.6)]
+    base = Sf2Synth(_mod_font(str(tmp_path / "b.sf2"))).render_midi(
+        _midi(notes), sr=SR)
+    cases = [
+        (_SRC_UNITY, G_SAMPLE_ID, 32767, 0, 0),      # structural dest
+        (127, G_FINE_TUNE, 12000, 0, 0),             # link source
+        (20 | 0x80, G_FINE_TUNE, 12000, 0, 0),       # undefined CC inits to 0
+        (0x20E, G_FINE_TUNE, 12000, 0, 0),           # centered wheel, bipolar
+    ]
+    for k, mod in enumerate(cases):
+        got = Sf2Synth(_mod_font(str(tmp_path / f"m{k}.sf2"), zone_mods=[mod])
+                       ).render_midi(_midi(notes), sr=SR)
+        np.testing.assert_allclose(got, base, atol=1e-9, err_msg=f"case {k}")
+
+
+def test_mod_curve_closed_forms():
+    """The 16 source shapes: endpoint values, monotonicity, and the
+    FluidSynth table identity convex(v) == 1 - concave(127 - v)."""
+    from gandes_tpu.music.sf2 import (_mod_concave, _mod_convex,
+                                      _mod_transform_source)
+
+    v = np.linspace(0.0, 127.0, 255)
+    con = np.array([_mod_concave(x) for x in v])
+    cvx = np.array([_mod_convex(x) for x in v])
+    assert con[0] == 0.0 and con[-1] == 1.0
+    assert cvx[0] == 0.0 and cvx[-1] == 1.0
+    assert np.all(np.diff(con) >= 0) and np.all(np.diff(cvx) >= 0)
+    np.testing.assert_allclose(
+        cvx, 1.0 - np.array([_mod_concave(127.0 - x) for x in v]), atol=1e-12)
+    # linear unipolar positive / negative; bipolar endpoints
+    assert _mod_transform_source(127.0, 0x000) == 1.0
+    assert _mod_transform_source(0.0, 0x100) == 1.0
+    assert _mod_transform_source(0.0, 0x200) == -1.0
+    assert _mod_transform_source(127.0, 0x200) == 1.0
+    assert _mod_transform_source(63.5, 0x200) == 0.0
+    # switch curve (3): threshold at 64
+    sw = 3 << 10
+    assert _mod_transform_source(63.0, sw) == 0.0
+    assert _mod_transform_source(64.0, sw) == 1.0
+    assert _mod_transform_source(64.0, sw | 0x100) == 0.0
+    assert _mod_transform_source(63.0, sw | 0x100) == 1.0
+    assert _mod_transform_source(63.0, sw | 0x200) == -1.0
+    # every shape stays in [-1, 1]
+    for curve in range(4):
+        for bits in (0, 0x100, 0x200, 0x300):
+            e = (curve << 10) | bits
+            vals = [_mod_transform_source(x, e) for x in v]
+            assert all(-1.0 <= y <= 1.0 for y in vals), hex(e)
