@@ -78,6 +78,14 @@ Scope (documented, deliberate):
   modulator collapses to a static per-voice offset on its destination
   generator, so the render kernels are untouched. Modulators targeting
   structural (non-modulatable) generators are ignored per spec 8.1.2.
+* keynum/velocity (gens 46/47): instrument-level forced values substitute
+  for the MIDI key/velocity downstream of zone selection (pitch, keynum
+  env scaling, velocity curve, modulator sources) per spec 8.1.2.
+* exclusiveClass (gen 57): a note-on chokes still-sounding voices of the
+  same (program, class) — they enter FluidSynth's -200 tc quick release
+  at the new note's onset (host-side scheduling; kernels untouched).
+* 24-bit banks: an sm24 chunk (spec 6.2) combines with smpl into
+  s24 / 2^23 samples; 16-bit-only fonts keep exact s16 / 2^15 values.
 * FluidSynth's non-spec quirks (the 0.4x initialAttenuation scaling) are
   NOT cloned; this plays the font per the SF2 spec.
 
@@ -161,6 +169,9 @@ G_SAMPLE_MODES = 54
 G_SCALE_TUNING = 56
 G_ROOT_KEY = 58
 G_INSTRUMENT = 41
+G_KEYNUM = 46            # forced MIDI key number (instrument-only, spec 8.1.2)
+G_VELOCITY = 47          # forced MIDI velocity (instrument-only)
+G_EXCLUSIVE_CLASS = 57   # note-on chokes same-class voices (instrument-only)
 
 _TIMECENT_GENS = (G_DELAY_VOL, G_ATTACK_VOL, G_HOLD_VOL, G_DECAY_VOL,
                   G_RELEASE_VOL, G_DELAY_MOD_LFO, G_DELAY_VIB_LFO,
@@ -455,7 +466,17 @@ class Sf2Font:
                 "(truncated or not a complete soundfont)")
         raw = chunks["smpl"]
         raw = raw[: len(raw) // 2 * 2]  # tolerate an odd trailing byte
-        self.bank = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        hi16 = np.frombuffer(raw, dtype="<i2")
+        lo8 = chunks.get("sm24")
+        if lo8 is not None and len(lo8) >= len(hi16):
+            # 24-bit bank (spec 6.2/7.10): smpl holds the upper 16 bits,
+            # sm24 one low byte per point. Combine to s24 / 2^23 — a
+            # 16-bit-only font keeps the exact s16 / 2^15 values.
+            lo = np.frombuffer(lo8[: len(hi16)], dtype=np.uint8)
+            self.bank = ((hi16.astype(np.int32) * 256 + lo)
+                         .astype(np.float32) / 8388608.0)
+        else:
+            self.bank = hi16.astype(np.float32) / 32768.0
 
         self.samples = [
             SampleHeader(
@@ -572,6 +593,17 @@ class Sf2Font:
 
     def _voice_params(self, igens: dict, pgens: dict, key: int, vel: int,
                       imods=(), pmods=()):
+        # keynum/velocity (gens 46/47, instrument-only): substitute for the
+        # MIDI values in everything DOWNSTREAM of zone selection — pitch,
+        # keynum env scaling, the default velocity curve and modulator
+        # sources — while the zone match above used the real MIDI values
+        # (spec 8.1.2; FluidSynth's get_actual_key/velocity).
+        kn = igens.get(G_KEYNUM, -1)
+        if 0 <= kn <= 127:
+            key = kn
+        vn = igens.get(G_VELOCITY, -1)
+        if 0 <= vn <= 127:
+            vel = vn
         # Custom modulators collapse to static per-destination offsets at
         # note-on (module scope note): instrument-level mods supersede the
         # default velocity->attenuation modulator when their identity
@@ -729,6 +761,10 @@ class Sf2Font:
             # never emits those controllers (see module scope note).
             "rev_send": min(max(gen(G_REVERB_SEND), 0), 1000) / 1000.0,
             "cho_send": min(max(gen(G_CHORUS_SEND), 0), 1000) / 1000.0,
+            # exclusiveClass (gen 57, instrument-only): a non-zero class
+            # makes a later same-class note-on choke this voice (host-side
+            # scheduling in events_to_voices; never shipped to the kernel)
+            "excl": int(igens.get(G_EXCLUSIVE_CLASS, 0)),
         }
 
 
@@ -1255,6 +1291,11 @@ class Sf2Synth:
         notes, vels, ons, offs, progs, n, end_t = events
         cols = {k: [] for k in _F}
         cols["start_i"] = []
+        # exclusiveClass choke state: (program, class) -> voice indices
+        # appended so far. FluidSynth's -200 tc quick release on a choked
+        # voice (fluid_voice_kill_excl).
+        excl_live: dict = {}
+        _EXCL_RELEASE_S = 2.0 ** (-200 / 1200.0)
         for i in range(n):
             key, vel = int(notes[i]), int(vels[i])
             zones = self.font.select_voices(int(progs[i]), key, vel)
@@ -1263,7 +1304,19 @@ class Sf2Synth:
                 # whole or not at all (a split pair sums to half-amplitude
                 # mono), and once full there is nothing left to select
                 break
+            # spec 8.1.2 exclusiveClass: this note-on sends still-sounding
+            # same-(program, class) voices into a quick release NOW
+            t_on = float(ons[i])
+            for cls in {vp["excl"] for vp in zones if vp["excl"]}:
+                for j in excl_live.get((int(progs[i]), cls), ()):
+                    if cols["on_s"][j] + cols["dur_s"][j] > t_on:
+                        cols["dur_s"][j] = max(t_on - cols["on_s"][j], 0.0)
+                        cols["release_s"][j] = min(cols["release_s"][j],
+                                                   _EXCL_RELEASE_S)
             for vp in zones:
+                if vp["excl"]:
+                    excl_live.setdefault(
+                        (int(progs[i]), vp["excl"]), []).append(len(cols["on_s"]))
                 start = int(vp["start"])
                 cols["on_s"].append(float(ons[i]))
                 cols["dur_s"].append(max(min(float(offs[i] - ons[i]), MAX_NOTE_S), 0.0))
@@ -1384,7 +1437,7 @@ class Sf2Synth:
 
 
 def build_sf2(path: str, samples: list, instruments: list, presets: list,
-              name: str = "gandes-mini"):
+              name: str = "gandes-mini", sample_bits: int = 16):
     """Write a minimal valid SoundFont 2 file.
 
     samples: list of dicts {name, data (float or int16 array), sample_rate,
@@ -1396,14 +1449,28 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
       global zone (must come first, spec 7.7).
     presets: list of dicts {name, program, bank, zones: [{instrument: idx,
       key_lo...}]}; a zone without 'instrument' is the preset global zone.
+    sample_bits: 16 (smpl only) or 24 (float data quantized to s24; the
+      upper 16 bits land in smpl, the low bytes in an sm24 chunk, spec 6.2).
     """
+    if sample_bits not in (16, 24):
+        raise ValueError(f"sample_bits must be 16 or 24, got {sample_bits}")
     smpl_parts = []
+    sm24_parts = []
     shdr = b""
     pos = 0
     for s in samples:
         d = np.asarray(s["data"])
-        if d.dtype != np.int16:
+        if sample_bits == 24 and d.dtype != np.int16:
+            s24 = np.clip(np.asarray(d, np.float64) * 8388607.0,
+                          -8388608, 8388607).astype(np.int32)
+            d = (s24 >> 8).astype("<i2")
+            sm24_parts.append((s24 & 0xFF).astype(np.uint8).tobytes()
+                              + b"\0" * 46)
+        elif d.dtype != np.int16:
             d = np.clip(np.asarray(d, np.float64) * 32767.0, -32768, 32767).astype("<i2")
+            sm24_parts.append(b"\0" * (len(d) + 46))
+        else:
+            sm24_parts.append(b"\0" * (len(d) + 46))
         smpl_parts.append(d.tobytes() + b"\0" * 92)  # 46 zero words guard
         n = len(d)
         shdr += struct.pack(
@@ -1482,6 +1549,8 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
     info = b"INFO" + chunk(b"ifil", struct.pack("<HH", 2, 1)) + \
         chunk(b"isng", b"EMU8000\0") + chunk(b"INAM", name.encode() + b"\0")
     sdta = b"sdta" + chunk(b"smpl", smpl)
+    if sample_bits == 24:
+        sdta += chunk(b"sm24", b"".join(sm24_parts))
     pdta = (b"pdta" + chunk(b"phdr", phdr) + chunk(b"pbag", pbag)
             + chunk(b"pmod", pmod) + chunk(b"pgen", pgen)
             + chunk(b"inst", inst) + chunk(b"ibag", ibag)

@@ -1086,6 +1086,14 @@ def test_sf2_random_font_render_fuzz(tmp_path, fuzz_seed):
     if rng.rand() < 0.5:
         gens[m.G_REVERB_SEND] = int(rng.randint(0, 1001))
         gens[m.G_CHORUS_SEND] = int(rng.randint(0, 1001))
+    if rng.rand() < 0.3:
+        gens[m.G_EXCLUSIVE_CLASS] = 1
+    if rng.rand() < 0.2:
+        gens[m.G_KEYNUM] = int(rng.randint(0, 128))
+    if rng.rand() < 0.2:
+        # floor 32 keeps the end-of-test "actually sounded" floor honest
+        # under the worst random att/tremolo stack
+        gens[m.G_VELOCITY] = int(rng.randint(32, 128))
     mods = []
     if rng.rand() < 0.6:
         # random custom modulators over the modulatable destinations: any
@@ -1401,3 +1409,74 @@ def test_mod_curve_closed_forms():
             e = (curve << 10) | bits
             vals = [_mod_transform_source(x, e) for x in v]
             assert all(-1.0 <= y <= 1.0 for y in vals), hex(e)
+
+
+# ---------------------------- keynum/velocity/exclusiveClass, 24-bit banks
+
+
+def test_keynum_velocity_force_gens(tmp_path):
+    """keynum/velocity (gens 46/47) substitute for the MIDI values
+    downstream of zone selection: a forced font renders key 72 / vel 40
+    exactly as the plain font renders key 60 / vel 127."""
+    from gandes_tpu.music.sf2 import G_KEYNUM, G_VELOCITY
+
+    plain = _sine_font(str(tmp_path / "p.sf2"), {})
+    forced = _sine_font(str(tmp_path / "f.sf2"),
+                        {G_KEYNUM: 60, G_VELOCITY: 127})
+    ref = Sf2Synth(plain).render_midi(_midi([(60, 127, 0.0, 0.6)]), sr=SR)
+    got = Sf2Synth(forced).render_midi(_midi([(72, 40, 0.0, 0.6)]), sr=SR)
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
+def test_exclusive_class_chokes_same_class_voice(tmp_path):
+    """exclusiveClass (gen 57): a later same-class note-on sends the
+    sounding voice into a quick release, so past the choke point the mix
+    equals the new note alone; without the class both notes ring."""
+    from gandes_tpu.music.sf2 import G_EXCLUSIVE_CLASS
+
+    notes_a = [(60, 100, 0.0, 2.0)]
+    notes_b = [(64, 100, 0.5, 2.0)]
+    both = notes_a + notes_b
+    sl = slice(int(1.2 * SR), int(1.8 * SR))
+
+    excl = _sine_font(str(tmp_path / "x.sf2"), {G_EXCLUSIVE_CLASS: 1})
+    sx = Sf2Synth(excl)
+    mix = sx.render_midi(_midi(both), sr=SR)
+    b_alone = sx.render_midi(_midi(notes_b), sr=SR)
+    a_alone = sx.render_midi(_midi(notes_a), sr=SR)
+    assert np.abs(a_alone[sl]).max() > 0.05      # A alone still sounds there
+    m = min(len(mix), len(b_alone))
+    np.testing.assert_allclose(mix[sl], b_alone[:m][sl], atol=1e-6)
+
+    plain = _sine_font(str(tmp_path / "n.sf2"), {})
+    sp = Sf2Synth(plain)
+    mix_p = sp.render_midi(_midi(both), sr=SR)
+    b_p = sp.render_midi(_midi(notes_b), sr=SR)
+    mp = min(len(mix_p), len(b_p))
+    assert np.abs(mix_p[sl] - b_p[:mp][sl]).max() > 0.05  # no choke: A rings
+
+
+def test_sm24_bank_24bit_precision(tmp_path):
+    """A 24-bit font (smpl + sm24, spec 6.2) parses to s24/2^23 samples —
+    strictly finer than any 16-bit quantization — and renders them."""
+    n = 4000
+    rng = np.random.RandomState(3)
+    data = (rng.uniform(-1, 1, n) * 0.001).astype(np.float64)  # tiny: needs 24-bit
+    kw = dict(
+        samples=[{"name": "s", "data": data, "sample_rate": SR,
+                  "original_pitch": 60, "loop_start": 0, "loop_end": n}],
+        instruments=[{"name": "i", "zones": [{"sample": 0, "gens": {
+            sf2mod.G_SAMPLE_MODES: 1, sf2mod.G_HOLD_VOL: 2786}}]}],
+        presets=[{"name": "p", "program": 0, "zones": [{"instrument": 0}]}])
+    p24 = str(tmp_path / "b24.sf2")
+    p16 = str(tmp_path / "b16.sf2")
+    build_sf2(p24, sample_bits=24, **kw)
+    build_sf2(p16, **kw)
+    f24, f16 = Sf2Font(p24), Sf2Font(p16)
+    np.testing.assert_allclose(f24.bank[:n], data, atol=1.0 / (1 << 23))
+    err16 = np.abs(f16.bank[:n] - data).max()
+    err24 = np.abs(f24.bank[:n] - data).max()
+    assert err24 < err16 / 50  # 8 extra bits = 256x finer grid
+    # and the render plays the 24-bit samples verbatim at the root key
+    audio = Sf2Synth(p24).render_midi(_midi([(60, 127, 0.0, 0.05)]), sr=SR)
+    np.testing.assert_allclose(audio[:1000], data[:1000], atol=2e-7)
