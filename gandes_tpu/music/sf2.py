@@ -285,8 +285,8 @@ def _mod_transform_source(v: float, enum: int) -> float:
         lo = -1.0 if bipolar else 0.0
         return (lo if hi else 1.0) if negative else (1.0 if hi else lo)
     fn = _mod_concave if curve == 1 else _mod_convex if curve == 2 else None
-    if fn is None:  # unknown curve type: treat as linear positive (spec
-        return v / 127.0  # enumerators beyond 3 are unassigned)
+    if fn is None:
+        return None  # unknown curve type: ignore the modulator (spec 9.5.2)
     if not bipolar:
         return fn(127.0 - v) if negative else fn(v)
     if negative:
@@ -296,11 +296,16 @@ def _mod_transform_source(v: float, enum: int) -> float:
 
 def _mod_value(mod: Mod, key: int, vel: int):
     """The modulator's contribution to its destination generator, or None
-    when a source is unresolvable."""
+    when any enumerator is unknown — unknown source index, curve type or
+    transform means the ENTIRE modulator is ignored (spec 9.5.2)."""
+    if mod.trans not in (0, 2):
+        return None
     raw1 = _mod_source_raw(mod.src, key, vel)
     if raw1 is None:
         return None
     v1 = _mod_transform_source(raw1, mod.src)
+    if v1 is None:
+        return None
     if mod.amt_src == 0:
         v2 = 1.0  # "no controller" amount source is unity, not curve(127)
     else:
@@ -308,13 +313,15 @@ def _mod_value(mod: Mod, key: int, vel: int):
         if raw2 is None:
             return None
         v2 = _mod_transform_source(raw2, mod.amt_src)
+        if v2 is None:
+            return None
     out = mod.amount * v1 * v2
     return abs(out) if mod.trans == 2 else out
 
 
 def _supersede(base: list, over: list) -> list:
     """Spec 9.5.1 layering: a modulator in ``over`` replaces an identical
-    (same source/dest/amount-source/transform) one in ``base``."""
+    (same source/destination/amount-source) one in ``base``."""
     table = {m.key(): m for m in base}
     for m in over:
         table[m.key()] = m
@@ -326,7 +333,7 @@ def _supersede(base: list, over: list) -> list:
 # bakes it in as amp *= (vel/127)^2 — the exact closed form of
 # 10^(-960*concave(127-vel)/200) — so it only goes through the modulator
 # machinery when a font SUPERSEDES it (then the font's amount wins).
-_DEFAULT_VEL_ATT_KEY = (0x0502, G_INITIAL_ATT, 0, 0)
+_DEFAULT_VEL_ATT_KEY = (0x0502, G_INITIAL_ATT, 0)
 
 # Destinations the renderer honors as continuous synthesis parameters.
 # Structural generators (sampleID, sampleModes, ranges, root key, address
@@ -384,10 +391,11 @@ class Mod:
     trans: int
 
     def key(self):
-        """Supersession identity (spec 9.5.1): modulators are 'identical'
-        when source, destination, amount-source and transform all match —
-        only the amount differs between a superseder and its victim."""
-        return (self.src, self.dest, self.amt_src, self.trans)
+        """Supersession identity (spec 9.5.1 / FluidSynth's
+        fluid_mod_test_identity): modulators are 'identical' when source,
+        destination and amount-source match — the transform and amount are
+        NOT part of the identity, so a superseder may change either."""
+        return (self.src, self.dest, self.amt_src)
 
 
 @dataclass
@@ -1291,11 +1299,14 @@ class Sf2Synth:
         notes, vels, ons, offs, progs, n, end_t = events
         cols = {k: [] for k in _F}
         cols["start_i"] = []
-        # exclusiveClass choke state: (program, class) -> voice indices
-        # appended so far. FluidSynth's -200 tc quick release on a choked
-        # voice (fluid_voice_kill_excl).
+        # exclusiveClass choke state: (program, class) -> indices of voices
+        # that may still be sustaining when a later same-class note lands.
+        # A choked voice keeps its own release, already capped at
+        # MAX_RELEASE_S = 0.5 s — QUICKER than FluidSynth's -200 tc
+        # (0.89 s) kill_excl release, so truncating dur alone implements
+        # the choke. Voices already past note-off (in their release tail)
+        # are left to finish the remaining <= 0.5 s tail.
         excl_live: dict = {}
-        _EXCL_RELEASE_S = 2.0 ** (-200 / 1200.0)
         for i in range(n):
             key, vel = int(notes[i]), int(vels[i])
             zones = self.font.select_voices(int(progs[i]), key, vel)
@@ -1311,8 +1322,10 @@ class Sf2Synth:
                 for j in excl_live.get((int(progs[i]), cls), ()):
                     if cols["on_s"][j] + cols["dur_s"][j] > t_on:
                         cols["dur_s"][j] = max(t_on - cols["on_s"][j], 0.0)
-                        cols["release_s"][j] = min(cols["release_s"][j],
-                                                   _EXCL_RELEASE_S)
+                # every prior voice in this class now ends by t_on, and
+                # events arrive in on-time order, so none can be choked by
+                # a later note — clear instead of rescanning (O(n) total)
+                excl_live[(int(progs[i]), cls)] = []
             for vp in zones:
                 if vp["excl"]:
                     excl_live.setdefault(
@@ -1460,17 +1473,17 @@ def build_sf2(path: str, samples: list, instruments: list, presets: list,
     pos = 0
     for s in samples:
         d = np.asarray(s["data"])
-        if sample_bits == 24 and d.dtype != np.int16:
-            s24 = np.clip(np.asarray(d, np.float64) * 8388607.0,
-                          -8388608, 8388607).astype(np.int32)
-            d = (s24 >> 8).astype("<i2")
-            sm24_parts.append((s24 & 0xFF).astype(np.uint8).tobytes()
-                              + b"\0" * 46)
+        if sample_bits == 24:
+            if d.dtype != np.int16:
+                s24 = np.clip(np.asarray(d, np.float64) * 8388607.0,
+                              -8388608, 8388607).astype(np.int32)
+                d = (s24 >> 8).astype("<i2")
+                sm24_parts.append((s24 & 0xFF).astype(np.uint8).tobytes()
+                                  + b"\0" * 46)
+            else:
+                sm24_parts.append(b"\0" * (len(d) + 46))
         elif d.dtype != np.int16:
             d = np.clip(np.asarray(d, np.float64) * 32767.0, -32768, 32767).astype("<i2")
-            sm24_parts.append(b"\0" * (len(d) + 46))
-        else:
-            sm24_parts.append(b"\0" * (len(d) + 46))
         smpl_parts.append(d.tobytes() + b"\0" * 92)  # 46 zero words guard
         n = len(d)
         shdr += struct.pack(

@@ -1273,10 +1273,6 @@ def test_mod_equivalent_to_folded_generator(tmp_path):
          {G_INITIAL_FILTER_FC: fc}),
     ]
     for k, (folded, mod, base) in enumerate(cases):
-        folded_gens = dict(base)
-        for oper, amt in folded.items():
-            folded_gens[oper] = folded_gens.get(oper, 0) + (
-                amt - base.get(oper, 0)) + base.get(oper, 0)
         ref = Sf2Synth(_mod_font(str(tmp_path / f"f{k}.sf2"),
                                  extra_gens={**base, **folded})
                        ).render_midi(_midi(notes), sr=SR)
@@ -1369,6 +1365,41 @@ def test_mod_ignored_cases(tmp_path):
         (127, G_FINE_TUNE, 12000, 0, 0),             # link source
         (20 | 0x80, G_FINE_TUNE, 12000, 0, 0),       # undefined CC inits to 0
         (0x20E, G_FINE_TUNE, 12000, 0, 0),           # centered wheel, bipolar
+    ]
+    for k, mod in enumerate(cases):
+        got = Sf2Synth(_mod_font(str(tmp_path / f"m{k}.sf2"), zone_mods=[mod])
+                       ).render_midi(_midi(notes), sr=SR)
+        np.testing.assert_allclose(got, base, atol=1e-9, err_msg=f"case {k}")
+
+
+def test_mod_identity_excludes_transform(tmp_path):
+    """Supersession identity is (src, dest, amt_src) ONLY (spec 9.5.1 /
+    fluid_mod_test_identity): a font modulator that matches the default
+    velocity->attenuation identity but uses the abs transform still
+    supersedes it — with amount 0 the render goes velocity-independent
+    instead of attenuating twice."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    m = (_SRC_VEL_CONCAVE_NEG, G_INITIAL_ATT, 0, 0, 2)  # trans = |x|
+    path = _mod_font(str(tmp_path / "abs.sf2"), zone_mods=[m])
+    synth = Sf2Synth(path)
+    loud = synth.render_midi(_midi([(60, 127, 0.0, 0.5)]), sr=SR)
+    soft = synth.render_midi(_midi([(60, 40, 0.0, 0.5)]), sr=SR)
+    np.testing.assert_allclose(soft, loud, atol=1e-6)
+
+
+def test_mod_unknown_trans_and_curve_ignored(tmp_path):
+    """Unknown transform or curve enumerators make the WHOLE modulator
+    ignored (spec 9.5.2), not applied as linear."""
+    from gandes_tpu.music.sf2 import G_FINE_TUNE
+
+    notes = [(60, 100, 0.0, 0.5)]
+    base = Sf2Synth(_mod_font(str(tmp_path / "b.sf2"))).render_midi(
+        _midi(notes), sr=SR)
+    cases = [
+        (_SRC_UNITY, G_FINE_TUNE, 1200, 0, 4),        # unknown transform
+        ((7 << 10), G_FINE_TUNE, 1200, 0, 0),         # unknown curve, src
+        (_SRC_UNITY, G_FINE_TUNE, 1200, (9 << 10) | 2, 0),  # ... amt_src
     ]
     for k, mod in enumerate(cases):
         got = Sf2Synth(_mod_font(str(tmp_path / f"m{k}.sf2"), zone_mods=[mod])
