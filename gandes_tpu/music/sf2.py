@@ -245,6 +245,12 @@ def _mod_convex(v: float) -> float:
 # fluid_channel_init_ctrl): everything 0 except volume/pan/expression
 _INIT_CC = {7: 100, 10: 64, 11: 127}
 
+# CC indexes spec 8.2.1 forbids as modulator sources (bank select, data
+# entry, (N)RPN selects, channel-mode messages): a modulator naming one is
+# invalid and ignored entirely, matching fluid_mod_check_cc_source.
+_FORBIDDEN_CC = frozenset({0, 6, 32, 38, 98, 99, 100, 101}) | frozenset(
+    range(120, 128))
+
 
 def _mod_source_raw(enum: int, key: int, vel: int):
     """Raw 0..127 value of a modulator source enumerator at note-on, or
@@ -252,6 +258,8 @@ def _mod_source_raw(enum: int, key: int, vel: int):
     ignored entirely)."""
     index = enum & 0x7F
     if enum & 0x80:  # CC flag: a MIDI controller at its initial value
+        if index in _FORBIDDEN_CC:
+            return None  # spec 8.2.1: invalid controller -> whole mod ignored
         return float(_INIT_CC.get(index, 0))
     if index == 0:    # "no controller" == full scale
         return 127.0
@@ -280,8 +288,11 @@ def _mod_transform_source(v: float, enum: int) -> float:
         if not bipolar:
             return 1.0 - x if negative else x
         return 1.0 - 2.0 * x if negative else 2.0 * x - 1.0
-    if curve == 3:  # switch
-        hi = v >= 64.0
+    if curve == 3:  # switch: half-scale threshold (FluidSynth's
+        # val/range >= 0.5 on range 127) — 63.5, so the centered pitch
+        # wheel (63.5 on this scale) reads HIGH like FluidSynth's
+        # 8192/16384; same result as >= 64 for every integer CC value
+        hi = v >= 63.5
         lo = -1.0 if bipolar else 0.0
         return (lo if hi else 1.0) if negative else (1.0 if hi else lo)
     fn = _mod_concave if curve == 1 else _mod_convex if curve == 2 else None
@@ -289,9 +300,12 @@ def _mod_transform_source(v: float, enum: int) -> float:
         return None  # unknown curve type: ignore the modulator (spec 9.5.2)
     if not bipolar:
         return fn(127.0 - v) if negative else fn(v)
+    # bipolar center is half scale (63.5): fn(2v - 127) is FluidSynth's
+    # concave(127 * 2 * (v/127 - 0.5)) exactly, and a centered wheel maps
+    # to 0 on both curve halves
     if negative:
-        return -fn(2.0 * (v - 64.0)) if v > 64.0 else fn(2.0 * (64.0 - v))
-    return fn(2.0 * (v - 64.0)) if v > 64.0 else -fn(2.0 * (64.0 - v))
+        return -fn(2.0 * (v - 63.5)) if v > 63.5 else fn(2.0 * (63.5 - v))
+    return fn(2.0 * (v - 63.5)) if v > 63.5 else -fn(2.0 * (63.5 - v))
 
 
 def _mod_value(mod: Mod, key: int, vel: int):
@@ -306,8 +320,11 @@ def _mod_value(mod: Mod, key: int, vel: int):
     v1 = _mod_transform_source(raw1, mod.src)
     if v1 is None:
         return None
-    if mod.amt_src == 0:
-        v2 = 1.0  # "no controller" amount source is unity, not curve(127)
+    if (mod.amt_src & 0xFF) == 0:
+        # "no controller" amount source (index 0, CC flag clear) is unity
+        # regardless of curve/polarity/direction bits — FluidSynth sets
+        # v2 = 1.0 before any transform, not curve(127)
+        v2 = 1.0
     else:
         raw2 = _mod_source_raw(mod.amt_src, key, vel)
         if raw2 is None:
@@ -619,7 +636,12 @@ class Sf2Font:
         mod_sum: dict = {}
         vel_att_superseded = False
         for m in imods:
-            if m.key() == _DEFAULT_VEL_ATT_KEY:
+            # only a VALID matching modulator supersedes the default
+            # velocity curve: an invalid one (unknown enumerator /
+            # transform) is ignored entirely per spec 9.5.2, so the
+            # default must survive it
+            if (m.key() == _DEFAULT_VEL_ATT_KEY
+                    and _mod_value(m, key, vel) is not None):
                 vel_att_superseded = True
         for m in list(imods) + list(pmods):
             if m.dest not in _MODULATABLE:
@@ -1299,8 +1321,13 @@ class Sf2Synth:
         notes, vels, ons, offs, progs, n, end_t = events
         cols = {k: [] for k in _F}
         cols["start_i"] = []
-        # exclusiveClass choke state: (program, class) -> indices of voices
-        # that may still be sustaining when a later same-class note lands.
+        # exclusiveClass choke state: class -> indices of voices that may
+        # still be sustaining when a later same-class note lands.
+        # FluidSynth scopes the choke per MIDI CHANNEL (not per program);
+        # the flattened event stream carries no channel, and the
+        # pipelines' MIDI is single-channel, so class-only keying matches
+        # — including across a mid-stream program change, which
+        # program-keyed state would miss.
         # A choked voice keeps its own release, already capped at
         # MAX_RELEASE_S = 0.5 s — QUICKER than FluidSynth's -200 tc
         # (0.89 s) kill_excl release, so truncating dur alone implements
@@ -1319,17 +1346,17 @@ class Sf2Synth:
             # same-(program, class) voices into a quick release NOW
             t_on = float(ons[i])
             for cls in {vp["excl"] for vp in zones if vp["excl"]}:
-                for j in excl_live.get((int(progs[i]), cls), ()):
+                for j in excl_live.get(cls, ()):
                     if cols["on_s"][j] + cols["dur_s"][j] > t_on:
                         cols["dur_s"][j] = max(t_on - cols["on_s"][j], 0.0)
                 # every prior voice in this class now ends by t_on, and
                 # events arrive in on-time order, so none can be choked by
                 # a later note — clear instead of rescanning (O(n) total)
-                excl_live[(int(progs[i]), cls)] = []
+                excl_live[cls] = []
             for vp in zones:
                 if vp["excl"]:
-                    excl_live.setdefault(
-                        (int(progs[i]), vp["excl"]), []).append(len(cols["on_s"]))
+                    excl_live.setdefault(vp["excl"], []).append(
+                        len(cols["on_s"]))
                 start = int(vp["start"])
                 cols["on_s"].append(float(ons[i]))
                 cols["dur_s"].append(max(min(float(offs[i] - ons[i]), MAX_NOTE_S), 0.0))

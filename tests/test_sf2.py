@@ -1442,6 +1442,78 @@ def test_mod_curve_closed_forms():
             assert all(-1.0 <= y <= 1.0 for y in vals), hex(e)
 
 
+def test_mod_invalid_superseder_keeps_default_vel_curve(tmp_path):
+    """An INVALID modulator (unknown transform) that matches the default
+    velocity->attenuation identity is ignored entirely (spec 9.5.2): the
+    default velocity curve must survive, not be silently deleted."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    m = (_SRC_VEL_CONCAVE_NEG, G_INITIAL_ATT, 960, 0, 1)  # unknown transform
+    path = _mod_font(str(tmp_path / "inv.sf2"), zone_mods=[m])
+    synth = Sf2Synth(path)
+    loud = synth.render_midi(_midi([(60, 127, 0.0, 0.5)]), sr=SR)
+    soft = synth.render_midi(_midi([(60, 64, 0.0, 0.5)]), sr=SR)
+    ratio = np.abs(soft).max() / np.abs(loud).max()
+    assert ratio == pytest.approx((64 / 127) ** 2, rel=0.05)
+
+
+def test_mod_forbidden_cc_sources_ignored(tmp_path):
+    """CC indexes spec 8.2.1 forbids as sources (bank select, data entry,
+    (N)RPN selects, channel-mode 120-127) invalidate the whole modulator
+    instead of reading as a zero-value controller."""
+    from gandes_tpu.music.sf2 import G_FINE_TUNE, G_INITIAL_ATT
+
+    notes = [(60, 100, 0.0, 0.5)]
+    base = Sf2Synth(_mod_font(str(tmp_path / "b.sf2"))).render_midi(
+        _midi(notes), sr=SR)
+    cases = [
+        # CC121 negative linear: raw 0 -> 1.0 -> would add 960 cB (silence)
+        (0x80 | 121 | 0x100, G_INITIAL_ATT, 960, 0, 0),
+        (0x80 | 0, G_FINE_TUNE, 1200, 0, 0),            # bank select MSB
+        (_SRC_UNITY, G_FINE_TUNE, 1200, 0x80 | 38, 0),  # data entry LSB amt
+    ]
+    for k, mod in enumerate(cases):
+        got = Sf2Synth(_mod_font(str(tmp_path / f"m{k}.sf2"), zone_mods=[mod])
+                       ).render_midi(_midi(notes), sr=SR)
+        np.testing.assert_allclose(got, base, atol=1e-9, err_msg=f"case {k}")
+
+
+def test_mod_amount_source_index0_unity_despite_flags(tmp_path):
+    """A 'no controller' amount source (index 0, CC clear) is unity even
+    with direction/polarity/curve bits set — FluidSynth forces v2 = 1.0
+    before any transform (negative-linear bits would otherwise zero it)."""
+    from gandes_tpu.music.sf2 import G_INITIAL_ATT
+
+    notes = [(60, 100, 0.0, 0.5)]
+    plain = (_SRC_UNITY, G_INITIAL_ATT, 200, 0, 0)
+    flagged = (_SRC_UNITY, G_INITIAL_ATT, 200, 0x0100, 0)
+    want = Sf2Synth(_mod_font(str(tmp_path / "p.sf2"), zone_mods=[plain])
+                    ).render_midi(_midi(notes), sr=SR)
+    got = Sf2Synth(_mod_font(str(tmp_path / "f.sf2"), zone_mods=[flagged])
+                   ).render_midi(_midi(notes), sr=SR)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_mod_centered_wheel_switch_and_bipolar_curves():
+    """The centered pitch wheel (63.5 on the 0..127 scale) reads HIGH
+    through the switch curve (FluidSynth: 8192 >= 16384/2) and exactly 0
+    through bipolar concave/convex; integer CC behavior is unchanged."""
+    from gandes_tpu.music.sf2 import _mod_concave, _mod_transform_source
+
+    sw = 3 << 10
+    assert _mod_transform_source(63.5, sw) == 1.0
+    assert _mod_transform_source(63.5, sw | 0x100) == 0.0
+    assert _mod_transform_source(63.0, sw) == 0.0  # integer pins hold
+    assert _mod_transform_source(64.0, sw) == 1.0
+    for curve in (1 << 10, 2 << 10):  # concave, convex
+        assert _mod_transform_source(63.5, curve | 0x200) == 0.0
+    # bipolar concave at integer v matches FluidSynth's concave(2v - 127)
+    assert _mod_transform_source(64.0, (1 << 10) | 0x200) == pytest.approx(
+        _mod_concave(1.0))
+    assert _mod_transform_source(63.0, (1 << 10) | 0x200) == pytest.approx(
+        -_mod_concave(1.0))
+
+
 # ---------------------------- keynum/velocity/exclusiveClass, 24-bit banks
 
 
@@ -1485,6 +1557,34 @@ def test_exclusive_class_chokes_same_class_voice(tmp_path):
     b_p = sp.render_midi(_midi(notes_b), sr=SR)
     mp = min(len(mix_p), len(b_p))
     assert np.abs(mix_p[sl] - b_p[:mp][sl]).max() > 0.05  # no choke: A rings
+
+
+def test_exclusive_class_chokes_across_program_change(tmp_path):
+    """exclusiveClass scope survives a mid-stream program change: two
+    programs resolving to the same preset (GM first-preset fallback) still
+    choke each other — FluidSynth scopes the choke per channel, not per
+    program, and this stream is one channel."""
+    from gandes_tpu.music.sf2 import G_EXCLUSIVE_CLASS
+
+    sx = Sf2Synth(_sine_font(str(tmp_path / "x.sf2"), {G_EXCLUSIVE_CLASS: 1}))
+    mid = MidiFile(type=0, ticks_per_beat=480)
+    tr = MidiTrack()
+    tr.append(MetaMessage("set_tempo", tempo=500000, time=0))
+    tr.append(Message("note_on", note=60, velocity=100, time=0))
+    tr.append(Message("program_change", program=5, time=480))   # t = 0.5 s
+    tr.append(Message("note_on", note=64, velocity=100, time=0))
+    tr.append(Message("note_off", note=60, velocity=0, time=1440))  # t = 2 s
+    tr.append(Message("note_off", note=64, velocity=0, time=0))
+    tr.append(MetaMessage("end_of_track", time=0))
+    mid.tracks.append(tr)
+
+    sl = slice(int(1.2 * SR), int(1.8 * SR))
+    mix = sx.render_midi(mid, sr=SR)
+    b_alone = sx.render_midi(_midi([(64, 100, 0.5, 2.0)]), sr=SR)
+    a_alone = sx.render_midi(_midi([(60, 100, 0.0, 2.0)]), sr=SR)
+    assert np.abs(a_alone[sl]).max() > 0.05  # A alone still sounds there
+    m = min(len(mix), len(b_alone))
+    np.testing.assert_allclose(mix[sl], b_alone[:m][sl], atol=1e-6)
 
 
 def test_sm24_bank_24bit_precision(tmp_path):
