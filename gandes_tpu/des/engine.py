@@ -218,7 +218,11 @@ class Server:
     def __init__(self, distribution, destinations=None, server_id=None):
         self.queue = Queue()
         self.sampler = Sampler(distribution)
-        self.rng = np.random.RandomState()
+        # per-replication stream; Sim.run reseeds it before any draw
+        # (engine.py ~:480). Creating an *unseeded* RandomState here — as
+        # the reference does — costs ~0.1 ms of urandom entropy per node
+        # that is never observed; deferring it is behavior-invariant.
+        self.rng = None
         self.server_id = server_id
         self.mean_service_time = (
             0 if (self.sampler.is_branch or self.sampler.is_queue) else self.sampler.mean
@@ -283,7 +287,7 @@ class Source:
         self.sampler = Sampler(distribution)
         if self.sampler.is_branch or self.sampler.is_queue:
             raise ValueError("Distribution not supported")
-        self.rng = np.random.RandomState()
+        self.rng = None  # reseeded per replication before any draw
         self.mean_inter_arrival_time = self.sampler.mean
         self.destination = destinations
         self.arrival_times = 0
