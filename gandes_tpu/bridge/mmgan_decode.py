@@ -24,14 +24,19 @@ Re-designs (observable behavior preserved on the default path):
   and *leaks* the thread on timeout (:159-168). We run the sim inline with
   a cooperative absolute deadline — timeouts yield the same blank-roll +
   failed-count behavior without zombie threads.
-* ``parallel=N`` (fast mode, needs the native engine) runs the batch's
-  sims CONCURRENTLY: decoding stays sequential on the global RNG, then
-  each sim gets a private routing stream seeded from that RNG and runs on
-  a thread (the native call releases the GIL), then logs decode
-  sequentially. Deterministic given the starting RNG state, but a
-  *different* stream than the reference's strictly-sequential global-RNG
-  coupling — opt-in for training throughput; default is parity-exact
-  sequential.
+* ``parallel=N`` (fast mode, needs the native engine + float32 inputs)
+  runs the WHOLE batch in one C++ call (``mmgan_host_batch``: decode,
+  routing tables, sims, records — one GIL release, no Python objects per
+  sample). ``parallel=1`` interleaves decode/run on the global RNG stream
+  and is **bit-identical to the sequential path** (pinned with the
+  post-call RNG state in tests/test_native_batch.py). ``parallel>1``
+  decodes the batch first, draws one private routing seed per sample from
+  the global stream, and runs the sims on C++ worker threads so their
+  wall budgets overlap — deterministic given the starting RNG state (when
+  sims terminate by customer count), but a *different* stream than the
+  reference's strictly-sequential global-RNG coupling: opt-in for
+  training throughput on budget-bound batches. Non-f32 inputs keep the
+  older Python-thread fast path (`_matrix_to_midi_parallel`).
 """
 
 from __future__ import annotations
@@ -149,10 +154,27 @@ def matrix_to_midi(
     gen1_output = _to_numpy(gen1_output)
     gen2_output = _to_numpy(gen2_output)
 
-    if parallel and parallel > 1:
+    if parallel and parallel >= 1:
         from gandes_tpu.des.native import native_available
 
-        if native_available():
+        if native_available() and np.asarray(gen1_output).dtype == np.float32:
+            # single C++ round trip for the whole batch (decode + tables +
+            # sims in one GIL release). parallel == 1 routes on the global
+            # stream and is BIT-IDENTICAL to the sequential path below;
+            # parallel > 1 runs the sims on C++ worker threads with private
+            # routing streams (the former thread mode's stream discipline)
+            # so their wall budgets overlap on the clock.
+            result = _matrix_to_midi_batch(
+                gen1_output, gen2_output, dim, size, num_aug, instrument,
+                start, end, count, generate, out_dir, watchdog,
+                parallel, skip_trivial_decode, force_roll,
+            )
+            if result is not None:
+                return result
+            # decode error (empty repair row): global RNG was restored —
+            # fall through so the sequential path raises the reference's
+            # ValueError at the same sample
+        elif native_available() and parallel > 1:
             return _matrix_to_midi_parallel(
                 gen1_output, gen2_output, dim, size, num_aug, instrument,
                 start, end, count, generate, log_path, out_dir, watchdog,
@@ -228,6 +250,108 @@ def matrix_to_midi(
         midi_rolls.append(output)
 
     return midi_rolls, failed_simulations
+
+
+class _BatchSimShim:
+    """Just enough of ``Sim``'s log surface for the record decoders:
+    ``log.lines`` starts with the shortest-queue notice lines (emitted by
+    ``Sim.__init__`` in the sequential path) and the native records are
+    pending, so ``music_lines()``/``log_line_count()``/
+    ``decode_records_v2`` all work through the same code paths."""
+
+    def __init__(self, notice_nodes, records, emitted):
+        from gandes_tpu.core.eventlog import EventLog
+
+        self.log = EventLog(None)
+        self.log.lines.extend(
+            f"INFO:root:{int(i)} branch method set as shortest queue"
+            for i in notice_nodes
+        )
+        self._pending_records = records
+        self._pending_offset = 0
+        self._pending_total = int(emitted)
+        self._dropped_records = self._pending_total - len(records[0])
+
+    log_line_count = Sim.log_line_count
+    music_lines = Sim.music_lines
+
+
+def _matrix_to_midi_batch(gen1_output, gen2_output, dim, size, num_aug,
+                          instrument, start, end, count, generate, out_dir,
+                          watchdog, n_threads, skip_trivial_decode,
+                          force_roll):
+    """Single-native-call fast mode (see matrix_to_midi dispatch). Returns
+    None on a decode error, with the global RNG already restored."""
+    from gandes_tpu.des.native import host_batch
+    from gandes_tpu.music.native_decode import decode_records_v2
+
+    g1 = gen1_output
+    if g1.ndim == 4:  # (B, 1, A, A) channel axis, as the torch models emit
+        g1 = g1[:, 0]
+    res = host_batch(g1, gen2_output, size=size, num_aug=num_aug,
+                     instrument=instrument, watchdog=watchdog,
+                     n_threads=n_threads)
+    if res is None:
+        return None
+
+    B = len(g1)
+    values, ids, servers_l, kinds = res["records"]
+    offsets = res["offsets"]
+    midi_rolls = []
+    failed = 0
+    for index in range(B):
+        output = np.zeros((2, 128, end - start))
+        if res["timed_out"][index]:
+            print("Simulation took too long, stopping")
+            failed += 1
+            midi_rolls.append(output)
+            continue
+        n_notices = int(res["notice_counts"][index])
+        line_count = n_notices + int(res["emitted"][index])
+        gate_saves = min(line_count, 5001) % 100 == 0
+        if (skip_trivial_decode and not generate and not force_roll
+                and not gate_saves):
+            # parity-exact zero-roll shortcut (see sequential path)
+            midi_rolls.append(output)
+            continue
+        lo, hi = int(offsets[index]), int(offsets[index + 1])
+        records = (values[lo:hi], ids[lo:hi], servers_l[lo:hi], kinds[lo:hi])
+        sim = _BatchSimShim(
+            res["notice_nodes"][index, :n_notices], records,
+            res["emitted"][index])
+        if instrument is None:
+            instruments = res["instruments"][index]
+        else:
+            instruments = np.array([instrument] * dim)  # int dtype, as ref
+        note_levels = res["note_levels"][index]
+        try:
+            decoded = None
+            if force_roll and not generate and not gate_saves:
+                # in-memory roll only: native record decoder first
+                decoded = decode_records_v2(
+                    sim, instruments, note_levels, gen2_output[index][10:],
+                    start, end)
+            if decoded is None:
+                decoded = process_adjsim_log_v2(
+                    instruments=instruments, note_levels=note_levels,
+                    gen2_output=gen2_output[index][10:],
+                    count=(count if index == 0 else 1), start=start, end=end,
+                    generate=generate, lines=sim.music_lines(limit=5001),
+                    out_dir=out_dir, force_roll=force_roll)
+            roll, durations, _ = decoded
+            if roll is None:  # pragma: no cover - defensive, as reference :173
+                failed += 1
+                midi_rolls.append(output)
+                continue
+            output[0] = roll
+            output[1] = durations
+        except Exception:
+            print("Error in simulation thread, using blank piano roll instead.")
+            failed += 1
+            raise ValueError(
+                "Error in simulation thread, using blank piano roll instead.")
+        midi_rolls.append(output)
+    return midi_rolls, failed
 
 
 def _matrix_to_midi_parallel(gen1_output, gen2_output, dim, size, num_aug,

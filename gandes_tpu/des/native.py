@@ -78,7 +78,8 @@ def get_lib():
     with _BUILD_LOCK:
         if _lib is not None or _build_failed:
             return _lib
-        path = build_native_lib(_SRC, "libdes", extra_flags=("-march=native",))
+        path = build_native_lib(_SRC, "libdes",
+                                extra_flags=("-march=native", "-pthread"))
         if path is None:
             _build_failed = True
             return None
@@ -90,6 +91,7 @@ def get_lib():
         lib.des_run.restype = C.c_int
         lib.des_free_records.restype = None
         lib.des_format_records.restype = C.c_int64
+        lib.mmgan_host_batch.restype = C.c_int
         _lib = lib
     return _lib
 
@@ -161,6 +163,92 @@ def materialize_records(sim, limit: int | None = None) -> None:
         sim._pending_offset = want
     if sim._pending_offset >= total:
         sim._pending_records = None
+
+
+def host_batch(gen1, gen2, *, size, num_aug, instrument, watchdog,
+               n_threads, record_limit=5100):
+    """One C++ round trip for a whole MM-GAN batch: decode every generator
+    matrix (consuming the global numpy RNG exactly like the sequential
+    bridge), build the routing tables, run every sim (``n_threads == 1``:
+    inline with global-stream routing — bit-identical to the sequential
+    parity path; ``> 1``: C++ worker threads with private routing streams,
+    the thread mode's stream discipline).
+
+    Returns ``None`` on a decode error (empty repair-candidate row) with
+    the global RNG restored, so the caller can replay on the Python path
+    and surface the reference's ValueError; otherwise a dict of per-sample
+    arrays (records, line counts, timeout flags, notices, instruments,
+    note levels) with the global RNG advanced identically to the
+    sequential decode+run sequence.
+    """
+    lib = get_lib()
+    B = int(len(gen1))
+    dim = size - num_aug
+    g1 = np.ascontiguousarray(gen1, np.float32)
+    gen2_is_f32 = 1 if np.asarray(gen2).dtype == np.float32 else 0
+    g2 = np.ascontiguousarray(gen2, np.float64)
+
+    snapshot = np.random.get_state()
+    g_key = np.ascontiguousarray(snapshot[1], np.uint32)
+    g_pos = C.c_int(int(snapshot[2]))
+    g_has_gauss = C.c_int(int(snapshot[3]))
+    g_gauss = C.c_double(float(snapshot[4]))
+
+    out_emitted = np.zeros(B, np.int64)
+    out_timed_out = np.zeros(B, np.int8)
+    out_customers = np.zeros(B, np.int64)
+    out_notice_nodes = np.zeros((B, dim), np.int32)
+    out_notice_counts = np.zeros(B, np.int64)
+    out_instruments = np.zeros((B, dim), np.float64)
+    out_note_levels = np.zeros((B, dim), np.float64)
+
+    rec_values = C.POINTER(C.c_double)()
+    rec_ids = C.POINTER(C.c_int64)()
+    rec_servers = C.POINTER(C.c_int32)()
+    rec_kinds = C.POINTER(C.c_uint8)()
+    rec_offsets = np.zeros(B + 1, np.int64)
+    err_index = C.c_int32(-1)
+
+    ptr = lambda a: a.ctypes.data_as(C.c_void_p)
+    rc = lib.mmgan_host_batch(
+        C.c_int(B), C.c_int(size), C.c_int(num_aug),
+        ptr(g1), ptr(g2), C.c_int(g2.shape[1]), C.c_int(gen2_is_f32),
+        C.c_int(-1 if instrument is None else int(instrument)),
+        C.c_double(float(watchdog)), C.c_int64(record_limit),
+        C.c_int(int(n_threads)),
+        ptr(g_key), C.byref(g_pos), C.byref(g_has_gauss), C.byref(g_gauss),
+        ptr(out_emitted), ptr(out_timed_out), ptr(out_customers),
+        ptr(out_notice_nodes), ptr(out_notice_counts),
+        ptr(out_instruments), ptr(out_note_levels),
+        C.byref(rec_values), C.byref(rec_ids), C.byref(rec_servers),
+        C.byref(rec_kinds), ptr(rec_offsets), C.byref(err_index),
+    )
+    if rc != 0:
+        np.random.set_state(snapshot)
+        return None
+    np.random.set_state(("MT19937", g_key, int(g_pos.value),
+                         int(g_has_gauss.value), float(g_gauss.value)))
+
+    total = int(rec_offsets[B])
+    if total > 0:
+        values = np.ctypeslib.as_array(rec_values, shape=(total,)).copy()
+        ids = np.ctypeslib.as_array(rec_ids, shape=(total,)).copy()
+        servers_l = np.ctypeslib.as_array(rec_servers, shape=(total,)).copy()
+        kinds = np.ctypeslib.as_array(rec_kinds, shape=(total,)).copy()
+        lib.des_free_records(rec_values, rec_ids, rec_servers, rec_kinds)
+    else:
+        values = np.zeros(0, np.float64)
+        ids = np.zeros(0, np.int64)
+        servers_l = np.zeros(0, np.int32)
+        kinds = np.zeros(0, np.uint8)
+
+    return {
+        "emitted": out_emitted, "timed_out": out_timed_out,
+        "customers": out_customers, "notice_nodes": out_notice_nodes,
+        "notice_counts": out_notice_counts, "instruments": out_instruments,
+        "note_levels": out_note_levels,
+        "records": (values, ids, servers_l, kinds), "offsets": rec_offsets,
+    }
 
 
 def run_native(sim, number_of_customers: int, use_next_available_server: bool):

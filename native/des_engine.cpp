@@ -35,7 +35,9 @@
 #include <cstring>
 #include <ctime>
 #include <algorithm>
+#include <atomic>
 #include <deque>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -731,6 +733,292 @@ const char* const kKindNames[5] = {
     "processing"};  // kind 4: processing with INTEGER time formatting
 const int kKindLens[5] = {7, 10, 9, 40, 10};
 
+// ------------------------------------------- MM-GAN batch host stage
+//
+// One call for the whole training batch: decode the generator matrices
+// exactly as gandes_tpu.bridge.mmgan_decode._decode_sample does (same
+// global-MT19937 consumption: Fisher-Yates permutation for the source
+// subset, one uniform choice per row repair, the self-reseed, the
+// replication-seed draw), build the FlowBranchOperator routing tables with
+// the same float semantics (numpy pairwise row sums, left-to-right kept
+// normalization, builtin-sum exactness test for the uniform fallback,
+// cumsum cdf), then run every sim on the engine above. With n_threads==1
+// the sims route on the global stream in sample order — BIT-IDENTICAL to
+// the sequential parity path (matrix_to_midi(parallel=None)). With
+// n_threads>1 each sample gets a private routing stream seeded from one
+// extra global randint(0, 2^31-1) per sample (the Python thread mode's
+// stream discipline) and sims run on C++ worker threads so their wall
+// budgets overlap.
+//
+// numpy's pairwise summation (umath loops.c.src): sequential under 8
+// elements, 8 unrolled accumulators up to a 128 block, halved recursion
+// (cut to a multiple of 8) above. Verified bit-equal to np.sum across
+// magnitudes/sizes in tests/test_native_batch.py.
+double np_pairwise_sum(const double* a, int64_t n) {
+  if (n < 8) {
+    double res = 0.0;
+    for (int64_t i = 0; i < n; i++) res += a[i];
+    return res;
+  }
+  if (n <= 128) {
+    double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+    double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+    int64_t i = 8;
+    for (; i < n - (n % 8); i += 8) {
+      r0 += a[i + 0]; r1 += a[i + 1]; r2 += a[i + 2]; r3 += a[i + 3];
+      r4 += a[i + 4]; r5 += a[i + 5]; r6 += a[i + 6]; r7 += a[i + 7];
+    }
+    double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+    for (; i < n; i++) res += a[i];
+    return res;
+  }
+  int64_t n2 = n / 2;
+  n2 -= n2 % 8;
+  return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
+// everything one decoded sample needs to run independently
+struct BatchSample {
+  int dim = 0;
+  std::vector<int8_t> node_is_source;
+  std::vector<int8_t> dist_kind;
+  std::vector<double> dist_params;   // dim*4
+  std::vector<int64_t> queue_caps;
+  std::vector<int32_t> children;
+  std::vector<int64_t> child_offsets;
+  std::vector<double> cdf;
+  std::vector<int8_t> route_mode;
+  std::vector<int8_t> is_sink;
+  int64_t seed = 0;
+  int64_t num_customers = 0;
+  double budget = 0;     // min(gen2[5], 1.0) sim wall budget
+  uint32_t routing_seed = 0;  // threads mode only
+  // results
+  std::vector<Record> records;
+  int64_t emitted = 0;
+  int8_t timed_out = 0;
+};
+
+// decode one sample, consuming `global` exactly like _decode_sample.
+// Returns 0 ok, 1 "no nonzero off-diagonal" repair error (the Python path
+// raises ValueError there; the caller restores its RNG snapshot and
+// replays the batch on the Python path so the exception surfaces
+// identically).
+int decode_one(const float* mat /*size*size, already |.|? no: raw*/,
+               const double* g2, int gen2_is_f32, int size, int num_aug,
+               MT19937& global, BatchSample& s,
+               double* out_instruments, double* out_note_levels,
+               int instrument_override, int32_t* notice_nodes,
+               int64_t* notice_count) {
+  const int dim = size - num_aug;
+  s.dim = dim;
+
+  // |matrix| in float32, as the Python decode does before any other use
+  std::vector<float> m((size_t)size * size);
+  for (int i = 0; i < size * size; i++) m[i] = std::fabs(mat[i]);
+
+  // sources = np.random.choice(dim, dim//4, replace=False)
+  //         = permutation(dim)[:dim//4] = legacy Fisher-Yates shuffle
+  std::vector<int32_t> perm(dim);
+  for (int i = 0; i < dim; i++) perm[i] = i;
+  for (int i = dim - 1; i > 0; i--) {
+    uint32_t j = global.interval((uint32_t)i);
+    std::swap(perm[i], perm[j]);
+  }
+  const int n_src = dim / 4;
+  std::vector<int8_t> is_source(dim, 0);
+  for (int k = 0; k < n_src; k++) is_source[perm[k]] = 1;
+
+  for (int i = 0; i < dim; i++) {
+    if (instrument_override >= 0) {
+      out_instruments[i] = (double)instrument_override;
+    } else {
+      out_instruments[i] = (double)(int64_t)(m[(size_t)(dim + 1) * size + i] * 126.0f);
+    }
+    // max(0, int(x*126) % 128) with x >= 0: C % matches Python here
+    int64_t v = (int64_t)(m[(size_t)(dim + 2) * size + i] * 126.0f) % 128;
+    out_note_levels[i] = (double)(v < 0 ? 0 : v);
+  }
+
+  // distributions: normal(|g2[1]|*50, |g2[2]|*50) for sources,
+  // normal(|g2[3]|*10, |g2[4]|*10) for servers — the multiply happens in
+  // the generator output's dtype (f32 under NumPy 2 weak promotion)
+  double src_loc, src_scale, srv_loc, srv_scale;
+  if (gen2_is_f32) {
+    src_loc = (double)std::fabs((float)g2[1] * 50.0f);
+    src_scale = (double)std::fabs((float)g2[2] * 50.0f);
+    srv_loc = (double)std::fabs((float)g2[3] * 10.0f);
+    srv_scale = (double)std::fabs((float)g2[4] * 10.0f);
+  } else {
+    src_loc = std::fabs(g2[1] * 50.0);
+    src_scale = std::fabs(g2[2] * 50.0);
+    srv_loc = std::fabs(g2[3] * 10.0);
+    srv_scale = std::fabs(g2[4] * 10.0);
+  }
+
+  // routing sub-matrix: zero source columns + diagonals in f32, then f64
+  std::vector<double> A((size_t)dim * dim);
+  for (int i = 0; i < dim; i++)
+    for (int j = 0; j < dim; j++) {
+      float v = m[(size_t)i * size + j];
+      if (is_source[j] || i == j) v = 0.0f;
+      A[(size_t)i * dim + j] = (double)v;
+    }
+
+  // row normalize (numpy pairwise row sums; 0/0 -> NaN -> 0)
+  for (int i = 0; i < dim; i++) {
+    double* row = A.data() + (size_t)i * dim;
+    double rs = np_pairwise_sum(row, dim);
+    for (int j = 0; j < dim; j++) {
+      double v = row[j] / rs;
+      row[j] = std::isnan(v) ? 0.0 : v;
+    }
+  }
+
+  // row repair: one uniform choice over nonzero off-diagonals per row,
+  // drawn unconditionally (reference consumes the draw even when the row
+  // already sums to 1)
+  std::vector<int32_t> cand(dim);
+  for (int i = 0; i < dim; i++) {
+    double* row = A.data() + (size_t)i * dim;
+    int nc = 0;
+    for (int j = 0; j < dim; j++)
+      if (j != i && row[j] != 0.0) cand[nc++] = j;
+    if (nc == 0) return 1;
+    int32_t pick = cand[global.interval((uint32_t)(nc - 1))];
+    row[pick] += 1.0 - np_pairwise_sum(row, dim);
+  }
+  for (int i = 0; i < dim; i++)
+    A[(size_t)i * dim + i] = is_source[i] ? 1.0 : -1.0;
+
+  // np.random.seed(np.random.randint(0, 99999, size=1)): a length-1 array
+  // seed squeezes to a scalar -> plain init_genrand (verified vs numpy)
+  long v1 = global.randint(0, 99999);
+  global.seed((uint32_t)v1);
+  s.seed = global.randint(0, 99999);
+
+  double c6 = gen2_is_f32 ? (double)(3000.0f * (float)g2[6]) : 3000.0 * g2[6];
+  int64_t num_customers = (int64_t)c6;
+  if (num_customers < 1000) num_customers = 1000;
+  if (num_customers < 200) num_customers = 200;  // structural parity
+  s.num_customers = num_customers;
+  s.budget = std::min(g2[5], 1.0);  // float(gen2[5]) is exact for f32
+
+  // ---- FlowBranchOperator tables (Sim.__init__ semantics) ----
+  s.node_is_source.assign(dim, 0);
+  s.dist_kind.assign(dim, D_NORMAL);
+  s.dist_params.assign((size_t)dim * 4, 0.0);
+  s.queue_caps.assign(dim, 2 * 127);
+  s.child_offsets.assign(dim + 1, 0);
+  s.route_mode.assign(dim, R_WEIGHTED);
+  s.is_sink.assign(dim, 0);
+  s.children.clear();
+  s.cdf.clear();
+
+  std::vector<int8_t> row_shortest(dim, 0);
+  std::vector<double> plist(dim);
+  for (int i = 0; i < dim; i++) {
+    s.node_is_source[i] = is_source[i];
+    s.dist_params[(size_t)i * 4 + 0] = is_source[i] ? src_loc : srv_loc;
+    s.dist_params[(size_t)i * 4 + 1] = is_source[i] ? src_scale : srv_scale;
+
+    const double* row = A.data() + (size_t)i * dim;
+    // probabilities = row with diag zeroed; children = indices with p > 0
+    int np_ = 0;
+    int64_t child_id_sum = 0;
+    double total = 0.0;  // left-to-right over kept, like the Python loop
+    int first_child = -1;
+    for (int j = 0; j < dim; j++) {
+      double p = (j == i) ? 0.0 : row[j];
+      if (p > 0.0) {
+        s.children.push_back(j);
+        child_id_sum += j;
+        plist[np_] = p;  // raw kept value; normalized below
+        total += p;
+        if (first_child < 0) first_child = j;
+        np_++;
+      }
+    }
+    s.child_offsets[i + 1] = (int64_t)s.children.size();
+    for (int k = 0; k < np_; k++) plist[k] /= total;
+
+    double np_sum = np_pairwise_sum(plist.data(), np_);
+    bool shortest = std::fabs(1.0 - np_sum) > 0.0001;
+    row_shortest[i] = shortest ? 1 : 0;
+    // builtin sum() left-to-right from int 0 — the exact-1.0 gate that
+    // picks weighted-cdf vs uniform routing
+    double bsum = 0.0;
+    for (int k = 0; k < np_; k++) bsum += plist[k];
+    bool p_exact = np_ > 0 && bsum == 1.0;
+    s.route_mode[i] = shortest ? R_SHORTEST : (p_exact ? R_WEIGHTED : R_UNIFORM);
+    s.is_sink[i] = (np_ == 0 || child_id_sum == 0) ? 1 : 0;
+
+    // cdf = cumsum(plist)/cumsum[-1] (sequential accumulate, as np.cumsum)
+    double acc = 0.0;
+    size_t cdf_base = s.cdf.size();
+    for (int k = 0; k < np_; k++) {
+      acc += plist[k];
+      s.cdf.push_back(acc);
+    }
+    for (int k = 0; k < np_; k++) s.cdf[cdf_base + k] /= acc;
+  }
+
+  // shortest-queue notices appear in the log in Sim.__init__ order:
+  // sources ascending, then servers ascending
+  int64_t nn = 0;
+  for (int pass = 0; pass < 2; pass++)
+    for (int i = 0; i < dim; i++)
+      if ((pass == 0) == (is_source[i] != 0) && row_shortest[i])
+        notice_nodes[nn++] = i;
+  *notice_count = nn;
+  return 0;
+}
+
+void run_batch_sample(BatchSample& s, MT19937* global, double watchdog,
+                      int64_t record_limit) {
+  Engine eng;
+  const int dim = s.dim;
+  eng.n = dim;
+  eng.node_is_source = s.node_is_source.data();
+  eng.dist_kind = s.dist_kind.data();
+  eng.dist_params = s.dist_params.data();
+  eng.queue_caps = s.queue_caps.data();
+  eng.children = s.children.data();
+  eng.child_offsets = s.child_offsets.data();
+  eng.cdf = s.cdf.data();
+  eng.route_mode = s.route_mode.data();
+  eng.is_sink = s.is_sink.data();
+  eng.use_next_available = false;
+  eng.gen_log = true;
+  eng.record_limit = record_limit;
+  if (global != nullptr) {
+    eng.global = *global;  // sequential parity mode: shared global stream
+  } else {
+    eng.global.seed(s.routing_seed);  // threads mode: private stream
+  }
+  eng.servers.resize(dim);
+  eng.source_rngs.resize(dim);
+  eng.source_arrival_times.assign(dim, 0.0);
+  eng.source_customers.assign(dim, 0);
+  eng.next_departure.assign(dim, HUGE_VAL);
+  eng.qlt_cap = 256;  // stats are unused by this path; clamp freely
+  eng.qlt.assign((size_t)dim * eng.qlt_cap, 0.0);
+
+  double t0 = wall_now();
+  MT19937 master;
+  master.seed((uint32_t)s.seed);
+  for (int i = 0; i < dim; i++)
+    if (!s.node_is_source[i]) eng.servers[i].rng.seed((uint32_t)master.randint(3, 9999999));
+  for (int i = 0; i < dim; i++)
+    if (s.node_is_source[i]) eng.source_rngs[i].seed((uint32_t)master.randint(3, 9999999));
+  double budget = std::min(s.budget, watchdog);
+  eng.run_one(s.num_customers, t0 + budget);
+  s.timed_out = (wall_now() - t0 > watchdog) ? 1 : 0;
+  s.emitted = eng.records_emitted;
+  s.records = std::move(eng.records);
+  if (global != nullptr) *global = eng.global;
+}
+
 }  // namespace
 
 extern "C" {
@@ -947,5 +1235,123 @@ void des_free_records(double* v, int64_t* ids, int32_t* srv, uint8_t* kinds) {
   std::free(ids);
   std::free(srv);
   std::free(kinds);
+}
+
+// MM-GAN host stage for one whole training batch (see decode_one above).
+// Returns 0 ok; 1 decode error at *err_index (global RNG state is then
+// mid-stream garbage — the caller must restore its own snapshot and replay
+// on the Python path, which raises the matching ValueError).
+// n_threads == 1: sims run inline, routing on the global stream, output
+// bit-identical to matrix_to_midi(parallel=None). n_threads > 1: sims run
+// on worker threads with private routing streams (one extra global
+// randint(0, 2^31-1) per sample, the Python thread mode's discipline).
+int mmgan_host_batch(
+    int B, int size, int num_aug,
+    const float* gen1,              // B*size*size
+    const double* gen2,             // B*gen2_width (f64 view of the batch)
+    int gen2_width, int gen2_is_f32,
+    int instrument_override,        // -1 = decode from matrix row dim+1
+    double watchdog, int64_t record_limit, int n_threads,
+    // global RNG state in/out
+    uint32_t* g_key, int* g_pos, int* g_has_gauss, double* g_gauss,
+    // per-sample outputs (caller-allocated)
+    int64_t* out_emitted, int8_t* out_timed_out, int64_t* out_customers,
+    int32_t* out_notice_nodes,      // B*(size-num_aug)
+    int64_t* out_notice_counts,     // B
+    double* out_instruments,        // B*(size-num_aug)
+    double* out_note_levels,        // B*(size-num_aug)
+    // concatenated records (allocated here; free with des_free_records)
+    double** rec_values, int64_t** rec_ids, int32_t** rec_servers,
+    uint8_t** rec_kinds, int64_t* rec_offsets,  // B+1
+    int32_t* err_index) {
+  const int dim = size - num_aug;
+  *err_index = -1;
+
+  MT19937 global;
+  std::memcpy(global.key, g_key, 624 * sizeof(uint32_t));
+  global.pos = *g_pos;
+  global.has_gauss = *g_has_gauss != 0;
+  global.gauss = *g_gauss;
+
+  std::vector<BatchSample> samples(B);
+  // sequential mode: sims route on the global stream, so decode and run
+  // must INTERLEAVE per sample exactly like the Python loop (decode(b)
+  // reads the stream run(b-1) left behind). Thread mode decodes the whole
+  // batch first — the Python thread path's order — because each sim owns a
+  // private routing stream seeded from one global draw per sample.
+  for (int b = 0; b < B; b++) {
+    int rc = decode_one(gen1 + (size_t)b * size * size,
+                        gen2 + (size_t)b * gen2_width, gen2_is_f32, size,
+                        num_aug, global, samples[b],
+                        out_instruments + (size_t)b * dim,
+                        out_note_levels + (size_t)b * dim,
+                        instrument_override,
+                        out_notice_nodes + (size_t)b * dim,
+                        out_notice_counts + b);
+    if (rc != 0) {
+      *err_index = b;
+      return 1;
+    }
+    if (n_threads > 1)
+      samples[b].routing_seed = (uint32_t)global.randint(0, 2147483647L);
+    out_customers[b] = samples[b].num_customers;
+    if (n_threads <= 1)
+      run_batch_sample(samples[b], &global, watchdog, record_limit);
+  }
+
+  if (n_threads > 1) {
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+      for (;;) {
+        int b = next.fetch_add(1);
+        if (b >= B) return;
+        run_batch_sample(samples[b], nullptr, watchdog, record_limit);
+      }
+    };
+    int nt = std::min(n_threads, B);
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+
+  int64_t total = 0;
+  for (int b = 0; b < B; b++) {
+    rec_offsets[b] = total;
+    total += (int64_t)samples[b].records.size();
+    out_emitted[b] = samples[b].emitted;
+    out_timed_out[b] = samples[b].timed_out;
+  }
+  rec_offsets[B] = total;
+  if (total > 0) {
+    double* v = (double*)std::malloc(sizeof(double) * total);
+    int64_t* ids = (int64_t*)std::malloc(sizeof(int64_t) * total);
+    int32_t* srv = (int32_t*)std::malloc(sizeof(int32_t) * total);
+    uint8_t* kinds = (uint8_t*)std::malloc(sizeof(uint8_t) * total);
+    int64_t k = 0;
+    for (int b = 0; b < B; b++)
+      for (const Record& r : samples[b].records) {
+        v[k] = r.value;
+        ids[k] = r.event_id;
+        srv[k] = r.server_id;
+        kinds[k] = r.kind;
+        k++;
+      }
+    *rec_values = v;
+    *rec_ids = ids;
+    *rec_servers = srv;
+    *rec_kinds = kinds;
+  } else {
+    *rec_values = nullptr;
+    *rec_ids = nullptr;
+    *rec_servers = nullptr;
+    *rec_kinds = nullptr;
+  }
+
+  std::memcpy(g_key, global.key, 624 * sizeof(uint32_t));
+  *g_pos = global.pos;
+  *g_has_gauss = global.has_gauss ? 1 : 0;
+  *g_gauss = global.gauss;
+  return 0;
 }
 }
