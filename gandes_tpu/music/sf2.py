@@ -32,6 +32,11 @@ Scope (documented, deliberate):
   decay linear-in-dB to the sustain attenuation, release linear-in-dB at
   96 dB per ``release_s``. Velocity maps to gain as the spec's concave
   default modulator, approximated by amp = (vel/127)^2 (= -40 log10 dB).
+  Only this default modulator is baked in: FluidSynth's other defaults at
+  initial controller state contribute a CONSTANT gain (CC7=100 through the
+  concave curve is ~41.5 cB, about -4.2 dB), so absolute output level
+  differs from FluidSynth by that fixed factor while all relative behavior
+  (including modulator supersession) is unaffected — out of scope.
 * LFOs: vibLfoToPitch / modLfoToPitch warp the playback-position ramp by
   the closed-form integral of the spec's triangle LFO (2^cents linearized;
   < 3 cents error at a 100-cent depth; depths clamp to +-1200 cents, the
@@ -1343,7 +1348,8 @@ class Sf2Synth:
                 # mono), and once full there is nothing left to select
                 break
             # spec 8.1.2 exclusiveClass: this note-on sends still-sounding
-            # same-(program, class) voices into a quick release NOW
+            # same-class voices into a quick release NOW (channel-scoped
+            # like FluidSynth; class-only here — see the design note above)
             t_on = float(ons[i])
             for cls in {vp["excl"] for vp in zones if vp["excl"]}:
                 for j in excl_live.get(cls, ()):
@@ -1408,6 +1414,12 @@ class Sf2Synth:
     def _render_cols(self, cols, nv, end_t, sr, min_seconds, tail,
                      max_voices, pad_to_bucket, as_jax):
         from gandes_tpu.music.synth import RENDER_MAX_S
+        # reverb-sent voices ring for the Freeverb IR's length (~1 s at the
+        # default room/feedback) past the dry tail — extend the crop so a
+        # note ending near the piece end keeps its wet tail instead of
+        # depending on pow2-bucket slack
+        if any(cols["rev_send"][i] != 0.0 for i in range(nv)):
+            tail += len(_freeverb_ir(sr)) / sr
         length_s = min(max(float(end_t) + tail, min_seconds), RENDER_MAX_S)
         L = max(_pow2(int(length_s * sr)), 1 << 15)
 

@@ -7,6 +7,7 @@ base64 MIDI/WAV payloads, check they are real SMF/RIFF files.
 
 import base64
 import json
+import os
 import threading
 import urllib.request
 
@@ -347,6 +348,24 @@ def test_two_process_scale_out(tmp_path):
         # ...while B stayed unqueued: within CPU-contention factor of solo,
         # far under A's queued latencies
         assert min(fast) < max(t_slow) / 2, (t_solo, fast, t_slow)
+
+        if (os.cpu_count() or 1) >= 2:
+            # the wall-clock two-core moment: aggregate throughput of the
+            # two replicas beats one replica's. Gated on core count so it
+            # activates on any >=2-core runner (this CI box has one core,
+            # where both replicas timeshare a core and the ratio is ~1).
+            import itertools
+
+            def drain(targets, n_req, seed0):
+                t0 = time.time()
+                with concurrent.futures.ThreadPoolExecutor(len(targets)) as ex:
+                    list(ex.map(lambda sb: fire(sb[1], 1, seed0 + sb[0]),
+                                zip(range(n_req), itertools.cycle(targets))))
+                return n_req / (time.time() - t0)
+
+            r_one = drain(bases[:1], 6, 100)
+            r_two = drain(bases, 6, 200)
+            assert r_two > 1.3 * r_one, (r_one, r_two)
     finally:
         for p in procs:
             p.terminate()

@@ -988,7 +988,13 @@ def test_reverb_equals_host_ir_convolution(tmp_path):
                               {G_REVERB_SEND: send})).render_midi(
         _midi(notes), sr=SR, min_seconds=2.0)
     ir = _freeverb_ir(SR).astype(np.float64)
-    expect = dry + fftconvolve(dry * (send / 1000.0), ir)[: len(dry)]
+    # the wet render's crop is extended by the IR length so a note ending
+    # near the piece end keeps its full ring-out — compare over that length
+    # (the dry signal is silent well before 2.0 s, so zero-padding it is
+    # exact)
+    assert len(wet) > len(dry)
+    dry_pad = np.concatenate([dry, np.zeros(len(wet) - len(dry))])
+    expect = dry_pad + fftconvolve(dry * (send / 1000.0), ir)[: len(wet)]
     np.testing.assert_allclose(wet, expect, atol=2e-4)
 
 
