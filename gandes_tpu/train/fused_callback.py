@@ -18,6 +18,23 @@ checkpoint around. The callback is ``ordered=True`` because the DES stage
 has real side effects (the simulation log, the count-gated .mid saves) whose
 order is part of reference parity.
 
+Under a multi-device mesh, pass ``callback_device`` (normally
+``mesh.devices.flat[0]``). XLA's SPMD partitioner rejects the ordered
+callback's token, which carries a replicated sharding
+("side-effect HLO cannot have a replicated sharding",
+spmd_partitioner.cc RET_CHECK), so the sharded build pins the callback to
+ONE device via ``SingleDeviceSharding`` with ``ordered=False``: XLA
+all-gathers ``mats``/``vec`` to that device, the host stage sees the
+GLOBAL batch exactly like the single-chip path (global-numpy-RNG
+consumption and file side effects are bit-identical), and the returned
+roll batch is re-distributed to the consumers' shardings. Dropping the
+ordering token is sound here because consecutive steps are already
+ordered by DATA dependence: step N+1's generator forward reads the state
+produced by step N's update, which consumed step N's callback output —
+XLA cannot reorder or elide the callback without breaking that chain.
+Pinned under a (dp, tp) mesh by ``tests/test_fused_io.py`` and the
+driver's ``__graft_entry__._dryrun_body``.
+
 Semantics are identical to the two-phase path; pinned bitwise by
 ``tests/test_fused_io.py``.
 """
@@ -55,11 +72,17 @@ def make_mmgan_full_step_io(
     out_dir: str = "./adj_sim_outputs/midi",
     des_parallel: int | None = None,
     force_roll: bool = False,
+    watchdog: float = 2.5,
+    callback_device=None,
 ):
     """Returns ``full_step(state, real, noise1, noise2, beats, count,
     aux_key) -> (new_state, mats, vec, metrics)`` — jit it (donating
     argnum 0 is safe). ``metrics['failed_simulations']`` is the host
     stage's failure count for the batch (int32, on device).
+
+    ``callback_device``: required when the step runs under a sharded mesh
+    — pins the host stage to that device (see module docstring for why
+    this swaps the ordering token for data-dependence ordering).
     """
     B, T = batch_size, sequence_length
     gen_forward = make_mmgan_gen_forward(g1, g2)
@@ -70,7 +93,7 @@ def make_mmgan_full_step_io(
             np.asarray(mats)[:, None], np.asarray(vec), adj_size=adj_size,
             instrument=instrument, start=start, end=start + T,
             count=int(count), log_path=log_path, out_dir=out_dir,
-            parallel=des_parallel, force_roll=force_roll,
+            parallel=des_parallel, force_roll=force_roll, watchdog=watchdog,
         )
         return np.stack(rolls).astype(np.float32), np.int32(failed)
 
@@ -78,12 +101,19 @@ def make_mmgan_full_step_io(
         jax.ShapeDtypeStruct((B, 2, 128, T), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
+    if callback_device is not None:
+        cb_kwargs = dict(
+            ordered=False,
+            sharding=jax.sharding.SingleDeviceSharding(callback_device),
+        )
+    else:
+        cb_kwargs = dict(ordered=True)
 
     def full_step(state: GANState, real, noise1, noise2, beats, count,
                   aux_key=None):
         mats, vec, new_stats = gen_forward(state, noise1, noise2, beats, aux_key)
         fake, failed = io_callback(host_stage, result_shapes, mats, vec,
-                                   count, ordered=True)
+                                   count, **cb_kwargs)
         state = dataclasses.replace(state, g_stats=new_stats)
         new_state, metrics = train_step(state, real, fake)
         return new_state, mats, vec, {**metrics, "failed_simulations": failed}
