@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from gandes_tpu.bridge.gandes_decode import matrix_to_wav
+from gandes_tpu.core.transfer import cast_f32_args, compact_put
 from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
 from gandes_tpu.train import checkpoint as ckpt
 from gandes_tpu.train.steps import (
@@ -170,16 +171,18 @@ def _train_gandes(dataloader, cfg, max_steps=None):
             s_state = ckpt.restore_state(resume_path + "_surrogate", s_state)
         if mesh is not None:
             s_state = shard_state(s_state, mesh)
-        train_step = jax.jit(
-            make_gandes_train_step_surrogate(gen, disc, s_model, g_tx, d_tx, s_tx)
-        )
+        train_step = jax.jit(cast_f32_args(
+            make_gandes_train_step_surrogate(gen, disc, s_model, g_tx, d_tx, s_tx),
+            2, 3,  # compact (uint8) batches decode inside the step program
+        ))
     elif cfg.g_update == "reinforce":
         from gandes_tpu.train.steps import make_gandes_train_step_reinforce
 
-        train_step = jax.jit(make_gandes_train_step_reinforce(
-            gen, disc, g_tx, d_tx, sigma=cfg.reinforce_sigma))
+        train_step = jax.jit(cast_f32_args(make_gandes_train_step_reinforce(
+            gen, disc, g_tx, d_tx, sigma=cfg.reinforce_sigma), 1, 2))
     else:
-        train_step = jax.jit(make_gandes_train_step(gen, disc, g_tx, d_tx))
+        train_step = jax.jit(cast_f32_args(
+            make_gandes_train_step(gen, disc, g_tx, d_tx), 1, 2))
 
     from gandes_tpu.core.profiling import StepTimer
 
@@ -211,7 +214,9 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                 reps = -(-cfg.batch_size // len(real))  # cycle own samples
                 real = np.concatenate([np.asarray(real)] * reps)[: cfg.batch_size]
             cur_batch_size = len(real)
-            real = jnp.asarray(real, jnp.float32)
+            # mel batches are continuous f32 (compact_put passes them
+            # through); blank-wav fallback batches compact to uint8
+            real = compact_put(real)
 
             noise = jax.random.normal(
                 jax.random.fold_in(jax.random.key(cfg.seed + 1), cur_step),
@@ -238,7 +243,7 @@ def _train_gandes(dataloader, cfg, max_steps=None):
                     max_sim_time=cfg.max_sim_time, parallel=cfg.des_parallel,
                     write_wav=cfg.write_wav, sound_font=cfg.sound_font,
                 )
-            fake = jnp.asarray(fake)
+            fake = compact_put(fake)
             if mesh is not None:
                 fake = shard_batch(fake, mesh)
             with timer.phase("device_step"):

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import optax
 
 from gandes_tpu.bridge.mmgan_decode import matrix_to_midi
+from gandes_tpu.core.transfer import cast_f32_args, compact_put
 from gandes_tpu.data.datasets import DataLoader
 from gandes_tpu.models.mmgan import BeatGenerator, DiscriminatorCNN, MLPGenerator
 from gandes_tpu.train import checkpoint as ckpt
@@ -212,12 +213,12 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             )
         from gandes_tpu.train.fused_callback import make_mmgan_full_step_io
 
-        full_step = jax.jit(make_mmgan_full_step_io(
+        full_step = jax.jit(cast_f32_args(make_mmgan_full_step_io(
             g1, g2, d, g_tx, d_tx, batch_size=cfg.batch_size,
             sequence_length=cfg.sequence_length, adj_size=cfg.adj_size,
             instrument=cfg.instrument, start=cfg.start, log_path=cfg.log_path,
             out_dir=cfg.midi_out_dir, des_parallel=cfg.des_parallel,
-        ))
+        ), 1))
 
     gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
     s_state = None
@@ -244,20 +245,23 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                 s_state = ckpt.restore_state(s_path, s_state)
         if mesh is not None:
             s_state = shard_state(s_state, mesh)
-        train_step = jax.jit(
-            make_mmgan_train_step_surrogate(g1, g2, d, s_model, g_tx, d_tx, s_tx)
-        )
+        train_step = jax.jit(cast_f32_args(
+            make_mmgan_train_step_surrogate(g1, g2, d, s_model, g_tx, d_tx, s_tx),
+            2, 3,  # real, fake ride uint8; the cast fuses into the step
+        ))
     elif cfg.g_update == "reinforce":
         from gandes_tpu.train.steps import make_mmgan_train_step_reinforce
 
-        train_step = jax.jit(make_mmgan_train_step_reinforce(
-            g1, g2, d, g_tx, d_tx, sigma=cfg.reinforce_sigma))
+        train_step = jax.jit(cast_f32_args(make_mmgan_train_step_reinforce(
+            g1, g2, d, g_tx, d_tx, sigma=cfg.reinforce_sigma), 1, 2))
     else:
-        train_step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
-                                                   g_update=cfg.g_update))
+        train_step = jax.jit(cast_f32_args(
+            make_mmgan_train_step(g1, g2, d, g_tx, d_tx,
+                                  g_update=cfg.g_update), 1, 2))
     g_loss_only = jax.jit(
         lambda d_params, fake: bce_with_logits(
-            d.apply({"params": d_params}, fake).squeeze(), 1.0
+            d.apply({"params": d_params},
+                    jnp.asarray(fake, jnp.float32)).squeeze(), 1.0
         )
     )
 
@@ -310,7 +314,10 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             # them blank
             force_roll=cfg.g_update in ("surrogate", "reinforce", "direct"),
         )
-        fake = jnp.asarray(np.stack(rolls), jnp.float32)
+        # rolls are integer velocities + a binary channel: transfer uint8
+        # (the axon client leaks every h2d transfer's byte size — see
+        # core/transfer.py), cast to f32 on device — bit-identical input
+        fake = compact_put(np.stack(rolls))
         if mesh is not None:
             fake = shard_batch(fake, mesh)
         return fake, failed, new_stats, mats, vec
@@ -325,7 +332,10 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             noise1 = jax.random.normal(jax.random.fold_in(kb, 0), (cfg.batch_size, cfg.noise_dim))
             noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (cfg.batch_size, cfg.noise_dim))
             beats_j = jnp.asarray(beats, jnp.float32)
-            real = jnp.stack([jnp.asarray(piano_roll), jnp.asarray(durations)], axis=1)
+            # stack on host, move once: one compact (uint8 when lossless)
+            # transfer instead of two f32 puts + an eager device stack
+            real = compact_put(
+                np.stack([np.asarray(piano_roll), np.asarray(durations)], axis=1))
             if mesh is not None:
                 noise1, noise2, beats_j, real = shard_batch(
                     (noise1, noise2, beats_j, real), mesh)
