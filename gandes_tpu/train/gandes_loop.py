@@ -99,6 +99,12 @@ class GanDesConfig:
     # params/optimizer/BN stats in float32 (mixed precision, opt-in).
     compute_dtype: str = "float32"
     seed: int = 0
+    # derive the per-step noise (and reinforce perturbation) INSIDE the
+    # G-forward program from the step counter — bitwise-equal streams
+    # and G outputs (the reinforce perturbation may fuse to an FMA,
+    # <= 1 ULP), fewer eager dispatches + leaked small transfers per
+    # step (tests/test_counted_rng.py)
+    counted_rng: bool = True
     # observability (same surface as MMGANConfig): per-phase StepTimer
     # tables at display_step + history["profile"]; jax.profiler device
     # trace when trace_dir is set
@@ -153,7 +159,15 @@ def _train_gandes(dataloader, cfg, max_steps=None):
         dp, tp = cfg.mesh_shape
         mesh = make_mesh(dp=dp, tp=tp, n_devices=dp * tp)
         state = shard_state(state, mesh)
-    gen_forward = jax.jit(make_gandes_gen_forward(gen))
+    if cfg.counted_rng:
+        from gandes_tpu.train.steps import make_gandes_gen_forward_counted
+
+        gen_forward_c = jax.jit(make_gandes_gen_forward_counted(
+            gen, seed=cfg.seed, z_dim=cfg.z_dim,
+            reinforce_sigma=(cfg.reinforce_sigma
+                             if cfg.g_update == "reinforce" else None)))
+    else:
+        gen_forward = jax.jit(make_gandes_gen_forward(gen))
     s_state = None
     if cfg.g_update == "surrogate":
         from gandes_tpu.models.surrogate import MelSurrogate
@@ -218,22 +232,32 @@ def _train_gandes(dataloader, cfg, max_steps=None):
             # through); blank-wav fallback batches compact to uint8
             real = compact_put(real)
 
-            noise = jax.random.normal(
-                jax.random.fold_in(jax.random.key(cfg.seed + 1), cur_step),
-                (cur_batch_size, cfg.z_dim),
-            )
-            if mesh is not None:
-                real, noise = shard_batch((real, noise), mesh)
-            fake_mats, new_stats = gen_forward(state, noise)
+            if cfg.counted_rng:
+                # noise (and the reinforce sample) derive inside the
+                # forward's program — bitwise-equal streams, fewer eager
+                # dispatches (steps.py::make_gandes_gen_forward_counted)
+                if mesh is not None:
+                    real = shard_batch(real, mesh)
+                fake_mats, new_stats, noise = gen_forward_c(state, cur_step,
+                                                            real)
+            else:
+                noise = jax.random.normal(
+                    jax.random.fold_in(jax.random.key(cfg.seed + 1), cur_step),
+                    (cur_batch_size, cfg.z_dim),
+                )
+                if mesh is not None:
+                    real, noise = shard_batch((real, noise), mesh)
+                fake_mats, new_stats = gen_forward(state, noise)
+                if cfg.g_update == "reinforce":
+                    # the pipeline consumes a SAMPLE from N(G(z), sigma^2)
+                    # — clip to [0,1] to keep the decode semantics
+                    fake_mats = jnp.clip(
+                        fake_mats + cfg.reinforce_sigma * jax.random.normal(
+                            jax.random.fold_in(jax.random.key(cfg.seed + 3),
+                                               cur_step),
+                            fake_mats.shape),
+                        0.0, 1.0)
             state = dataclasses.replace(state, g_stats=new_stats)
-            if cfg.g_update == "reinforce":
-                # the pipeline consumes a SAMPLE from N(G(z), sigma^2) —
-                # clip to [0,1] to keep the decode semantics
-                fake_mats = jnp.clip(
-                    fake_mats + cfg.reinforce_sigma * jax.random.normal(
-                        jax.random.fold_in(jax.random.key(cfg.seed + 3), cur_step),
-                        fake_mats.shape),
-                    0.0, 1.0)
 
             with timer.phase("host_des"):
                 fake = matrix_to_wav(

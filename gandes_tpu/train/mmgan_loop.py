@@ -105,6 +105,14 @@ class MMGANConfig:
     # jax.profiler device trace (view with xprof/TensorBoard)
     profile: bool = False
     trace_dir: str | None = None
+    # derive per-step noise/aux streams INSIDE the G-forward program from
+    # the step counter (bitwise-equal streams and G outputs; the
+    # reinforce perturbation may fuse to an FMA, <= 1 ULP; ~6 fewer
+    # device dispatches + small-transfer leaks per step on the
+    # remote-attached platform — tests/test_counted_rng.py pins loop
+    # losses bitwise on vs off). Ignored by the fused_io path, which
+    # generates noise eagerly.
+    counted_rng: bool = True
     # 'float32' (reference numerics) or 'bf16'/'bfloat16': run the dense
     # forward/backward math in bfloat16 (the MXU's native input width) while
     # params, optimizer state and BN statistics stay float32 (mixed
@@ -220,7 +228,16 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             out_dir=cfg.midi_out_dir, des_parallel=cfg.des_parallel,
         ), 1))
 
-    gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
+    counted = cfg.counted_rng and full_step is None
+    if counted:
+        from gandes_tpu.train.steps import make_mmgan_gen_forward_counted
+
+        gen_forward_c = jax.jit(make_mmgan_gen_forward_counted(
+            g1, g2, seed=cfg.seed, z_dim=cfg.noise_dim,
+            reinforce_sigma=(cfg.reinforce_sigma
+                             if cfg.g_update == "reinforce" else None)))
+    else:
+        gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
     s_state = None
     if cfg.g_update == "surrogate":
         from gandes_tpu.models.surrogate import RollSurrogate
@@ -286,22 +303,30 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
         return jax.random.fold_in(jax.random.key(cfg.seed + 4), count)
 
     def fake_batch(state, noise1, noise2, beats, count):
-        mats, vec, new_stats = gen_forward(state, noise1, noise2, beats,
-                                           aux_key(count))
-        if cfg.g_update == "reinforce":
-            # the DES consumes a SAMPLE from N(G(z), sigma^2) — that
-            # stochasticity is what the score-function gradient needs.
-            # Clip to [0,1] to keep the decode semantics (sigmoid range);
-            # clipping censors the Gaussian tails (noted in the step's doc)
-            ks = jax.random.fold_in(jax.random.key(cfg.seed + 3), count)
-            mats = jnp.clip(
-                mats + cfg.reinforce_sigma
-                * jax.random.normal(jax.random.fold_in(ks, 0), mats.shape),
-                0.0, 1.0)
-            vec = jnp.clip(
-                vec + cfg.reinforce_sigma
-                * jax.random.normal(jax.random.fold_in(ks, 1), vec.shape),
-                0.0, 1.0)
+        if counted:
+            # one launch derives noise/aux streams AND runs G1+G2; the
+            # derived arrays ride device-to-device into the train step
+            mats, vec, new_stats, noise1, noise2, auxk = gen_forward_c(
+                state, count, beats)
+        else:
+            auxk = aux_key(count)
+            mats, vec, new_stats = gen_forward(state, noise1, noise2, beats,
+                                               auxk)
+            if cfg.g_update == "reinforce":
+                # the DES consumes a SAMPLE from N(G(z), sigma^2) — that
+                # stochasticity is what the score-function gradient needs.
+                # Clip to [0,1] to keep the decode semantics (sigmoid
+                # range); clipping censors the Gaussian tails (noted in
+                # the step's doc)
+                ks = jax.random.fold_in(jax.random.key(cfg.seed + 3), count)
+                mats = jnp.clip(
+                    mats + cfg.reinforce_sigma
+                    * jax.random.normal(jax.random.fold_in(ks, 0), mats.shape),
+                    0.0, 1.0)
+                vec = jnp.clip(
+                    vec + cfg.reinforce_sigma
+                    * jax.random.normal(jax.random.fold_in(ks, 1), vec.shape),
+                    0.0, 1.0)
         rolls, failed = matrix_to_midi(
             np.asarray(mats)[:, None], np.asarray(vec), adj_size=cfg.adj_size,
             instrument=cfg.instrument, start=cfg.start,
@@ -320,7 +345,7 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
         fake = compact_put(np.stack(rolls))
         if mesh is not None:
             fake = shard_batch(fake, mesh)
-        return fake, failed, new_stats, mats, vec
+        return fake, failed, new_stats, mats, vec, noise1, noise2, auxk
 
     for epoch in range(start_epoch, cfg.num_epochs):
         disc_losses, gen_losses = [], []
@@ -328,17 +353,21 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             if max_batches is not None and i >= max_batches:
                 break
             count += 1
-            kb = jax.random.fold_in(jax.random.key(cfg.seed + 1), count)
-            noise1 = jax.random.normal(jax.random.fold_in(kb, 0), (cfg.batch_size, cfg.noise_dim))
-            noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (cfg.batch_size, cfg.noise_dim))
+            if counted:
+                noise1 = noise2 = None  # derived inside gen_forward_c
+            else:
+                kb = jax.random.fold_in(jax.random.key(cfg.seed + 1), count)
+                noise1 = jax.random.normal(jax.random.fold_in(kb, 0), (cfg.batch_size, cfg.noise_dim))
+                noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (cfg.batch_size, cfg.noise_dim))
             beats_j = jnp.asarray(beats, jnp.float32)
             # stack on host, move once: one compact (uint8 when lossless)
             # transfer instead of two f32 puts + an eager device stack
             real = compact_put(
                 np.stack([np.asarray(piano_roll), np.asarray(durations)], axis=1))
             if mesh is not None:
-                noise1, noise2, beats_j, real = shard_batch(
-                    (noise1, noise2, beats_j, real), mesh)
+                beats_j, real = shard_batch((beats_j, real), mesh)
+                if not counted:
+                    noise1, noise2 = shard_batch((noise1, noise2), mesh)
 
             if full_step is not None:
                 # one launch: timing it requires blocking on the result, so
@@ -354,20 +383,21 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                 g_loss = metrics["g_loss"]
             else:
                 with timer.phase("host_des"):
-                    fake, failed, new_stats, mats, vec = fake_batch(state, noise1, noise2, beats_j, count)
+                    fake, failed, new_stats, mats, vec, noise1, noise2, auxk = \
+                        fake_batch(state, noise1, noise2, beats_j, count)
                 state = replace(state, g_stats=new_stats)
                 with timer.phase("device_step"):
                     if cfg.g_update == "surrogate":
                         state, s_state, metrics = train_step(
                             state, s_state, real, fake, mats, vec, noise1, noise2,
-                            beats_j, aux_key(count))
+                            beats_j, auxk)
                     elif cfg.g_update == "reinforce":
                         state, metrics = train_step(
                             state, real, fake, mats, vec, noise1, noise2,
-                            beats_j, aux_key(count))
+                            beats_j, auxk)
                     elif cfg.g_update == "direct":
                         state, metrics = train_step(state, real, fake, noise1, noise2,
-                                                    beats_j, aux_key(count))
+                                                    beats_j, auxk)
                     else:
                         state, metrics = train_step(state, real, fake)
                     if cfg.profile:
@@ -376,7 +406,8 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
 
                 if cfg.faithful:
                     # reference runs the whole fake path again for the G step
-                    fake2, failed2, new_stats, _, _ = fake_batch(state, noise1, noise2, beats_j, count)
+                    fake2, failed2, new_stats = fake_batch(
+                        state, noise1, noise2, beats_j, count)[:3]
                     state = replace(state, g_stats=new_stats)
                     g_loss = g_loss_only(state.d_params, fake2)
                     failed += failed2

@@ -114,6 +114,76 @@ def make_mmgan_gen_forward(g1, g2):
     return forward
 
 
+def make_mmgan_gen_forward_counted(g1, g2, seed: int, z_dim: int,
+                                   reinforce_sigma: float | None = None):
+    """G1+G2 forward that derives the per-step noise and aux streams
+    INSIDE the program from the step counter.
+
+    The training loop's eager derivation (``fold_in``/``normal``/key
+    construction, plus the reinforce perturbation) costs ~6 extra device
+    dispatches per step on a remote-attached platform, each also leaking
+    a small h2d transfer (PARITY.md "axon h2d transfer leak"). Folding
+    them into the forward's launch removes that cost with BITWISE-equal
+    streams: ``jax.random`` is a deterministic function of (key, shape),
+    identical traced or eager (pinned by tests/test_counted_rng.py; the
+    jitted G outputs are bitwise-equal too; only the reinforce
+    perturbation's +/* may fuse to an FMA, <= 1 ULP, pinned).
+
+    Returns ``(mats, vec, new_stats, noise1, noise2, aux_key)`` —
+    the derived arrays ride device-to-device into the train step (no
+    extra transfer). With ``reinforce_sigma``, ``mats``/``vec`` are the
+    clipped N(G(z), sigma^2) samples the REINFORCE estimator consumes
+    (the loop's exact eager arithmetic, same stream namespaces).
+    """
+    base = make_mmgan_gen_forward(g1, g2)
+
+    def forward(state: GANState, count, beats):
+        kb = jax.random.fold_in(jax.random.key(seed + 1), count)
+        batch = beats.shape[0]
+        noise1 = jax.random.normal(jax.random.fold_in(kb, 0), (batch, z_dim))
+        noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (batch, z_dim))
+        aux_key = jax.random.fold_in(jax.random.key(seed + 4), count)
+        mats, vec, new_stats = base(state, noise1, noise2, beats, aux_key)
+        if reinforce_sigma is not None:
+            ks = jax.random.fold_in(jax.random.key(seed + 3), count)
+            mats = jnp.clip(
+                mats + reinforce_sigma
+                * jax.random.normal(jax.random.fold_in(ks, 0), mats.shape),
+                0.0, 1.0)
+            vec = jnp.clip(
+                vec + reinforce_sigma
+                * jax.random.normal(jax.random.fold_in(ks, 1), vec.shape),
+                0.0, 1.0)
+        return mats, vec, new_stats, noise1, noise2, aux_key
+
+    return forward
+
+
+def make_gandes_gen_forward_counted(gen, seed: int, z_dim: int,
+                                    reinforce_sigma: float | None = None):
+    """GAN-DES analog of :func:`make_mmgan_gen_forward_counted`: derives
+    the per-step noise (and the reinforce perturbation) inside the
+    forward's program from the step counter; batch size comes from a
+    batch-shaped operand so padded tail batches recompile naturally.
+    Returns ``(fake_mats, new_stats, noise)``."""
+    base = make_gandes_gen_forward(gen)
+
+    def forward(state: GANState, count, batch_like):
+        noise = jax.random.normal(
+            jax.random.fold_in(jax.random.key(seed + 1), count),
+            (batch_like.shape[0], z_dim))
+        fake_mats, new_stats = base(state, noise)
+        if reinforce_sigma is not None:
+            fake_mats = jnp.clip(
+                fake_mats + reinforce_sigma * jax.random.normal(
+                    jax.random.fold_in(jax.random.key(seed + 3), count),
+                    fake_mats.shape),
+                0.0, 1.0)
+        return fake_mats, new_stats, noise
+
+    return forward
+
+
 def make_default_fake_proxy(g1, g2):
     """Straight-through surrogate for ``g_update='direct'``: re-run G1/G2
     differentiably, render a cheap differentiable "roll" from their outputs
