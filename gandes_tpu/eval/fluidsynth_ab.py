@@ -124,8 +124,12 @@ def fluidsynth_ab(sf2_path: str, midi_path: str | None = None, *,
     ours_c, theirs_c = ours[:n], np.asarray(theirs[:n], np.float32)
     rms_ours = float(np.sqrt(np.mean(ours_c.astype(np.float64) ** 2)))
     rms_theirs = float(np.sqrt(np.mean(theirs_c.astype(np.float64) ** 2)))
-    gain_db = (20 * np.log10(rms_ours / rms_theirs)
-               if rms_ours > 0 and rms_theirs > 0 else float("inf"))
+    # None (JSON null) when either render is silent: float('inf') is not
+    # valid JSON, and a silent side means the A/B itself is broken — the
+    # verdict below fails rather than trivially passing on two silences
+    # (ADVICE r3 #2)
+    silent = rms_ours <= 0 or rms_theirs <= 0
+    gain_db = None if silent else 20 * np.log10(rms_ours / rms_theirs)
 
     # level-normalize before the spectral compare (legit master-gain
     # differences are reported via gain_db, not counted as distance)
@@ -149,7 +153,7 @@ def fluidsynth_ab(sf2_path: str, midi_path: str | None = None, *,
         "sf2": os.path.abspath(sf2_path),
         "sr": sr,
         "n_samples": n,
-        "gain_db_ours_minus_fs": round(gain_db, 2),
+        "gain_db_ours_minus_fs": None if gain_db is None else round(gain_db, 2),
         "mel_l1_db": round(mel_l1, 3),
         "onset_ours_ms": round(onset_ours, 2),
         "onset_fs_ms": round(onset_theirs, 2),
@@ -157,5 +161,6 @@ def fluidsynth_ab(sf2_path: str, midi_path: str | None = None, *,
         "pass_mel": mel_l1 <= PASS_MEL_DB,
         "pass_onset": onset_delta <= PASS_ONSET_MS,
     }
-    report["ok"] = report["pass_mel"] and report["pass_onset"]
+    report["silent_render"] = silent
+    report["ok"] = report["pass_mel"] and report["pass_onset"] and not silent
     return report

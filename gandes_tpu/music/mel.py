@@ -111,9 +111,16 @@ def frame_signal(wav, n_fft: int, hop_length: int):
             wav = jnp.pad(wav, (0, need - wav.shape[0]))
         return wav[:need].reshape(n_frames, hop_length)[:, :n_fft]
     usable = (n_frames - 1) * hop_length + n_fft
+    # HIGHEST precision: patches lower to a real MXU conv (identity filter),
+    # and the MXU's DEFAULT pass rounds the INPUT to bf16 — i.e. every
+    # extracted sample loses 16 mantissa bits before the FFT (measured
+    # 1.9e-3 abs on a 0.3-amplitude wave, the whole 0.67-1.1 dB mel-parity
+    # delta of round 3). With HIGHEST the bf16x3 passes reproduce the f32
+    # samples exactly (x * 1.0 with 24 mantissa bits split 8+8+8).
     p = jax.lax.conv_general_dilated_patches(
         wav[None, :usable, None], filter_shape=(n_fft,), window_strides=(hop_length,),
         padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return p[0]
 

@@ -112,6 +112,16 @@ def make_mmgan_full_step_io(
     def full_step(state: GANState, real, noise1, noise2, beats, count,
                   aux_key=None):
         mats, vec, new_stats = gen_forward(state, noise1, noise2, beats, aux_key)
+        # DCE GUARD: in the sharded build the callback is ordered=False, so
+        # its execution rests ENTIRELY on `fake`/`failed` being
+        # data-consumed (here: by train_step / the returned metrics). A
+        # future caller that jits a wrapper discarding them (e.g. an
+        # eval-only forward returning just mats/vec) lets XLA elide the
+        # callback — silently skipping parity-relevant side effects (sim
+        # log, count-gated .mid saves, global numpy RNG consumption). Keep
+        # every consumer, or use make_mmgan_gen_forward + matrix_to_midi
+        # directly instead. Pinned by
+        # tests/test_fused_io.py::test_fused_io_side_effects_survive_partial_fetch.
         fake, failed = io_callback(host_stage, result_shapes, mats, vec,
                                    count, **cb_kwargs)
         state = dataclasses.replace(state, g_stats=new_stats)

@@ -111,7 +111,12 @@ class MMGANConfig:
     # device dispatches + small-transfer leaks per step on the
     # remote-attached platform — tests/test_counted_rng.py pins loop
     # losses bitwise on vs off). Ignored by the fused_io path, which
-    # generates noise eagerly.
+    # generates noise eagerly. CAVEAT (ADVICE r3 #3): in
+    # g_update='reinforce' the in-program perturbation may fuse to an FMA
+    # (<= 1 ULP vs the eager path), and those perturbed mats/vec feed
+    # matrix_to_midi's threshold compares — so flipping this flag
+    # MID-EXPERIMENT can change reinforce decode outputs for the same
+    # seed. Pick a value per experiment and keep it.
     counted_rng: bool = True
     # 'float32' (reference numerics) or 'bf16'/'bfloat16': run the dense
     # forward/backward math in bfloat16 (the MXU's native input width) while

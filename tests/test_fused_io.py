@@ -118,6 +118,14 @@ def test_fused_io_step_under_mesh(tmp_path, dp, tp):
     identical seeds. ``des_parallel=1`` (native, global-stream) +
     ``watchdog=30`` keep the host stage deterministic under load, so no
     retry loop is needed (contrast test_fused_io_step_matches_two_phase).
+
+    Abort-exposure audit (VERDICT r3 #4): this test holds one device
+    thread in the host callback while the others wait at the gradient
+    all-reduce — the same shape that LOG(FATAL)-killed pytest at XLA:CPU's
+    40 s rendezvous deadline. conftest now raises that deadline to 600 s;
+    the host stage here is watchdog-bounded at ~120 s worst case (4 sims x
+    30 s), so the abort cannot trip short of a 5x-beyond-worst-case stall,
+    and the in-process run keeps the suite's one compile cache.
     """
     import dataclasses
 
@@ -178,6 +186,47 @@ def test_fused_io_step_under_mesh(tmp_path, dp, tp):
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)),
             getattr(f_state, tree), getattr(ref_state, tree))
+
+
+def test_fused_io_side_effects_survive_partial_fetch(tmp_path, monkeypatch):
+    """A jitted wrapper that returns ONLY mats/vec (drops new_state,
+    metrics — the callback outputs' consumers) must still run the host
+    stage: in the default single-device build the callback is ordered=True,
+    which jax treats as effectful and exempts from DCE. This pins the
+    invariant the sharded (ordered=False) build leans on callers to keep —
+    see the DCE GUARD comment at the io_callback call site (ADVICE r3 #1).
+    """
+    from gandes_tpu.train.fused_callback import make_mmgan_full_step_io
+
+    (g1, g2, d), (g_tx, d_tx), state = _setup()
+    B, T = 2, 50
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    os.makedirs("adj_sim_outputs/midi", exist_ok=True)
+
+    full_step = make_mmgan_full_step_io(
+        g1, g2, d, g_tx, d_tx, batch_size=B, sequence_length=T,
+        adj_size=(64, 64), instrument=0, start=100,
+        log_path="logs/", out_dir="./adj_sim_outputs/midi")
+    # the hazard shape: jit boundary drops every consumer of the callback's
+    # outputs, so only the effect annotation keeps the host stage alive
+    partial = jax.jit(lambda *a: full_step(*a)[1:3])
+
+    k = jax.random.key(3)
+    mats, vec = partial(
+        state,
+        jax.random.uniform(jax.random.fold_in(k, 2), (B, 2, 128, T)) * 100,
+        jax.random.normal(jax.random.fold_in(k, 0), (B, 50)),
+        jax.random.normal(jax.random.fold_in(k, 1), (B, 50)),
+        jnp.zeros((B, 50)), jnp.int32(7), jax.random.key(5))
+    jax.block_until_ready((mats, vec))
+    logs = os.listdir("logs")
+    assert logs, (
+        "host-stage side effects were DCE'd: no sim log written when only "
+        "mats/vec are fetched — the ordered=True effect annotation no "
+        "longer protects the callback"
+    )
 
 
 def test_fused_io_training_loop(midi_fixture_dir, tmp_path, monkeypatch):

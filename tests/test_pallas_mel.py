@@ -63,24 +63,28 @@ def test_pallas_mel_compiled_on_tpu_matches_xla():
         "        ref = np.asarray(_mel_project(s, sr, 2048, 128, 20, 8300,\n"
         "                                      True, False))\n"
         "    assert ours.shape == ref.shape, (ours.shape, ref.shape)\n"
-        "    # PRIMARY: compiled kernel vs the on-TPU XLA path. Both share\n"
-        "    # the same TPU FFT; they differ only in the fused power+mel\n"
-        "    # stage, where the XLA path's projection matmul runs at MXU\n"
-        "    # DEFAULT precision (bf16-input on this platform - CLAUDE.md)\n"
-        "    # while the kernel keeps f32 - measured max rel ~0.6%.\n"
+        "    # PRIMARY: compiled kernel vs the host f32 reference, in the\n"
+        "    # dB domain the pipeline consumes. Round 3's 0.67-1.11 dB\n"
+        "    # failure was frame EXTRACTION: conv_general_dilated_patches\n"
+        "    # lowers to a real MXU conv whose DEFAULT pass rounds the\n"
+        "    # input waveform to bf16 (1.9e-3 abs on a 0.3-amplitude\n"
+        "    # wave). frame_signal now pins the patches conv to HIGHEST;\n"
+        "    # measured max delta vs a float64 oracle is 0.00015 dB on\n"
+        "    # every hop bucket, so 0.05 dB gives >300x headroom while\n"
+        "    # still catching any precision regression in frame/DFT/mel.\n"
+        "    def db(x):\n"
+        "        d = 10.0 * np.log10(np.maximum(x, 1e-10))\n"
+        "        return np.maximum(d, d.max() - 80.0)\n"
+        "    assert np.abs(db(ours) - db(ref)).max() <= 0.05, (\n"
+        "        hop, float(np.abs(db(ours) - db(ref)).max()))\n"
+        "    # SECONDARY: the on-TPU XLA path stays within its bf16\n"
+        "    # projection-matmul envelope of the kernel (the projection is\n"
+        "    # an all-positive contraction, no cancellation - measured max\n"
+        "    # rel ~0.6%, bound 1.5%).\n"
         "    s_t = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
         "    xla_t = np.asarray(_mel_project(s_t, sr, 2048, 128, 20, 8300,\n"
         "                                    True, False))\n"
         "    np.testing.assert_allclose(ours, xla_t, rtol=1.5e-2, atol=1e-3)\n"
-        "    # SECONDARY: vs the CPU f32 reference in the dB domain the\n"
-        "    # pipeline consumes. The raw-power comparison is dominated by\n"
-        "    # cross-backend FFT drift on near-zero bins (measured ~8% rel\n"
-        "    # = ~0.35 dB), so the honest cross-backend bound is in dB.\n"
-        "    def db(x):\n"
-        "        d = 10.0 * np.log10(np.maximum(x, 1e-10))\n"
-        "        return np.maximum(d, d.max() - 80.0)\n"
-        "    assert np.abs(db(ours) - db(ref)).max() <= 1.0, (\n"
-        "        hop, float(np.abs(db(ours) - db(ref)).max()))\n"
         "print('TPU_MEL_PARITY_OK')\n"
     )
     try:
