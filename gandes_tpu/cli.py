@@ -56,7 +56,10 @@ def _cmd_train_mmgan(args):
                       des_parallel=args.des_parallel, mesh_shape=_mesh(args.mesh),
                       fused_io=args.fused_io, profile=args.profile,
                       trace_dir=args.trace_dir,
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype,
+                      instance_noise_sigma=args.instance_noise,
+                      instance_noise_anneal_epochs=args.instance_noise_anneal,
+                      r1_gamma=args.r1_gamma, moment_match=args.moment_match)
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -649,6 +652,18 @@ def main(argv=None):
                          "'direct'/'surrogate' = straight-through G training; "
                          "'reinforce' = score-function estimator through the "
                          "real DES (unbiased, no surrogate)")
+    sp.add_argument("--instance-noise", type=float, default=0.0,
+                    help="g_update='surrogate' balance knob: N(0, sigma^2) "
+                         "added to every D input, annealed to 0 (roll units)")
+    sp.add_argument("--instance-noise-anneal", type=float, default=None,
+                    help="epochs over which instance noise anneals to 0 "
+                         "(default: the full run)")
+    sp.add_argument("--r1-gamma", type=float, default=0.0,
+                    help="g_update='surrogate' balance knob: R1 gradient "
+                         "penalty weight on the real batch")
+    sp.add_argument("--moment-match", type=float, default=0.0,
+                    help="g_update='surrogate' location anchor: per-pitch "
+                         "mean-profile MSE weight")
     sp.add_argument("--mesh", default=None,
                     help="'dp,tp' sharded training mesh (e.g. '4,2'); "
                          "default single-device")

@@ -81,6 +81,21 @@ class MMGANConfig:
     g_update: str = "none"
     surrogate_lr: float = 1e-3
     reinforce_sigma: float = 0.05
+    # Adversarial-balance knobs for g_update='surrogate' (all opt-in;
+    # zero = exact previous step math). Motivation: at the reference's
+    # 337-step epochs the D collapses the game by ~epoch 12 even at
+    # d_lr=1e-4 and the G's location statistics drift during the
+    # D-dominated phase (docs/RESULTS.md round-3 head-to-head).
+    # instance_noise_sigma: N(0, sigma^2) added to every D input (real,
+    # fake, proxy), annealed linearly to 0 over instance_noise_anneal_epochs
+    # (None = the full num_epochs). Units: roll velocities (~0-126).
+    instance_noise_sigma: float = 0.0
+    instance_noise_anneal_epochs: float | None = None
+    # r1_gamma: R1 gradient penalty weight on the real batch (D loss).
+    r1_gamma: float = 0.0
+    # moment_match: G-side per-pitch mean-profile MSE weight (location
+    # anchor through the surrogate gradient path).
+    moment_match: float = 0.0
     # single-launch steps: the whole train step (G forward + DES as an
     # ordered io_callback + D update) is ONE compiled XLA program per batch
     # (train/fused_callback.py). Identical semantics to the two-phase path;
@@ -267,8 +282,17 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                 s_state = ckpt.restore_state(s_path, s_state)
         if mesh is not None:
             s_state = shard_state(s_state, mesh)
+        anneal_epochs = (cfg.instance_noise_anneal_epochs
+                         if cfg.instance_noise_anneal_epochs is not None
+                         else cfg.num_epochs)
         train_step = jax.jit(cast_f32_args(
-            make_mmgan_train_step_surrogate(g1, g2, d, s_model, g_tx, d_tx, s_tx),
+            make_mmgan_train_step_surrogate(
+                g1, g2, d, s_model, g_tx, d_tx, s_tx,
+                instance_noise=((cfg.instance_noise_sigma,
+                                 max(1, int(anneal_epochs * steps_per_epoch)))
+                                if cfg.instance_noise_sigma else None),
+                r1_gamma=cfg.r1_gamma, moment_match=cfg.moment_match,
+                balance_seed=cfg.seed),
             2, 3,  # real, fake ride uint8; the cast fuses into the step
         ))
     elif cfg.g_update == "reinforce":

@@ -249,7 +249,11 @@ def init_surrogate_state(s, key, *, batch_size, adj_size, vec_dim=None, s_tx) ->
 ROLL_SCALE = 64.0
 
 
-def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx):
+def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx, *,
+                                    instance_noise: tuple | None = None,
+                                    r1_gamma: float = 0.0,
+                                    moment_match: float = 0.0,
+                                    balance_seed: int = 0):
     """One fused jitted step for ``g_update='surrogate'``:
 
     1. D update on (real, fake) — identical to the base step;
@@ -264,13 +268,61 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx):
     tracks what the simulator actually does with the matrix, because the
     surrogate is fitted online to the DES outputs of the current G
     distribution. Returns ``(state, s_state, metrics)``.
+
+    Adversarial-balance knobs (all opt-in, zero/None = the exact previous
+    step math — docs/RESULTS.md: at the reference's 337-step epochs the D
+    wins by ~epoch 12 even at d_lr=1e-4, and the G's location statistics
+    drift during the D-dominated phase):
+
+    * ``instance_noise=(sigma0, anneal_steps)`` — add N(0, sigma(t)^2) to
+      every D input (real, fake, AND the G-update's proxy), with
+      sigma(t) = sigma0 * max(0, 1 - step/anneal_steps). The classic
+      overlap-inducing regularizer (Sonderby et al. 2017): while the two
+      roll distributions are near-disjoint, noise keeps D's decision
+      boundary soft so its gradients stay informative. sigma0 is in ROLL
+      units (velocities reach ~126).
+    * ``r1_gamma`` — R1 gradient penalty (Mescheder et al. 2018):
+      gamma/2 * E_real ||grad_x D(x)||^2 added to the D loss, penalizing a
+      D that sharpens around the data manifold (the collapse-to-1e-6-loss
+      mode of the refsched run).
+    * ``moment_match`` — G-side location anchor: lambda * MSE between the
+      batch per-pitch mean activation profiles (both roll channels, mean
+      over batch x time) of the straight-through proxy and the real batch.
+      Targets exactly the first-moment gaps (pitch_mean, pitch_class,
+      velocity_mean, note_density) the round-3 head-to-head lost, through
+      the same surrogate gradient path as the BCE term.
     """
 
     d_loss_fn = _make_mmgan_d_loss(d)
+    sigma0, anneal_steps = instance_noise if instance_noise else (0.0, 1)
 
     def train_step(state: GANState, s_state: SurrogateState, real_roll,
                    fake_roll, mats, vec, noise1, noise2, beats, aux_key):
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, real_roll, fake_roll)
+        if instance_noise:
+            sig = sigma0 * jnp.maximum(
+                0.0, 1.0 - state.step.astype(jnp.float32) / float(anneal_steps))
+            kn = jax.random.fold_in(jax.random.key(balance_seed + 11), state.step)
+            real_d = real_roll + sig * jax.random.normal(
+                jax.random.fold_in(kn, 0), real_roll.shape)
+            fake_d = fake_roll + sig * jax.random.normal(
+                jax.random.fold_in(kn, 1), fake_roll.shape)
+            proxy_noise = sig * jax.random.normal(
+                jax.random.fold_in(kn, 2), fake_roll.shape)
+        else:
+            real_d, fake_d, proxy_noise = real_roll, fake_roll, 0.0
+
+        if r1_gamma:
+            def d_loss_r1(d_params, real, fake):
+                base = d_loss_fn(d_params, real, fake)
+                grad_x = jax.grad(
+                    lambda x: jnp.sum(d.apply({"params": d_params}, x)))(real)
+                r1 = 0.5 * r1_gamma * jnp.mean(
+                    jnp.sum(grad_x ** 2, axis=(1, 2, 3)))
+                return base + r1
+            d_obj = d_loss_r1
+        else:
+            d_obj = d_loss_fn
+        d_loss, d_grads = jax.value_and_grad(d_obj)(state.d_params, real_d, fake_d)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -299,7 +351,15 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx):
             )
             s_roll = s.apply({"params": s_frozen}, mats_d, vec_d)
             proxy = fake_roll + s_roll - jax.lax.stop_gradient(s_roll)
-            return bce_with_logits(d.apply({"params": d_params}, proxy).squeeze(), 1.0)
+            loss = bce_with_logits(
+                d.apply({"params": d_params}, proxy + proxy_noise).squeeze(), 1.0)
+            if moment_match:
+                # per-pitch mean activation over (batch, time), both
+                # channels — normalized by ROLL_SCALE so lambda is O(1)
+                pf = jnp.mean(proxy, axis=(0, 3)) / ROLL_SCALE
+                pr = jnp.mean(real_roll, axis=(0, 3)) / ROLL_SCALE
+                loss = loss + moment_match * jnp.mean((pf - pr) ** 2)
+            return loss
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)

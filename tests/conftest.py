@@ -10,7 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env may point at TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU LOG(FATAL)s the WHOLE process (pytest dies with no report)
+    # when a collective rendezvous misses its 40 s termination deadline —
+    # under box load the fused-io tests' host callback can hold one device
+    # thread that long while the rest wait at the gradient all-reduce
+    # (VERDICT r3 #3b: two full-suite runs killed this way). 600 s clears
+    # the watchdog-bounded worst case with wide margin.
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # a sitecustomize may have imported jax already (env defaults latched), so
 # set the config directly as well

@@ -141,51 +141,71 @@ def test_fused_io_step_under_mesh(tmp_path, dp, tp):
     (g1, g2, d), (g_tx, d_tx), state = _setup(batch=B)
     state = shard_state(state, mesh)
 
-    k = jax.random.key(11)
-    noise1 = jax.random.normal(jax.random.fold_in(k, 0), (B, 50))
-    noise2 = jax.random.normal(jax.random.fold_in(k, 1), (B, 50))
-    beats = jnp.zeros((B, 50))
-    real = jax.random.uniform(jax.random.fold_in(k, 2), (B, 2, 128, T)) * 100
-    noise1, noise2, beats, real = shard_batch((noise1, noise2, beats, real), mesh)
-    aux = jax.random.key(13)
-
-    logs = str(tmp_path / "logs") + os.sep
-    midi_out = str(tmp_path / "midi")
-    os.makedirs(midi_out, exist_ok=True)
-
-    fused = jax.jit(make_mmgan_full_step_io(
-        g1, g2, d, g_tx, d_tx, batch_size=B, sequence_length=T,
-        adj_size=(64, 64), instrument=0, start=100, log_path=logs,
-        out_dir=midi_out, des_parallel=1, watchdog=30.0,
-        callback_device=mesh.devices.flat[0]))
-    np.random.seed(77)
-    f_state, f_mats, f_vec, f_metrics = fused(
-        state, real, noise1, noise2, beats, jnp.int32(7), aux)
-    jax.block_until_ready((f_state.d_params, f_metrics))
-
     fwd = jax.jit(make_mmgan_gen_forward(g1, g2))
     step = jax.jit(make_mmgan_train_step(g1, g2, d, g_tx, d_tx))
-    np.random.seed(77)
-    mats, vec, new_stats = fwd(state, noise1, noise2, beats, aux)
-    rolls, ref_failed = matrix_to_midi(
-        np.asarray(mats)[:, None], np.asarray(vec), adj_size=(64, 64),
-        instrument=0, start=100, end=100 + T, count=7, log_path=logs,
-        out_dir=midi_out, parallel=1, watchdog=30.0)
-    ref_state, ref_metrics = step(
-        dataclasses.replace(state, g_stats=new_stats), real,
-        jnp.asarray(np.stack(rolls).astype(np.float32)))
 
-    np.testing.assert_array_equal(np.asarray(f_mats), np.asarray(mats))
-    np.testing.assert_array_equal(np.asarray(f_vec), np.asarray(vec))
-    assert int(f_metrics["failed_simulations"]) == ref_failed
-    for name in ("d_loss", "g_loss"):
-        np.testing.assert_array_equal(np.asarray(f_metrics[name]),
-                                      np.asarray(ref_metrics[name]))
-    for tree in ("d_params", "g_params"):
-        jax.tree.map(
-            lambda a, b: np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b)),
-            getattr(f_state, tree), getattr(ref_state, tree))
+    # The gen2 sim budget is WALL CLOCK (CLAUDE.md: never assert across
+    # truncation points): a box saturated enough to starve a ~ms sim past
+    # its ~0.5 s budget in ONE of the two runs makes the host outputs
+    # legitimately diverge. Device math (mats/vec) never diverges — hard
+    # assert; the host-dependent comparisons retry on fresh seeds (a real
+    # bug reproduces on every attempt, a load spike does not).
+    last_err = None
+    for attempt in range(4):
+        seed = 77 + attempt * 100
+        k = jax.random.key(11 + attempt)
+        noise1 = jax.random.normal(jax.random.fold_in(k, 0), (B, 50))
+        noise2 = jax.random.normal(jax.random.fold_in(k, 1), (B, 50))
+        beats = jnp.zeros((B, 50))
+        real = jax.random.uniform(jax.random.fold_in(k, 2), (B, 2, 128, T)) * 100
+        noise1, noise2, beats, real = shard_batch((noise1, noise2, beats, real), mesh)
+        aux = jax.random.key(13 + attempt)
+
+        logs = str(tmp_path / f"logs{attempt}") + os.sep
+        midi_out = str(tmp_path / f"midi{attempt}")
+        os.makedirs(midi_out, exist_ok=True)
+
+        fused = jax.jit(make_mmgan_full_step_io(
+            g1, g2, d, g_tx, d_tx, batch_size=B, sequence_length=T,
+            adj_size=(64, 64), instrument=0, start=100, log_path=logs,
+            out_dir=midi_out, des_parallel=1, watchdog=30.0,
+            callback_device=mesh.devices.flat[0]))
+        np.random.seed(seed)
+        f_state, f_mats, f_vec, f_metrics = fused(
+            state, real, noise1, noise2, beats, jnp.int32(7), aux)
+        jax.block_until_ready((f_state.d_params, f_metrics))
+
+        np.random.seed(seed)
+        mats, vec, new_stats = fwd(state, noise1, noise2, beats, aux)
+        rolls, ref_failed = matrix_to_midi(
+            np.asarray(mats)[:, None], np.asarray(vec), adj_size=(64, 64),
+            instrument=0, start=100, end=100 + T, count=7, log_path=logs,
+            out_dir=midi_out, parallel=1, watchdog=30.0)
+        ref_state, ref_metrics = step(
+            dataclasses.replace(state, g_stats=new_stats), real,
+            jnp.asarray(np.stack(rolls).astype(np.float32)))
+
+        np.testing.assert_array_equal(np.asarray(f_mats), np.asarray(mats))
+        np.testing.assert_array_equal(np.asarray(f_vec), np.asarray(vec))
+        try:
+            assert int(f_metrics["failed_simulations"]) == ref_failed
+            for name in ("d_loss", "g_loss"):
+                np.testing.assert_array_equal(np.asarray(f_metrics[name]),
+                                              np.asarray(ref_metrics[name]))
+            for tree in ("d_params", "g_params"):
+                jax.tree.map(
+                    lambda a, b: np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b)),
+                    getattr(f_state, tree), getattr(ref_state, tree))
+        except AssertionError as e:
+            last_err = e
+            continue
+        break
+    else:
+        raise AssertionError(
+            "fused/two-phase divergence persisted across 4 seeds — a real "
+            f"defect, not load truncation: {last_err}"
+        )
 
 
 def test_fused_io_side_effects_survive_partial_fetch(tmp_path, monkeypatch):
