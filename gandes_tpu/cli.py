@@ -44,7 +44,57 @@ def _mesh(spec: str | None):
     return (parts[0], parts[1] if len(parts) > 1 else 1)
 
 
+def _train_mmgan_recycled(args):
+    """Bounded-RSS long-run mode: run the training in epoch chunks, each in
+    a FRESH process that resumes from the newest checkpoint (orbax resume
+    is exact; JAX RNG streams continue via the step counter). Motivation:
+    the axon client leaks ~the bytes of every host->device transfer in
+    client RSS (PARITY.md "axon h2d transfer leak"), so any single-process
+    run grows without bound; recycling resets the process envelope every N
+    epochs. The global numpy stream (DES routing, reference parity) cannot
+    be checkpointed across processes — each chunk gets a deterministic
+    chunk-derived --np-seed instead, so a recycled run is reproducible
+    end-to-end given the same schedule (pinned by
+    tests/test_training_loops.py::test_mmgan_recycle_mode)."""
+    import subprocess
+
+    total = args.epochs
+    chunk = args.recycle_every
+    argv = list(sys.argv[1:])
+
+    def strip(flag, has_value=True):
+        while flag in argv:
+            i = argv.index(flag)
+            del argv[i : i + (2 if has_value else 1)]
+
+    strip("--recycle-every")
+    strip("--epochs")
+    strip("--np-seed")
+    target = chunk
+    while True:
+        target = min(target, total)
+        cmd = [sys.executable, "-m", "gandes_tpu.cli", *argv,
+               "--epochs", str(target),
+               "--np-seed", str(1_000_003 * (args.np_seed or 0) + target)]
+        proc = subprocess.run(cmd)
+        if proc.returncode != 0:
+            raise SystemExit(proc.returncode)
+        if target >= total:
+            break
+        target += chunk
+
+
 def _cmd_train_mmgan(args):
+    if args.recycle_every:
+        return _train_mmgan_recycled(args)
+    if args.np_seed is not None:
+        # deterministic DES routing for THIS process: the simulator consumes
+        # the global numpy stream (reference parity), which cannot be
+        # checkpointed across processes — recycled chunks each get an
+        # explicit chunk-derived seed instead
+        import numpy as np
+
+        np.random.seed(args.np_seed)
     from gandes_tpu.data.datasets import MaestroDatasetPickle
     from gandes_tpu.train.mmgan_loop import MMGANConfig, train_mmgan
 
@@ -652,6 +702,13 @@ def main(argv=None):
                          "'direct'/'surrogate' = straight-through G training; "
                          "'reinforce' = score-function estimator through the "
                          "real DES (unbiased, no surrogate)")
+    sp.add_argument("--recycle-every", type=int, default=None,
+                    help="bounded-RSS long-run mode: run N-epoch chunks in "
+                         "fresh processes via exact orbax resume (the axon "
+                         "client leaks h2d bytes in RSS; see PARITY.md)")
+    sp.add_argument("--np-seed", type=int, default=None,
+                    help="seed the global numpy stream (DES routing) at "
+                         "process start; recycle chunks derive their own")
     sp.add_argument("--instance-noise", type=float, default=0.0,
                     help="g_update='surrogate' balance knob: N(0, sigma^2) "
                          "added to every D input, annealed to 0 (roll units)")

@@ -322,6 +322,9 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
     past_epoch_steps = (steps_per_epoch if max_batches is None
                         else min(steps_per_epoch, max_batches))
     count = start_epoch * past_epoch_steps
+    from gandes_tpu.core.transfer import transfer_bytes
+
+    tb0, tb_steps = transfer_bytes(), 0
     total_failures = 0
     total_seen = 0
     history = {"disc": [], "gen": []}
@@ -382,15 +385,21 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
             if max_batches is not None and i >= max_batches:
                 break
             count += 1
+            tb_steps += 1
             if counted:
                 noise1 = noise2 = None  # derived inside gen_forward_c
             else:
                 kb = jax.random.fold_in(jax.random.key(cfg.seed + 1), count)
                 noise1 = jax.random.normal(jax.random.fold_in(kb, 0), (cfg.batch_size, cfg.noise_dim))
                 noise2 = jax.random.normal(jax.random.fold_in(kb, 1), (cfg.batch_size, cfg.noise_dim))
-            beats_j = jnp.asarray(beats, jnp.float32)
-            # stack on host, move once: one compact (uint8 when lossless)
-            # transfer instead of two f32 puts + an eager device stack
+            # compact_put everywhere: it picks the narrowest lossless wire
+            # dtype (u8/u16/f32) AND counts the bytes moved — the leak
+            # budget on the axon platform (core/transfer.py)
+            # (allow_compact=False: beats feed G2 uncast — keep the wire
+            # dtype f32; this put exists to be COUNTED, it is only 3 kB)
+            beats_j = compact_put(np.asarray(beats), allow_compact=False)
+            # stack on host, move once: one compact (uint8/uint16 when
+            # lossless) transfer instead of two f32 puts + an eager stack
             real = compact_put(
                 np.stack([np.asarray(piano_roll), np.asarray(durations)], axis=1))
             if mesh is not None:
@@ -457,6 +466,9 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                 print("Total failures:", int(total_failures), "Total seen:", total_seen)
                 if cfg.profile:
                     print(timer.report())
+                    print(f"[h2d] {(transfer_bytes() - tb0) / max(tb_steps, 1) / 1e6:.3f} "
+                          "MB/step moved via compact_put (leak budget — "
+                          "PARITY.md 'axon h2d transfer leak')")
 
         disc_losses = [float(x) for x in jax.device_get(disc_losses)]
         gen_losses = [float(x) for x in jax.device_get(gen_losses)]

@@ -24,7 +24,8 @@ def test_is_u8_lossless():
     assert not is_u8_lossless(np.array(["a"]))
 
 
-@pytest.mark.parametrize("case", ["roll", "fractional", "negative", "big", "u8"])
+@pytest.mark.parametrize("case", ["roll", "fractional", "negative", "big",
+                                  "u8", "u16", "huge"])
 def test_compact_put_bitwise(case):
     rng = np.random.default_rng(0)
     n = _COMPACT_MIN_ELEMS
@@ -34,17 +35,42 @@ def test_compact_put_bitwise(case):
                           rng.integers(0, 2, (128, 64)).astype(np.float32)]),
         "fractional": rng.standard_normal(n).astype(np.float32),
         "negative": -rng.integers(0, 100, n).astype(np.float32),
+        # the MM-GAN real-batch shape: velocities u8-safe, durations up to
+        # ~300 (the 300-step pre-window roll) — rides the u16 tier
         "big": rng.integers(0, 10_000, n).astype(np.float32),
         "u8": rng.integers(0, 256, n).astype(np.uint8),
+        "u16": rng.integers(0, 300, n).astype(np.float32),
+        "huge": rng.integers(0, 100_000, n).astype(np.float32),
     }[case]
     got = compact_put(a)
     want = jnp.asarray(a, jnp.float32)
-    assert got.dtype in (jnp.float32, jnp.uint8) and got.shape == want.shape
+    assert got.dtype in (jnp.float32, jnp.uint8, jnp.uint16)
+    assert got.shape == want.shape
     if case in ("roll", "u8"):  # the compact path must actually engage
         assert got.dtype == jnp.uint8
+    if case in ("big", "u16"):
+        assert got.dtype == jnp.uint16
+    if case == "huge":  # > 65535: exactness not guaranteed, stay f32
+        assert got.dtype == jnp.float32
     # the in-step decode (cast_f32_args) must reproduce the f32 transfer
     decoded = jax.jit(lambda x: jnp.asarray(x, jnp.float32))(got)
     np.testing.assert_array_equal(np.asarray(decoded), np.asarray(want))
+
+
+def test_transfer_bytes_counter():
+    """The leak-accounting counter reports exactly the bytes moved."""
+    from gandes_tpu.core.transfer import reset_transfer_bytes, transfer_bytes
+
+    n = _COMPACT_MIN_ELEMS
+    reset_transfer_bytes()
+    compact_put(np.zeros(n, np.float32))            # u8 tier: n bytes
+    assert transfer_bytes() == n
+    compact_put(np.full(n, 300.0, np.float32))      # u16 tier: 2n
+    assert transfer_bytes() == 3 * n
+    compact_put(np.full(n, 0.5, np.float32))        # f32 fallthrough: 4n
+    assert transfer_bytes() == 7 * n
+    reset_transfer_bytes()
+    assert transfer_bytes() == 0
 
 
 def test_compact_put_device_array_passthrough():
@@ -88,8 +114,10 @@ def test_mmgan_loop_bitwise_with_and_without_compaction(
 
     def run(tag, plain):
         if plain:
-            monkeypatch.setattr(mmgan_loop, "compact_put",
-                                lambda a, dtype=jnp.float32: jnp.asarray(a, dtype))
+            monkeypatch.setattr(
+                mmgan_loop, "compact_put",
+                lambda a, dtype=jnp.float32, allow_compact=True:
+                    jnp.asarray(a, dtype))
         else:
             monkeypatch.setattr(mmgan_loop, "compact_put", compact_put)
         cfg = MMGANConfig(batch_size=2, num_epochs=1, start=0,
