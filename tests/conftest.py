@@ -10,15 +10,27 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env may point at TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # 12 = the 8-device test mesh + 4 SLACK executor threads. The slack is
+    # load-bearing on few-core hosts: XLA:CPU's worker pool is
+    # max(ncores, n_devices), and the fused-io mesh tests occupy all 8
+    # device workers at once (7 blocked in the gradient all-reduce
+    # rendezvous + 1 running the pinned io_callback) — the callback's
+    # np.asarray(operand) then enqueues a d2h copy task that NO free
+    # worker can run, deadlocking the suite on a 1-core box (reproduced
+    # deterministically; PARITY.md "XLA:CPU io_callback pool deadlock").
+    # Mesh-building tests must therefore slice jax.devices()[:8], never
+    # assume len(jax.devices()) == 8.
+    flags = (flags + " --xla_force_host_platform_device_count=12").strip()
 if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     # XLA:CPU LOG(FATAL)s the WHOLE process (pytest dies with no report)
     # when a collective rendezvous misses its 40 s termination deadline —
     # under box load the fused-io tests' host callback can hold one device
     # thread that long while the rest wait at the gradient all-reduce
-    # (VERDICT r3 #3b: two full-suite runs killed this way). 600 s clears
-    # the watchdog-bounded worst case with wide margin.
-    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+    # (VERDICT r3 #3b: two full-suite runs killed this way). 7200 s makes
+    # the deadman unreachable; real deadlocks are prevented by the slack
+    # devices above, and runaway tests are pytest's (or the driver's)
+    # problem to bound, not a reason to kill the process without a report.
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=7200").strip()
 os.environ["XLA_FLAGS"] = flags
 
 # a sitecustomize may have imported jax already (env defaults latched), so
@@ -27,7 +39,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 try:
-    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_num_cpu_devices", 12)  # 8 mesh + 4 slack, see above
 except Exception:
     pass  # older jax: XLA_FLAGS fallback above
 

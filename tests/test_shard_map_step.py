@@ -13,8 +13,8 @@ from gandes_tpu.train.steps import init_mmgan_state, make_mmgan_train_step
 
 
 def test_shard_map_step_matches_single_device():
-    assert len(jax.devices()) == 8
-    mesh = Mesh(np.array(jax.devices()).reshape(8, 1)[:, 0], axis_names=("dp",))
+    assert len(jax.devices()) >= 8
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1)[:, 0], axis_names=("dp",))
 
     g1 = MLPGenerator(adj_size=(64, 64))
     g2 = BeatGenerator(output_dim=20)
