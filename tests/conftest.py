@@ -62,6 +62,24 @@ def reference_available() -> bool:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The 7200 s rendezvous deadman above removes XLA's own in-process bound on
+# a genuine future deadlock — pair it with a faulthandler watchdog (ADVICE
+# r4 #4) so a regression surfaces as repeated all-thread stack dumps on
+# stderr instead of a silent multi-hour hang. 2700 s per TEST is far above
+# any legitimate test (the whole suite runs ~14-21 min) yet bounded enough
+# to diagnose a wedged run; re-armed per test so only a single stuck test
+# trips it, and cancelled on teardown.
+import faulthandler  # noqa: E402
+
+_HANG_DUMP_S = float(os.environ.get("GANDES_TEST_HANG_DUMP_S", "2700"))
+
+
+@pytest.fixture(autouse=True)
+def _hang_watchdog():
+    faulthandler.dump_traceback_later(_HANG_DUMP_S, repeat=True)
+    yield
+    faulthandler.cancel_dump_traceback_later()
+
 
 @pytest.fixture(scope="session")
 def midi_fixture_dir(tmp_path_factory):
