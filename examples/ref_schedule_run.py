@@ -78,8 +78,12 @@ def main():
     ap.add_argument("epochs", nargs="?", type=int, default=40)
     ap.add_argument("--instance-noise", type=float, default=0.0)
     ap.add_argument("--instance-noise-anneal", type=float, default=None)
+    ap.add_argument("--instance-noise-floor", type=float, default=0.0)
     ap.add_argument("--r1-gamma", type=float, default=0.0)
+    ap.add_argument("--r1-mode", choices=["exact", "fd"], default="exact")
+    ap.add_argument("--r1-fd-eps", type=float, default=0.5)
     ap.add_argument("--moment-match", type=float, default=0.0)
+    ap.add_argument("--moment-match-cond", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     workdir, epochs = args.workdir, args.epochs
@@ -97,7 +101,10 @@ def main():
         des_parallel=16, resume=True, print_interval=50, seed=args.seed,
         instance_noise_sigma=args.instance_noise,
         instance_noise_anneal_epochs=args.instance_noise_anneal,
-        r1_gamma=args.r1_gamma, moment_match=args.moment_match,
+        instance_noise_floor=args.instance_noise_floor,
+        r1_gamma=args.r1_gamma, r1_mode=args.r1_mode,
+        r1_fd_eps=args.r1_fd_eps, moment_match=args.moment_match,
+        moment_match_cond=args.moment_match_cond,
     )
 
     # RSS watcher: one line per 2 min so the run log itself shows whether

@@ -109,7 +109,10 @@ def _cmd_train_mmgan(args):
                       compute_dtype=args.compute_dtype,
                       instance_noise_sigma=args.instance_noise,
                       instance_noise_anneal_epochs=args.instance_noise_anneal,
-                      r1_gamma=args.r1_gamma, moment_match=args.moment_match)
+                      r1_gamma=args.r1_gamma, moment_match=args.moment_match,
+                      moment_match_cond=args.moment_match_cond,
+                      r1_mode=args.r1_mode, r1_fd_eps=args.r1_fd_eps,
+                      instance_noise_floor=args.instance_noise_floor)
     dataset = MaestroDatasetPickle(args.data, data_dir=".")
     state, history = train_mmgan(dataset, cfg, max_batches=args.max_batches)
     print(f"done: {len(history['disc'])} epochs")
@@ -721,6 +724,20 @@ def main(argv=None):
     sp.add_argument("--moment-match", type=float, default=0.0,
                     help="g_update='surrogate' location anchor: per-pitch "
                          "mean-profile MSE weight")
+    sp.add_argument("--moment-match-cond", type=float, default=0.0,
+                    help="g_update='surrogate' anchor on the eval's "
+                         "conditional moments (velocity mean/std | onset, "
+                         "duration mean | sounding)")
+    sp.add_argument("--r1-mode", choices=["exact", "fd"], default="exact",
+                    help="R1 formulation: 'exact' grad-of-grad (hangs the "
+                         "axon relay compile) or 'fd' finite-difference "
+                         "probe (axon-compatible)")
+    sp.add_argument("--r1-fd-eps", type=float, default=0.5,
+                    help="finite-difference step for --r1-mode fd "
+                         "(roll units)")
+    sp.add_argument("--instance-noise-floor", type=float, default=0.0,
+                    help="anneal instance noise to this sigma instead of 0 "
+                         "(permanent D noise floor)")
     sp.add_argument("--mesh", default=None,
                     help="'dp,tp' sharded training mesh (e.g. '4,2'); "
                          "default single-device")

@@ -93,9 +93,23 @@ class MMGANConfig:
     instance_noise_anneal_epochs: float | None = None
     # r1_gamma: R1 gradient penalty weight on the real batch (D loss).
     r1_gamma: float = 0.0
+    # r1_mode: 'exact' (grad-of-grad — hangs the axon relay compile at
+    # reference shapes, PARITY.md "axon compile hang") or 'fd' (central
+    # finite difference along a fresh Gaussian probe, two extra D
+    # forwards, first-order autodiff only — compiles on axon).
+    r1_mode: str = "exact"
+    r1_fd_eps: float = 0.5
     # moment_match: G-side per-pitch mean-profile MSE weight (location
     # anchor through the surrogate gradient path).
     moment_match: float = 0.0
+    # moment_match_cond: G-side anchor on the CONDITIONAL statistics the
+    # eval scores (E/std[velocity|onset], E[duration|sounding]) — the
+    # round-5 extension targeting the velocity_mean/duration_mean gaps
+    # (train/steps.py::soft_conditional_moments).
+    moment_match_cond: float = 0.0
+    # instance_noise_floor: anneal instance noise to this sigma instead of
+    # 0 (permanent D noise floor; keeps late-game D gradients informative).
+    instance_noise_floor: float = 0.0
     # single-launch steps: the whole train step (G forward + DES as an
     # ordered io_callback + D update) is ONE compiled XLA program per batch
     # (train/fused_callback.py). Identical semantics to the two-phase path;
@@ -292,6 +306,9 @@ def _train_mmgan(dataset, cfg, steps_per_epoch=None, max_batches=None):
                                  max(1, int(anneal_epochs * steps_per_epoch)))
                                 if cfg.instance_noise_sigma else None),
                 r1_gamma=cfg.r1_gamma, moment_match=cfg.moment_match,
+                moment_match_cond=cfg.moment_match_cond,
+                r1_mode=cfg.r1_mode, r1_fd_eps=cfg.r1_fd_eps,
+                instance_noise_floor=cfg.instance_noise_floor,
                 balance_seed=cfg.seed),
             2, 3,  # real, fake ride uint8; the cast fuses into the step
         ))

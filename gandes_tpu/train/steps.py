@@ -249,10 +249,36 @@ def init_surrogate_state(s, key, *, batch_size, adj_size, vec_dim=None, s_tx) ->
 ROLL_SCALE = 64.0
 
 
+def soft_conditional_moments(roll, mask_src):
+    """Batch-mean conditional moments of a (B, 2, 128, T) roll, masked by
+    ``mask_src``'s nonzero cells (stop-gradded — the mask decides WHICH
+    cells count, the values differentiate): per-sample nonzero-onset
+    velocity mean/std and sounding-span duration mean, exactly the
+    formulas :func:`gandes_tpu.eval.metrics.roll_metrics` scores
+    (velocity_mean / velocity_std / duration_mean), then batch-averaged.
+    Returns ``(vel_mean, vel_std, dur_mean)`` scalars. With
+    ``roll is mask_src`` on integer rolls the forward VALUES equal the
+    eval's statistics (velocity_std up to the 1e-6 sqrt guard)."""
+    vel, dur = roll[:, 0], roll[:, 1]
+    on = jax.lax.stop_gradient((mask_src[:, 0] > 0).astype(vel.dtype))
+    snd = jax.lax.stop_gradient((mask_src[:, 1] > 0).astype(dur.dtype))
+    safe_n = jnp.maximum(jnp.sum(on, axis=(1, 2)), 1.0)           # (B,)
+    mv = jnp.sum(vel * on, axis=(1, 2)) / safe_n
+    var = jnp.sum(on * (vel - mv[:, None, None]) ** 2, axis=(1, 2)) / safe_n
+    sv = jnp.sqrt(var + 1e-6)
+    span = jnp.maximum(jnp.sum(snd, axis=(1, 2)), 1.0)
+    md = jnp.sum(dur * snd, axis=(1, 2)) / span
+    return jnp.mean(mv), jnp.mean(sv), jnp.mean(md)
+
+
 def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx, *,
                                     instance_noise: tuple | None = None,
                                     r1_gamma: float = 0.0,
                                     moment_match: float = 0.0,
+                                    moment_match_cond: float = 0.0,
+                                    r1_mode: str = "exact",
+                                    r1_fd_eps: float = 0.5,
+                                    instance_noise_floor: float = 0.0,
                                     balance_seed: int = 0):
     """One fused jitted step for ``g_update='surrogate'``:
 
@@ -291,7 +317,35 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx, *,
       Targets exactly the first-moment gaps (pitch_mean, pitch_class,
       velocity_mean, note_density) the round-3 head-to-head lost, through
       the same surrogate gradient path as the BCE term.
+    * ``moment_match_cond`` — the round-5 extension (VERDICT r4 #3): the
+      per-pitch profile anchors unconditional mass but not the
+      CONDITIONAL statistics the eval scores — E[velocity | onset],
+      std[velocity | onset], E[duration | sounding]
+      (eval/metrics.py::roll_metrics) — which is why velocity_mean and
+      duration_mean stayed lost in the round-4 head-to-head. This term is
+      lambda * the squared gaps of exactly those three statistics between
+      the proxy (soft values through the surrogate path, onset/sounding
+      masks stop-gradded from the DES's actual roll) and the real batch,
+      each normalized to O(1) (velocities /126, durations /20). The
+      masks being hard means the gradient moves the VALUES of currently
+      active cells (the G2 velocity/tempo knobs the decoder consumes),
+      not which cells are active — cell activation is the profile term's
+      job.
+    * ``r1_mode='fd'`` + ``r1_fd_eps`` — axon-compatible R1: the exact
+      penalty's grad-of-grad conv program hangs the axon relay compile at
+      reference shapes (PARITY.md "axon compile hang on grad-of-grad conv
+      programs"), so this estimates gamma/2 * E||grad_x D||^2 by a
+      central finite difference along one fresh Gaussian probe per sample
+      per step: E_u[((D(x+eps u) - D(x-eps u)) / 2 eps)^2] over u~N(0,I)
+      equals E[(grad_x D . u)^2] = ||grad_x D||^2 up to O(eps^2) FD error
+      (zero where D is locally linear — LeakyReLU/conv/FC regions).
+      Two extra D forwards, first-order-only autodiff, compiles on axon.
+    * ``instance_noise_floor`` — anneal sigma(t) to this floor instead of
+      0 (a permanent D noise floor keeps late-game gradients informative;
+      the round-4 run died by ~epoch 9 once noise annealed away).
     """
+    if r1_mode not in ("exact", "fd"):
+        raise ValueError(f"r1_mode must be 'exact' or 'fd', got {r1_mode!r}")
 
     d_loss_fn = _make_mmgan_d_loss(d)
     sigma0, anneal_steps = instance_noise if instance_noise else (0.0, 1)
@@ -299,7 +353,7 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx, *,
     def train_step(state: GANState, s_state: SurrogateState, real_roll,
                    fake_roll, mats, vec, noise1, noise2, beats, aux_key):
         if instance_noise:
-            sig = sigma0 * jnp.maximum(
+            sig = instance_noise_floor + (sigma0 - instance_noise_floor) * jnp.maximum(
                 0.0, 1.0 - state.step.astype(jnp.float32) / float(anneal_steps))
             kn = jax.random.fold_in(jax.random.key(balance_seed + 11), state.step)
             real_d = real_roll + sig * jax.random.normal(
@@ -311,7 +365,18 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx, *,
         else:
             real_d, fake_d, proxy_noise = real_roll, fake_roll, 0.0
 
-        if r1_gamma:
+        if r1_gamma and r1_mode == "fd":
+            def d_loss_r1_fd(d_params, real, fake):
+                base = d_loss_fn(d_params, real, fake)
+                ku = jax.random.fold_in(
+                    jax.random.key(balance_seed + 13), state.step)
+                u = jax.random.normal(ku, real.shape)
+                d_plus = d.apply({"params": d_params}, real + r1_fd_eps * u)
+                d_minus = d.apply({"params": d_params}, real - r1_fd_eps * u)
+                ddir = (d_plus - d_minus).reshape(-1) / (2.0 * r1_fd_eps)
+                return base + 0.5 * r1_gamma * jnp.mean(ddir ** 2)
+            d_obj = d_loss_r1_fd
+        elif r1_gamma:
             def d_loss_r1(d_params, real, fake):
                 base = d_loss_fn(d_params, real, fake)
                 grad_x = jax.grad(
@@ -359,6 +424,13 @@ def make_mmgan_train_step_surrogate(g1, g2, d, s, g_tx, d_tx, s_tx, *,
                 pf = jnp.mean(proxy, axis=(0, 3)) / ROLL_SCALE
                 pr = jnp.mean(real_roll, axis=(0, 3)) / ROLL_SCALE
                 loss = loss + moment_match * jnp.mean((pf - pr) ** 2)
+            if moment_match_cond:
+                mv_f, sv_f, md_f = soft_conditional_moments(proxy, fake_roll)
+                mv_r, sv_r, md_r = soft_conditional_moments(real_roll, real_roll)
+                loss = loss + moment_match_cond * (
+                    ((mv_f - mv_r) / 126.0) ** 2
+                    + ((sv_f - sv_r) / 126.0) ** 2
+                    + ((md_f - md_r) / 20.0) ** 2)
             return loss
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)

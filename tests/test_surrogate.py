@@ -234,6 +234,127 @@ def test_surrogate_balance_knobs():
         profile_gap(st_p), profile_gap(st_n))
 
 
+def test_soft_conditional_moments_match_eval():
+    """soft_conditional_moments' forward values on an integer roll equal
+    the eval's scored statistics (roll_metrics velocity_mean/std,
+    duration_mean) — the anchor literally measures the head-to-head gap."""
+    from gandes_tpu.eval.metrics import roll_metrics
+    from gandes_tpu.train.steps import soft_conditional_moments
+
+    rng = np.random.RandomState(7)
+    roll = np.zeros((4, 2, 128, 50), np.float32)
+    mask = rng.rand(4, 2, 128, 50) < 0.02
+    roll[mask] = rng.randint(1, 127, mask.sum())
+    roll[2] = 0.0  # an all-zero sample exercises the safe_n guard
+    mv, sv, md = soft_conditional_moments(jnp.asarray(roll), jnp.asarray(roll))
+    m = roll_metrics(roll)
+    np.testing.assert_allclose(float(mv), float(np.mean(m["velocity_mean"])),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(sv), float(np.mean(m["velocity_std"])),
+                               rtol=1e-3)  # 1e-6 sqrt guard
+    np.testing.assert_allclose(float(md), float(np.mean(m["duration_mean"])),
+                               rtol=1e-6)
+
+
+def test_surrogate_balance_knobs_round5():
+    """Round-5 knobs (VERDICT r4 #3/#4):
+
+    * defaults-off keeps the step BITWISE equal to the round-4 math
+      (covered by test_surrogate_balance_knobs' zeroed comparison — the
+      new kwargs default off);
+    * r1_mode='fd': the probe estimator agrees with the exact R1 penalty
+      in expectation (checked against autodiff ||grad_x D||^2 with many
+      probes) and the fd step runs without grad-of-grad;
+    * moment_match_cond shrinks the conditional velocity-moment gap vs
+      the knobs-off trajectory at equal steps;
+    * instance_noise_floor keeps noise alive past the anneal horizon.
+    """
+    import dataclasses
+
+    from gandes_tpu.train.steps import (
+        init_mmgan_state,
+        init_surrogate_state,
+        make_mmgan_gen_forward,
+        make_mmgan_train_step_surrogate,
+        soft_conditional_moments,
+    )
+
+    B, T = 4, 50
+    g1, g2, d, s = _make_models(T)
+    g_tx, d_tx, s_tx = optax.adam(1e-3), optax.adam(1e-3), optax.adam(1e-3)
+    state0 = init_mmgan_state(g1, g2, d, jax.random.key(0), batch_size=B,
+                              z_dim=50, beat_dim=50, roll_size=(2, 128, T),
+                              g_tx=g_tx, d_tx=d_tx)
+    s_state0 = init_surrogate_state(s, jax.random.key(1), batch_size=B,
+                                    adj_size=(64, 64), vec_dim=20, s_tx=s_tx)
+    gen_forward = jax.jit(make_mmgan_gen_forward(g1, g2))
+    key = jax.random.key(2)
+    noise1 = jax.random.normal(jax.random.fold_in(key, 0), (B, 50))
+    noise2 = jax.random.normal(jax.random.fold_in(key, 1), (B, 50))
+    beats = jnp.zeros((B, 50))
+    real = jax.random.uniform(jax.random.fold_in(key, 2), (B, 2, 128, T)) * 100
+    mats, vec, _ = gen_forward(state0, noise1, noise2, beats, jax.random.key(3))
+    fake = jnp.round(
+        jax.random.uniform(jax.random.fold_in(key, 3), (B, 2, 128, T)) * 60)
+    args = (real, fake, mats, vec, noise1, noise2, beats, jax.random.key(3))
+
+    # --- fd-R1 estimator correctness: average the probe estimate across
+    # many steps (fresh probe each, via state.step) and compare to the
+    # exact autodiff penalty on the same D
+    gamma, eps = 2.0, 0.5
+    fd_step = jax.jit(make_mmgan_train_step_surrogate(
+        g1, g2, d, s, g_tx, d_tx, s_tx, r1_gamma=gamma, r1_mode="fd",
+        r1_fd_eps=eps, balance_seed=9))
+    base_step = jax.jit(make_mmgan_train_step_surrogate(
+        g1, g2, d, s, g_tx, d_tx, s_tx))
+    d_base = float(base_step(state0, s_state0, *args)[2]["d_loss"])
+    pens = []
+    for step_i in range(64):
+        st_i = dataclasses.replace(state0, step=jnp.int32(step_i))
+        pens.append(float(fd_step(st_i, s_state0, *args)[2]["d_loss"]) - d_base)
+    grad_x = jax.grad(
+        lambda x: float(0) + jnp.sum(d.apply({"params": state0.d_params}, x)))(real)
+    exact = 0.5 * gamma * float(jnp.mean(jnp.sum(grad_x ** 2, axis=(1, 2, 3))))
+    assert exact > 0
+    np.testing.assert_allclose(np.mean(pens), exact, rtol=0.35)
+
+    # --- moment_match_cond shrinks the conditional-moment gap vs base
+    anchored = jax.jit(make_mmgan_train_step_surrogate(
+        g1, g2, d, s, g_tx, d_tx, s_tx, moment_match_cond=500.0))
+
+    def cond_gap(st, ss):
+        mats_n, vec_n, _ = gen_forward(st, noise1, noise2, beats,
+                                       jax.random.key(3))
+        roll = s.apply({"params": ss.params}, mats_n, vec_n)
+        mv_f, sv_f, md_f = soft_conditional_moments(roll, roll)
+        mv_r, sv_r, md_r = soft_conditional_moments(real, real)
+        return (float((mv_f - mv_r) ** 2 / 126 ** 2
+                      + (sv_f - sv_r) ** 2 / 126 ** 2
+                      + (md_f - md_r) ** 2 / 20 ** 2))
+
+    st_p = st_n = state0
+    ss_p = ss_n = s_state0
+    for _ in range(25):
+        st_p, ss_p, m_p = anchored(st_p, ss_p, *args)
+        st_n, ss_n, _ = base_step(st_n, ss_n, *args)
+    assert np.isfinite(float(m_p["g_loss"]))
+    assert cond_gap(st_p, ss_p) < cond_gap(st_n, ss_n), (
+        cond_gap(st_p, ss_p), cond_gap(st_n, ss_n))
+
+    # --- noise floor: far past the anneal horizon the floored step still
+    # perturbs the D objective while the unfloored one is bitwise nominal
+    late = dataclasses.replace(state0, step=jnp.int32(10_000))
+    nofloor = jax.jit(make_mmgan_train_step_surrogate(
+        g1, g2, d, s, g_tx, d_tx, s_tx, instance_noise=(10.0, 100),
+        balance_seed=5))
+    floored = jax.jit(make_mmgan_train_step_surrogate(
+        g1, g2, d, s, g_tx, d_tx, s_tx, instance_noise=(10.0, 100),
+        instance_noise_floor=2.0, balance_seed=5))
+    d_nominal = float(base_step(late, s_state0, *args)[2]["d_loss"])
+    assert float(nofloor(late, s_state0, *args)[2]["d_loss"]) == d_nominal
+    assert float(floored(late, s_state0, *args)[2]["d_loss"]) != d_nominal
+
+
 def test_gandes_surrogate_step_trains():
     from gandes_tpu.models.gan_des import DCGANGenerator, MelDiscriminator
     from gandes_tpu.models.surrogate import MelSurrogate
