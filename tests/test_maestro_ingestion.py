@@ -81,6 +81,44 @@ def test_pickler_over_maestro_layout(maestro_dir, tmp_path):
     assert np.asarray(beats).shape == (50,)
 
 
+def test_pickler_scale_paths_on_multiminute_corpus(tmp_path):
+    """MAESTRO-like volume slice (VERDICT r4 #7): multi-minute files built
+    by time-concatenating simulator MIDIs (examples/ingest_bench.py's
+    corpus builder — the measured-throughput harness), pickled through all
+    three paths (sequential / process-pool workers / device kernel) with
+    byte-identical outputs. The full ~200-file measurement lives in
+    docs/RESULTS.md; this pins the code paths green at a bounded size."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+    from ingest_bench import build_corpus
+
+    from gandes_tpu.data.datasets import build_window_pickle
+
+    root, total_bytes = build_corpus(str(tmp_path), n_files=8, concat=4,
+                                     n_base=8)
+    files = [f for f in os.listdir(os.path.join(root, "2004"))
+             if f.endswith(".midi")]
+    assert files, "corpus builder wrote no .midi under the year dir"
+    sizes = [os.path.getsize(os.path.join(root, "2004", f)) for f in files]
+    assert max(sizes) > 30_000, sizes  # multi-minute (~4x a single sim MIDI)
+
+    outs = {}
+    for mode, kw in (("seq", {}), ("workers", {"workers": 2}),
+                     ("device", {"device_rasterize": True})):
+        out = str(tmp_path / f"{mode}.pkl")
+        n = build_window_pickle(root, out, sequence_length=50, **kw)
+        assert n > 0
+        with open(out, "rb") as f:
+            outs[mode] = pickle.load(f)
+    assert len(outs["seq"]) == len(outs["workers"]) == len(outs["device"])
+    for a, b in zip(outs["seq"], outs["workers"]):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for a, b in zip(outs["seq"], outs["device"]):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_cli_pickle_dataset_over_maestro_layout(maestro_dir, tmp_path):
     """The exact first command a MAESTRO user runs."""
     out = str(tmp_path / "cli.pkl")

@@ -22,14 +22,21 @@ def test_pallas_mel_matches_xla(hop, n):
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4)
 
 
-def test_pallas_mel_compiled_on_tpu_matches_xla():
+@pytest.mark.parametrize("hop,n", [(512, 44100), (1025, 5 * 44100),
+                                   (220, 44100)])
+def test_pallas_mel_compiled_on_tpu_matches_xla(hop, n):
     """COMPILED-kernel parity on real TPU hardware (VERDICT r2 #5): the
     in-process suite pins jax to a virtual CPU mesh (conftest), so
     mel_power_pallas only ever runs in interpret mode here. Mirror of
     tests/test_pallas_roll.py's TPU-subprocess pattern: re-run the
-    comparison compiled, across the hop/length buckets the audio path
-    uses, in a subprocess with the CPU forcing stripped; auto-skip when
-    that subprocess still lands on CPU (no TPU attached)."""
+    comparison compiled in a subprocess with the CPU forcing stripped;
+    auto-skip when that subprocess still lands on CPU (no TPU attached).
+
+    ONE hop/length bucket — i.e. one kernel compile — per subprocess
+    (VERDICT r4 #6): the old single-subprocess form covered three compiles
+    under one 600 s budget, so a degraded relay could turn the proof into
+    a silent skip; per-bucket the budget bounds a single compile and the
+    proof lands under load."""
     import os
     import subprocess
     import sys
@@ -53,45 +60,53 @@ def test_pallas_mel_compiled_on_tpu_matches_xla():
         "from gandes_tpu.ops.pallas_mel import mel_power_pallas\n"
         "cpu = jax.local_devices(backend='cpu')[0]\n"
         "rng = np.random.RandomState(0)\n"
-        "for hop, n in [(512, 44100), (1025, 5 * 44100), (220, 44100)]:\n"
-        "    sr = 44100\n"
-        "    wav = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)\n"
-        "           + 0.1 * rng.randn(n)).astype(np.float32)\n"
-        "    ours = np.asarray(mel_power_pallas(wav, sr, hop_length=hop))\n"
-        "    with jax.default_device(cpu):\n"
-        "        s = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
-        "        ref = np.asarray(_mel_project(s, sr, 2048, 128, 20, 8300,\n"
-        "                                      True, False))\n"
-        "    assert ours.shape == ref.shape, (ours.shape, ref.shape)\n"
-        "    # PRIMARY: compiled kernel vs the host f32 reference, in the\n"
-        "    # dB domain the pipeline consumes. Round 3's 0.67-1.11 dB\n"
-        "    # failure was frame EXTRACTION: conv_general_dilated_patches\n"
-        "    # lowers to a real MXU conv whose DEFAULT pass rounds the\n"
-        "    # input waveform to bf16 (1.9e-3 abs on a 0.3-amplitude\n"
-        "    # wave). frame_signal now pins the patches conv to HIGHEST;\n"
-        "    # measured max delta vs a float64 oracle is 0.00015 dB on\n"
-        "    # every hop bucket, so 0.05 dB gives >300x headroom while\n"
-        "    # still catching any precision regression in frame/DFT/mel.\n"
-        "    def db(x):\n"
-        "        d = 10.0 * np.log10(np.maximum(x, 1e-10))\n"
-        "        return np.maximum(d, d.max() - 80.0)\n"
-        "    assert np.abs(db(ours) - db(ref)).max() <= 0.05, (\n"
-        "        hop, float(np.abs(db(ours) - db(ref)).max()))\n"
-        "    # SECONDARY: the on-TPU XLA path stays within its bf16\n"
-        "    # projection-matmul envelope of the kernel (the projection is\n"
-        "    # an all-positive contraction, no cancellation - measured max\n"
-        "    # rel ~0.6%, bound 1.5%).\n"
-        "    s_t = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
-        "    xla_t = np.asarray(_mel_project(s_t, sr, 2048, 128, 20, 8300,\n"
-        "                                    True, False))\n"
-        "    np.testing.assert_allclose(ours, xla_t, rtol=1.5e-2, atol=1e-3)\n"
+        f"hop, n, sr = {hop}, {n}, 44100\n"
+        "wav = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)\n"
+        "       + 0.1 * rng.randn(n)).astype(np.float32)\n"
+        "ours = np.asarray(mel_power_pallas(wav, sr, hop_length=hop))\n"
+        "with jax.default_device(cpu):\n"
+        "    s = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
+        "    ref = np.asarray(_mel_project(s, sr, 2048, 128, 20, 8300,\n"
+        "                                  True, False))\n"
+        "assert ours.shape == ref.shape, (ours.shape, ref.shape)\n"
+        "# PRIMARY: compiled kernel vs the host f32 reference, in the\n"
+        "# dB domain the pipeline consumes. Round 3's 0.67-1.11 dB\n"
+        "# failure was frame EXTRACTION: conv_general_dilated_patches\n"
+        "# lowers to a real MXU conv whose DEFAULT pass rounds the\n"
+        "# input waveform to bf16 (1.9e-3 abs on a 0.3-amplitude\n"
+        "# wave). frame_signal now pins the patches conv to HIGHEST;\n"
+        "# measured max delta vs a float64 oracle is 0.00015 dB on\n"
+        "# every hop bucket, so 0.05 dB gives >300x headroom while\n"
+        "# still catching any precision regression in frame/DFT/mel.\n"
+        "def db(x):\n"
+        "    d = 10.0 * np.log10(np.maximum(x, 1e-10))\n"
+        "    return np.maximum(d, d.max() - 80.0)\n"
+        "assert np.abs(db(ours) - db(ref)).max() <= 0.05, (\n"
+        "    hop, float(np.abs(db(ours) - db(ref)).max()))\n"
+        "# SECONDARY: the on-TPU XLA path stays within its bf16\n"
+        "# projection-matmul envelope of the kernel (the projection is\n"
+        "# an all-positive contraction, no cancellation - measured max\n"
+        "# rel ~0.6%, bound 1.5%).\n"
+        "s_t = power_spectrogram(wav, n_fft=2048, hop_length=hop)\n"
+        "xla_t = np.asarray(_mel_project(s_t, sr, 2048, 128, 20, 8300,\n"
+        "                                True, False))\n"
+        "np.testing.assert_allclose(ours, xla_t, rtol=1.5e-2, atol=1e-3)\n"
         "print('TPU_MEL_PARITY_OK')\n"
     )
-    try:
-        proc = subprocess.run([sys.executable, "-c", body], env=env, text=True,
-                              capture_output=True, timeout=600)
-    except subprocess.TimeoutExpired:
-        pytest.skip("TPU subprocess exceeded 600 s (degraded relay)")
+    proc = None
+    for attempt in (1, 2):  # one retry: a load spike is transient, and the
+        # compile this budget bounds is a single kernel (measured: passes in
+        # well under 600 s even with a concurrent training run; the only
+        # observed miss was a 5-concurrent-jobs spike)
+        try:
+            proc = subprocess.run([sys.executable, "-c", body], env=env,
+                                  text=True, capture_output=True, timeout=900)
+            break
+        except subprocess.TimeoutExpired:
+            continue
+    if proc is None:
+        pytest.skip("TPU subprocess exceeded 900 s for ONE compile, twice "
+                    "(severely degraded relay)")
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU attached in subprocess")
     if proc.returncode != 0 and "Unable to initialize backend" in (
