@@ -61,6 +61,12 @@ def _flush_headline_and_exit(signum, frame):
         os._exit(0)
     os._exit(1)
 
+HEALTHY_STEPS_PER_SEC = 2200.0  # the unloaded-window band: across many
+# sessions the chip repeatedly measures 2.3-2.6k steps/s when the relay is
+# quiet, so a max below this band means every window so far sampled a
+# degraded period — keep sampling (bounded) rather than report the relay's
+# load as the chip's capability
+
 # v5e peak: 197 TFLOP/s bf16 per chip. The step's matmuls run at MXU
 # DEFAULT precision, which is bf16-input on this platform (CLAUDE.md), so
 # the bf16 peak is the honest denominator for MFU.
@@ -139,11 +145,6 @@ def bench_jax(iters: int = 100, windows: int = 3, on_window=None,
     # reads degraded (well under the chip's known healthy rate), keep
     # sampling on a longer stride up to a budget rather than reporting the
     # relay's bad mood as the chip's speed.
-    HEALTHY_STEPS_PER_SEC = 2200.0  # the unloaded-window band: across many
-    # sessions the chip repeatedly measures 2.3-2.6k steps/s when the
-    # relay is quiet, so a max below this band means every window so far
-    # sampled a degraded period — keep sampling (bounded) rather than
-    # report the relay's load as the chip's capability
     rates = []
 
     def window():
@@ -159,23 +160,44 @@ def bench_jax(iters: int = 100, windows: int = 3, on_window=None,
 
     for w in range(windows):
         window()
-        if w + 1 < windows and _remaining() > 90.0:
+        # spacing/extra windows only while the deadline share reserved for
+        # the full-pipeline + scan rows (~45%) is untouched: under heavy
+        # host-CPU contention even the measurement windows stretch, and a
+        # prettier headline must not evict the rows (VERDICT r4 #2/#8)
+        if w + 1 < windows:
+            if _remaining() < 0.55 * _DEADLINE_S:
+                break
             time.sleep(20.0)
-    # degraded periods can outlast any reasonable wait (measured: one
-    # 2026-08-18 window held >30 min) — round 3 sized the default wait to
-    # that episode (1800 s) and the driver artifact came back EMPTY
-    # (VERDICT r3 #1: rc=124, parsed null). A bounded, slightly-degraded
-    # number beats a perfect number that never lands: the default extra
-    # wait is now 120 s and, above all, capped by the global deadline;
-    # longer waits are opt-in (GANDES_BENCH_BUDGET_S=1800 restores the
-    # round-3 behavior for interactive sessions).
+    if warm_out is not None:
+        # main() path: hand back the window fn and SKIP the degraded-relay
+        # retry loop here — it can eat minutes of the global deadline, and
+        # the full-pipeline/scan rows must land first. main() re-runs
+        # _degraded_retry(warm['window'], rates) AFTER those rows with
+        # whatever deadline is left (VERDICT r4 #2/#8: row presence beats
+        # a prettier headline).
+        warm_out["window"] = window
+        return rates, flops
+    _degraded_retry(window, rates, on_cpu=jax.devices()[0].platform == "cpu")
+    return rates, flops
+
+
+def _degraded_retry(window, rates, on_cpu=False):
+    """Extra measurement windows while every reading is under the chip's
+    known healthy band. Degraded periods can outlast any reasonable wait
+    (measured: one 2026-08-18 window held >30 min) — round 3 sized the
+    default wait to that episode (1800 s) and the driver artifact came
+    back EMPTY (VERDICT r3 #1: rc=124, parsed null). A bounded,
+    slightly-degraded number beats a perfect number that never lands: the
+    default extra wait is 120 s and, above all, capped by the global
+    deadline; longer waits are opt-in (GANDES_BENCH_BUDGET_S=1800
+    restores the round-3 behavior for interactive sessions)."""
     try:
         budget_s = float(os.environ.get("GANDES_BENCH_BUDGET_S", "120"))
     except ValueError:
         print("# GANDES_BENCH_BUDGET_S not a number; using 120",
               file=__import__("sys").stderr)
         budget_s = 120.0
-    if jax.devices()[0].platform == "cpu":
+    if on_cpu:
         budget_s = 0.0  # the healthy band is the TPU's; don't wait on CPU
     t_start = time.perf_counter()
     stride = 20.0
@@ -185,7 +207,6 @@ def bench_jax(iters: int = 100, windows: int = 3, on_window=None,
         time.sleep(stride)
         window()
         stride = min(stride * 1.5, 120.0)
-    return rates, flops
 
 
 def bench_torch_cpu(iters: int = 20) -> float:
@@ -666,7 +687,12 @@ def main():
     # sample counts: 5 spaced windows (one compile) on the TPU side,
     # best-of-5 runs on the CPU side — unequal tries would bias the
     # extreme-value ratio.
-    torch_rates = [bench_torch_cpu(iters=10) for _ in range(5)]
+    torch_rates = [bench_torch_cpu(iters=10)]
+    while len(torch_rates) < 5 and _remaining() > 0.80 * _DEADLINE_S:
+        # more baseline samples only while cheap: on a contended host one
+        # torch window can take minutes, and the TPU rows outrank baseline
+        # precision (symmetric counts still hold in the healthy case)
+        torch_rates.append(bench_torch_cpu(iters=10))
     torch_rate = max(torch_rates)
     torch_sustained = float(np.median(torch_rates))
 
@@ -722,6 +748,16 @@ def main():
         except Exception as e:  # noqa: BLE001 — a row must not kill the ledger
             print(f"# {label} row failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+
+    # headline-improvement windows LAST: the rows above already landed, so
+    # any deadline left now chases the chip's healthy band if every window
+    # so far sampled a degraded relay period (updates _HEADLINE via the
+    # on_window hook)
+    if "window" in warm:
+        import jax
+
+        _degraded_retry(warm["window"], rates,
+                        on_cpu=jax.devices()[0].platform == "cpu")
 
     if "--all" in sys.argv:
         # reproduce the PARITY.md perf table rows; one JSON line per metric,
